@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mysql2psql_spark.queries import QUERIES
+from mysql2psql_spark.session import get_spark
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "j1_inner_join",
+    "j2_left_join_dims",
+    "j3_anti_join",
+    "a1_ordered_string_agg",
+    "w1_topk_per_group",
+    "w3_running_sum",
+    "o1_global_topk",
+    "agg_rollup",
+    "stream_tumbling_window",
+    "stream_sessionize",
+    "dedup_exact",
+    "text_quality",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("/", 1)[-1].removeprefix("sf")
+    spark = get_spark(app_name="mysql2psql_spark_bench")
+
+    # warm the JVM + parquet footers once so per-query times measure the
+    # query, not session startup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

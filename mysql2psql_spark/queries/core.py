@@ -1,0 +1,506 @@
+"""Core relational operator queries (SURVEY.md §2.1-2.7).
+
+Each query is the Spark-first expression of a reference operator, tagged
+with the SURVEY id it covers. Money math goes through DECIMAL so sums are
+exact and engine-order-independent, then is rounded and normalized to
+DOUBLE for the oracle hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from mysql2psql_spark.queries import query
+from mysql2psql_spark.sources import load_table
+
+
+def _dec(c: str) -> Column:
+    return F.col(c).cast("decimal(12,4)")
+
+
+def _money(col: Column) -> Column:
+    """Exact decimal aggregate -> round(2) -> double (oracle-stable)."""
+    return F.round(col, 2).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H-Q1-shaped pricing summary.
+# Covers S4 scan, P1 filter pushdown, A-series hash aggregation with
+# map-side partial agg; the groupBy keys are low-cardinality so the shuffle
+# moves only |groups| x |partitions| rows at any scale.
+# ---------------------------------------------------------------------------
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_qty,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_base_price,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE) AS sum_disc_price,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4))) * (1 + CAST(l_tax AS DECIMAL(12,4)))), 2) AS DOUBLE) AS sum_charge,
+      ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+      ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+      ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1) + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+            _money(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
+            _money(F.sum(disc_price)).alias("sum_disc_price"),
+            _money(F.sum(charge)).alias("sum_charge"),
+            F.round(F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"), 6).alias("avg_price"),
+            F.round(F.sum(_dec("l_discount")).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S4 + P2: full-table scan with projection pushdown
+# (reference builds the SELECT list by hand: libs/PsqlParser.py:125-126 ->
+# libs/MysqlParser.py:127; Catalyst's ColumnPruning reaches the Parquet
+# ReadSchema for free).
+# ---------------------------------------------------------------------------
+@query(
+    "s4_scan_projection",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+)
+def s4_scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_extendedprice").filter(
+        F.col("l_orderkey") < 1000
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1: user `_WHERE_` predicate pushed into the source scan
+# (libs/MysqlParser.py:133-134). Expressed declaratively; .explain shows it
+# in PushedFilters.
+# ---------------------------------------------------------------------------
+@query(
+    "p1_filter_pushdown",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
+    """,
+)
+def p1_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000.0)).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3: projection-with-rename (cols_to, libs/PsqlParser.py:127-129 applying
+# rename rules libs/RuleHandler.py:61-73).
+# ---------------------------------------------------------------------------
+@query(
+    "p3_rename_project",
+    oracle="""
+    SELECT c_custkey AS id, UPPER(c_name) AS name_upper, c_mktsegment AS segment
+    FROM customer
+    """,
+)
+def p3_rename_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        F.upper("c_name").alias("name_upper"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6: conditional attribute rewrite — the `_IF_` rule shape
+# (libs/RuleHandler.py:92-103; e.g. tinyint->smallint unless tinyint(1)->
+# boolean, rules/mysql_to_psql.json:5-19) as a when/otherwise chain.
+# ---------------------------------------------------------------------------
+@query(
+    "p6_conditional_rewrite",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN p_size = 1 THEN 'boolean'
+                WHEN p_size <= 5 THEN 'smallint'
+                ELSE 'int' END AS mapped_type
+    FROM part
+    """,
+)
+def p6_conditional_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.when(F.col("p_size") == 1, "boolean")
+        .when(F.col("p_size") <= 5, "smallint")
+        .otherwise("int")
+        .alias("mapped_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1: pushdown inner equi-join + filter (libs/MysqlParser.py:113-134).
+# Fact-to-fact join shuffles on the key; AQE picks the strategy. Low-
+# cardinality output keeps the final shuffle tiny at any SF.
+# ---------------------------------------------------------------------------
+@query(
+    "j1_inner_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l.l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l INNER JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def j1_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_lines"), _money(F.sum(revenue)).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2: left outer equi-join chain over the dimension tables
+# (libs/MysqlParser.py:192-194's catalog LEFT JOIN). nation/region are tiny
+# at every SF -> broadcast, no shuffle of the big side.
+# ---------------------------------------------------------------------------
+@query(
+    "j2_left_join_dims",
+    oracle="""
+    SELECT c.c_custkey, n.n_name AS nation_name, r.r_name AS region_name
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def j2_left_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .select(
+            "c_custkey",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 (anti): orphan detection — the `_PRE_SQL_` DELETE ... NOT IN idiom
+# (rules/schema_changes.json:4-6) re-expressed immutably as a left_anti
+# join (SURVEY J3). Here: lineitems whose order is not open.
+# ---------------------------------------------------------------------------
+@query(
+    "j3_anti_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber
+    FROM lineitem l
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'O'
+    )
+    """,
+)
+def j3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    open_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return li.join(
+        open_orders, li.l_orderkey == open_orders.o_orderkey, "left_anti"
+    ).select("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# J3 (semi): the keep-side of the same idiom — EXISTS as left_semi.
+# ---------------------------------------------------------------------------
+@query(
+    "j3_semi_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0
+    )
+    """,
+)
+def j3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000.0)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# J4: repair-join — null-out/zero orphan FKs instead of deleting
+# (the commented-out UPDATE ... LEFT JOIN at libs/MysqlParser.py:71-85).
+# ---------------------------------------------------------------------------
+@query(
+    "j4_repair_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           CASE WHEN o.o_orderkey IS NULL THEN 0 ELSE l.l_orderkey END AS repaired_orderkey
+    FROM lineitem l
+    LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O') o
+      ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def j4_repair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey")
+    )
+    return li.join(o, li.l_orderkey == o.o_orderkey, "left").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("o_orderkey").isNull(), F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .cast("long")
+        .alias("repaired_orderkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1: hash group-by + ORDERED string agg — GROUP_CONCAT(x ORDER BY k)
+# (libs/MysqlParser.py:233-242). collect_list alone is unordered; the
+# ordering is made explicit via array_sort over (key, value) structs, which
+# keeps the whole aggregate a single map-side-combinable hash agg (no
+# window, no second shuffle).
+# ---------------------------------------------------------------------------
+@query(
+    "a1_ordered_string_agg",
+    oracle="""
+    SELECT l_orderkey,
+           STRING_AGG(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS line_numbers,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def a1_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = F.collect_list(F.struct(F.col("l_linenumber").alias("k"), F.col("l_linenumber").cast("string").alias("v")))
+    ordered = F.transform(F.array_sort(pairs), lambda x: x["v"])
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(ordered, ",").alias("line_numbers"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2: distinct via GROUP BY (libs/MysqlParser.py:287).
+# ---------------------------------------------------------------------------
+@query(
+    "a2_distinct",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+)
+def a2_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+# ---------------------------------------------------------------------------
+# A3 + min/max stats: affected-row counting (libs/MysqlParser.py:99-100)
+# generalized to grouped counts with exact min/max passthrough.
+# ---------------------------------------------------------------------------
+@query(
+    "a3_grouped_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS cnt,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def a3_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 window fill: ranking — top order per customer. ROW_NUMBER with a
+# unique tie-break so the result set is deterministic.
+# ---------------------------------------------------------------------------
+@query(
+    "w1_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 window fill: lag — per-customer price delta between consecutive
+# orders. Same operands both engines -> exact double subtraction.
+# ---------------------------------------------------------------------------
+@query(
+    "w2_lag_delta",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           o_totalprice - LAG(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS price_delta
+    FROM orders
+    """,
+)
+def w2_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("price_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 window fill: running sum over an explicit ROWS frame; DECIMAL makes
+# the cumulative sum exact in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "w3_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        _money(F.sum(_dec("o_totalprice")).over(w)).alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-series: global top-k with unique tie-break (deterministic LIMIT).
+# Spark executes this as a TakeOrderedAndProject — no global sort shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "o1_global_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def o1_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations (the reference only has the NOT IN idiom; union /
+# intersect / except are the Spark-native fills, incl. the multi-database
+# unionByName shape of main.py:167).
+# ---------------------------------------------------------------------------
+_SET_A = "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"
+_SET_B = "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"
+
+
+def _set_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a, b
+
+
+@query("set_union", oracle=f"{_SET_A} UNION {_SET_B}")
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _set_sides(spark, sf_dir)
+    return a.unionByName(b).distinct()
+
+
+@query("set_intersect", oracle=f"{_SET_A} INTERSECT {_SET_B}")
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _set_sides(spark, sf_dir)
+    return a.intersect(b)
+
+
+@query("set_except", oracle=f"{_SET_A} EXCEPT {_SET_B}")
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _set_sides(spark, sf_dir)
+    # subtract = EXCEPT DISTINCT (exceptAll would be bag-difference and
+    # keep keys that appear more often in A than in B)
+    return a.subtract(b)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 fill: rollup — multi-level aggregate in one pass (partial aggs are
+# reused across grouping sets; one shuffle).
+# ---------------------------------------------------------------------------
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _money(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )

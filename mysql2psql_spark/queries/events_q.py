@@ -1,0 +1,169 @@
+"""Streaming-shaped queries over `events` (SURVEY.md §2.13 fill).
+
+The reference is a batch snapshot migrator; the engine adds the standard
+event-stream operators as batch-first implementations whose shapes are
+streaming-compatible (mysql2psql_spark/streaming/ wires the same logic
+through readStream/withWatermark).
+
+Bucket keys are epoch-aligned so Spark's window() start and the oracle's
+arithmetic bucketing agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from mysql2psql_spark.queries import query
+from mysql2psql_spark.sources import load_table
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast("decimal(12,4)")
+
+
+# ---------------------------------------------------------------------------
+# Tumbling window aggregation: F.window() (epoch-aligned) — the batch twin
+# of the Structured Streaming groupBy(window(ts, ...)) shape.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 300) * 300 AS bucket_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_dec("value")), 2).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding window: 10-minute windows every 5 minutes (window duration >
+# slide -> each event lands in 2 windows).
+# ---------------------------------------------------------------------------
+@query(
+    "stream_sliding_window",
+    oracle="""
+    WITH slid AS (
+      SELECT ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 300) * 300 - shift.s) AS win_start, value
+      FROM events, (SELECT UNNEST([0, 300]) AS s) shift
+      WHERE ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 300) * 300 - shift.s) >= 0
+    )
+    SELECT win_start, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value
+    FROM slid
+    GROUP BY win_start
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_dec("value")), 2).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("win_start"),
+            "n_events",
+            "sum_value",
+        )
+        .filter(F.col("win_start") >= 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: gap > 30 min starts a new session. Batch form = lag +
+# running sum of session-start flags (one shuffle on user_id); streaming
+# twin = session_window(ts, '30 minutes').
+# ---------------------------------------------------------------------------
+@query(
+    "stream_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                          - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq,
+           CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull() | ((F.col("ts").cast("long") - prev_ts.cast("long")) > 1800),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        e.withColumn("session_seq", F.sum(new_session).over(wsum))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").cast("long").alias("session_start"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream dedup by key within a time bucket — the batch twin of
+# dropDuplicatesWithinWatermark: keep the first event per (user, type,
+# minute).
+# ---------------------------------------------------------------------------
+@query(
+    "stream_dedup_first",
+    oracle="""
+    SELECT user_id, event_type, minute_bucket, event_id AS first_event_id FROM (
+      SELECT user_id, event_type,
+             (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 60) * 60 AS minute_bucket,
+             event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type,
+                                (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 60) * 60
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bucket = (F.floor(F.col("ts").cast("long") / 60) * 60).alias("minute_bucket")
+    w = W.partitionBy("user_id", "event_type", "minute_bucket").orderBy("ts", "event_id")
+    return (
+        e.select("user_id", "event_type", bucket, "event_id", "ts")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "minute_bucket", F.col("event_id").alias("first_event_id"))
+    )

@@ -1,0 +1,200 @@
+"""Text-analysis & dedup queries over `documents` (training-data pipeline
+surface — beyond the reference, SURVEY.md §7 step 8).
+
+All of these stay in built-in functions (split/filter/transform/md5) so
+they run JVM-side and scale linearly: per-document work with no shuffle
+except the final aggregate/join, which is keyed by a hash and therefore
+uniform (no skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql2psql_spark.queries import query
+from mysql2psql_spark.operators.text import (
+    STOPWORDS,
+    en_stopword_ratio,
+    quality_score,
+    shingles,
+    token_count,
+)
+from mysql2psql_spark.sources import load_table
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: content-hash groupBy. md5 is identical (lowercase hex) in
+# Spark and DuckDB, so the fingerprint itself is oracle-checked. Keyed by
+# hash -> uniform shuffle distribution at 100 TB.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace tokenizer, JVM-side.
+# ---------------------------------------------------------------------------
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(text) AS len_chars,
+           LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+           LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_unique_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        token_count(F.col("text")).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length + lexical-diversity + stopword-ratio heuristics.
+# ---------------------------------------------------------------------------
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ({_STOP_SQL}))) AS DOUBLE)
+                 / LEN(STRING_SPLIT(text, ' ')), 6) AS stopword_ratio,
+           ROUND(CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                 / LEN(STRING_SPLIT(text, ' ')), 6) AS lexical_diversity,
+           (LENGTH(text) >= 50 AND LEN(STRING_SPLIT(text, ' ')) >= 10) AS passes_length_gate
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(en_stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        F.round(quality_score(F.col("text")), 6).alias("lexical_diversity"),
+        ((F.length("text") >= 50) & (token_count(F.col("text")) >= 10)).alias("passes_length_gate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID: n-gram/stopword heuristic (real lang-ID models aren't in the
+# container; the heuristic is the deterministic, oracle-checkable core and
+# the plumbing is what matters at scale).
+# ---------------------------------------------------------------------------
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS lang_label,
+           CASE WHEN CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ({_STOP_SQL}))) AS DOUBLE)
+                     / LEN(STRING_SPLIT(text, ' ')) > 0.02
+                THEN 'en' ELSE 'unknown' END AS lang_pred
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        F.when(en_stopword_ratio(F.col("text")) > 0.02, "en").otherwise("unknown").alias("lang_pred"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: canonical content fingerprint = md5 over the
+# sorted distinct token set (order/duplication-insensitive — catches
+# shuffled near-dups that exact hashing misses).
+# ---------------------------------------------------------------------------
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' ')) AS token_set_fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.array_join(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " ")
+    return d.select("doc_id", F.md5(canon).alias("token_set_fp"))
+
+
+# ---------------------------------------------------------------------------
+# N-gram (3-word-shingle) Jaccard near-dup pairs, exact (oracle-checked).
+# Shingle sets are far more discriminative than unigram sets (planted
+# near-dups score 0.9+, unrelated docs < 0.3). Blocked on `source` plus a
+# lossless shingle-count window (Jaccard >= 0.5 requires |A|/|B| in
+# [0.5, 2]), which kills most of the quadratic pair space before any array
+# intersection work. At 100 TB the block key becomes an LSH band — see
+# dedup_minhash_lsh — and this exact variant doubles as its verifier.
+# ---------------------------------------------------------------------------
+_SHINGLE_SQL = """
+      SELECT doc_id, source,
+             LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(ts) - 1, 1)),
+                i -> CONCAT_WS(' ', ts[i], ts[i+1], ts[i+2]))) AS sg
+      FROM (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS ts FROM documents)
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(LEN(LIST_INTERSECT(a.sg, b.sg)) AS DOUBLE)
+                 / (LEN(a.sg) + LEN(b.sg) - LEN(LIST_INTERSECT(a.sg, b.sg))), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+         AND LEN(b.sg) BETWEEN CAST(CEIL(LEN(a.sg) * 0.5) AS BIGINT)
+                           AND CAST(FLOOR(LEN(a.sg) * 2.0) AS BIGINT)
+    WHERE CAST(LEN(LIST_INTERSECT(a.sg, b.sg)) AS DOUBLE)
+          / (LEN(a.sg) + LEN(b.sg) - LEN(LIST_INTERSECT(a.sg, b.sg))) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # Intersect 64-bit shingle hashes, not strings: long compares are far
+    # cheaper than 20-char string compares and collisions are ~0 (the
+    # oracle intersects the raw shingle sets; |union| = |A|+|B|-|∩| keeps
+    # one array op per pair instead of two).
+    hashed = F.transform(shingles(F.col("text"), 3), lambda s: F.xxhash64(s))
+    sh = d.select("doc_id", "source", hashed.alias("sg"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    na, nb = F.size(F.col("a.sg")), F.size(F.col("b.sg"))
+    inter = F.size(F.array_intersect(F.col("a.sg"), F.col("b.sg")))
+    union = na + nb - inter
+    jac = inter.cast("double") / union
+    size_window = (nb >= F.ceil(na * 0.5)) & (nb <= F.floor(na * 2.0))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_window,
+        )
+        .filter(jac >= 0.5)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
