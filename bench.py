@@ -30,8 +30,10 @@ HEADLINE = [
     "stream_sessionize",
     "dedup_exact",
     "text_quality",
-    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
     "sim_cosine_topk",
+    "m1_migration_pipeline",
 ]
 
 

@@ -1,0 +1,195 @@
+"""Dedup operator family for large corpora.
+
+Four tiers, all DataFrame-native (no Python in the hot path):
+
+- exact: content-hash groupBy (queries/text_q.py::dedup_exact)
+- n-gram Jaccard: exact all-pairs within blocks — the small-scale
+  verifier (queries/text_q.py::dedup_ngram_jaccard)
+- MinHash + LSH banding: the 100 TB path.
+- SimHash over shingle hashes: 64-bit bit-majority fingerprint; near-dups
+  = small Hamming distance, found via pigeonhole banding.
+
+Execution shape (the part that matters at scale): signatures are computed
+by EXPLODING the shingle set and aggregating with plain codegen'd
+expressions — k min-aggregates for MinHash, 64 conditional sums for
+SimHash — instead of nested array lambdas. Nested higher-order functions
+(transform inside transform) fall back to interpreted evaluation in
+Spark and are ~100x slower; the explode shape stays inside whole-stage
+codegen and its shuffle is map-side pre-aggregated, carrying only
+|docs| x k values no matter how many shingles a document has.
+
+MinHash math: sig_i(doc) = min over shingles s of h_i(s), with
+h_i = xxhash64(i, s). P[sig_i(A) = sig_i(B)] = J(A, B). Banding b bands
+of r rows fires on a pair with prob 1 - (1 - J^r)^b (threshold ~
+(1/b)^(1/r); defaults b=8, r=4 -> ~0.59, detection of a 0.9-Jaccard pair
+~0.9998).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", shingles_col: str = "sg", k: int = 32
+) -> DataFrame:
+    """(id, sig: array<bigint>[k]) via explode + k codegen'd min-aggs.
+
+    One shuffle keyed by doc id with map-side combine: each partition
+    pre-reduces to one k-vector per local doc before exchanging."""
+    exploded = docs.select(F.col(id_col), F.explode(shingles_col).alias("s"))
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(k)]
+    agg = exploded.groupBy(id_col).agg(*mins)
+    return agg.select(F.col(id_col), F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+
+
+def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """One 64-bit key per band: array of (band_idx, xxhash64(band_slice))
+    structs, ready to explode into the LSH bucket join."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(F.slice(signature, j * rows_per_band + 1, rows_per_band)).alias("key"),
+            )
+            for j in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    shingles_col: str = "sg",
+    id_col: str = "doc_id",
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, exact-verified.
+
+    ``docs`` must carry ``id_col`` and ``shingles_col`` (array of distinct
+    shingle hashes, e.g. operators.text.shingles + xxhash64). Returns
+    (doc_a, doc_b, jaccard) with jaccard >= threshold, doc_a < doc_b.
+    """
+    r = k // bands
+    sig = minhash_signatures(docs, id_col, shingles_col, k)
+    # Bucket rows carry ONLY (id, band, key) — never the shingle arrays.
+    # The band explode multiplies row count by `bands`, so keeping the
+    # payload off these rows keeps the LSH shuffle at ~24 bytes/row
+    # regardless of document size. Shingles rejoin only for the (tiny)
+    # candidate set.
+    buckets = sig.select(
+        F.col(id_col), F.explode(band_keys(F.col("sig"), bands, r)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    # Same (band, key) bucket -> candidate; dedupe pairs found by
+    # multiple bands BEFORE the expensive exact verification.
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sg = docs.select(F.col(id_col), F.col(shingles_col))
+    cand = cand.join(
+        sg.withColumnRenamed(id_col, "doc_a").withColumnRenamed(shingles_col, "sg_a"), "doc_a"
+    ).join(
+        sg.withColumnRenamed(id_col, "doc_b").withColumnRenamed(shingles_col, "sg_b"), "doc_b"
+    )
+    inter = F.size(F.array_intersect("sg_a", "sg_b"))
+    union = F.size("sg_a") + F.size("sg_b") - inter
+    jac = inter.cast("double") / union
+    return cand.filter(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+def _bit_mask(i: int) -> int:
+    # signed-64 representation of 1<<i (bit 63 is the sign bit)
+    return (1 << i) if i < 63 else -(1 << 63)
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", features_col: str = "sg"
+) -> DataFrame:
+    """(id, sh: bigint) — 64-bit SimHash over a pre-hashed feature array
+    (array<bigint>, e.g. shingle hashes; already uniform, no re-hash).
+
+    Explode + 64 conditional-sum aggregates (codegen'd, map-side
+    combined): bit i of the fingerprint is set iff more than half the
+    features have hash bit i set."""
+    exploded = docs.select(F.col(id_col), F.explode(features_col).alias("h"))
+    sums = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(_bit_mask(i)).cast("long")) != 0, 1).otherwise(0)
+        ).alias(f"c{i}")
+        for i in range(64)
+    ]
+    agg = exploded.groupBy(id_col).agg(F.count("*").alias("n"), *sums)
+    sh = F.lit(0).cast("long")
+    for i in range(64):
+        sh = sh.bitwiseOR(
+            F.when(F.col(f"c{i}") * 2 > F.col("n"), F.lit(_bit_mask(i)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return agg.select(F.col(id_col), sh.alias("sh"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    features_col: str = "sg",
+    id_col: str = "doc_id",
+    max_hamming: int = 7,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the 64-bit fingerprint into 8 8-bit chunks;
+    any pair within Hamming distance 7 agrees exactly on >= 1 chunk, so
+    candidates come from an equi-join on (chunk_idx, chunk_value) — fully
+    shuffle-partitionable, no quadratic scan. (Empirically a ~0.97-Jaccard
+    doc pair lands at hamming ~7 with 3-shingle features, so the coarser
+    4x16 banding, lossless only to hamming 3, under-recalls.)
+    """
+    sh = simhash_fingerprints(docs, id_col, features_col)
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("chunk"),
+                F.shiftrightunsigned(F.col("sh"), j * 8).bitwiseAND(F.lit(0xFF)).alias("val"),
+            )
+            for j in range(8)
+        ]
+    )
+    chunks = sh.select(
+        id_col, "sh", F.explode(chunk_structs).alias("ck")
+    ).select(id_col, "sh", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val"))
+
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )

@@ -1,0 +1,55 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are carried as BinaryType columns with a typed
+metadata struct alongside. Decode / feature-extract runs as Arrow-batched
+``mapInPandas`` — the Spark-side contract (schema, batch shape, partition
+behavior) is real and tested; the actual codec call is stubbed behind
+``decode_stub`` because the image/audio libraries are not in this
+container (clearly marked; swap the stub for PIL/librosa/ffmpeg in a real
+deployment — the Spark plumbing does not change).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = "doc_id bigint, n_bytes int, head_hex string"
+
+
+def decode_stub(payload: bytes) -> dict:
+    """STUB decoder: a real deployment replaces this with the codec
+    (PIL.Image.open, librosa.load, ...). Deterministic so the pipeline is
+    testable: reports payload size and the first-4-bytes hex 'magic'."""
+    return {"n_bytes": len(payload), "head_hex": payload[:4].hex().upper()}
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Testdata has no binary column; treat the utf-8 encoding of the text
+    as the opaque payload (schema-identical to a real image/audio column)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    mapInPandas: each partition streams pandas batches through the Python
+    worker once (no per-row pickling); output schema is fixed so the plan
+    stays analyzable. At scale, partition count = input splits; no shuffle.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(decode_stub)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": [f["n_bytes"] for f in feats],
+                    "head_hex": [f["head_hex"] for f in feats],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=FEATURE_SCHEMA)

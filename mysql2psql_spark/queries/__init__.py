@@ -39,7 +39,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def _load_all() -> None:
     # Import side-effect: each module registers its queries.
-    from mysql2psql_spark.queries import core, functions_q, text_q, similarity_q, events_q  # noqa: F401
+    from mysql2psql_spark.queries import (  # noqa: F401
+        core,
+        dedup_q,
+        events_q,
+        functions_q,
+        migration_q,
+        similarity_q,
+        text_q,
+    )
 
 
 _load_all()

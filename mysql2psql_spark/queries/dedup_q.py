@@ -1,0 +1,57 @@
+"""Scale-path dedup + multimodal queries.
+
+dedup_minhash_lsh / dedup_simhash are probabilistic-candidate operators
+(exact-verified for MinHash), so they carry no SQL oracle — the driver
+records the weaker rows-only check, and tests/test_operators.py pins
+their agreement with the exact dedup_ngram_jaccard verifier instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql2psql_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+from mysql2psql_spark.operators.multimodal import extract_features, with_binary_payload
+from mysql2psql_spark.operators.text import shingles
+from mysql2psql_spark.queries import query
+from mysql2psql_spark.sources import load_table
+
+
+@query("dedup_minhash_lsh")  # rows-only: probabilistic candidate generation
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hashed = F.transform(shingles(F.col("text"), 3), lambda s: F.xxhash64(s))
+    docs = d.select("doc_id", hashed.alias("sg"))
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+@query("dedup_simhash")  # rows-only: Hamming-band candidates
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SimHash features = 3-word shingle hashes (unigram features are
+    # useless on a small vocabulary: every doc has nearly the same word
+    # set, so unigram SimHashes collide corpus-wide)
+    d = load_table(spark, sf_dir, "documents")
+    hashed = F.transform(shingles(F.col("text"), 3), lambda s: F.xxhash64(s))
+    docs = d.select("doc_id", hashed.alias("sg"))
+    return simhash_pairs(docs, max_hamming=7)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary payload -> Arrow-batched mapInPandas feature
+# extraction. The deterministic stub (size + 4-byte magic hex) is fully
+# oracle-checkable, so the Spark-side contract is hash-verified even though
+# the real codec is stubbed.
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS INTEGER) AS n_bytes,
+           SUBSTR(UPPER(HEX(ENCODE(text))), 1, 8) AS head_hex
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return extract_features(with_binary_payload(d))

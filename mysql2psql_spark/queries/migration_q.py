@@ -1,0 +1,98 @@
+"""The migration pipeline under the driver's correctness gate.
+
+Runs the full rule-driven migration (FIXTURES.md §B reservation fixture:
+rename + FK attach + nullable override + column skip + pre-SQL orphan
+cleanup + value conversions) inside Spark, with the equivalent relational
+semantics spelled out in ANSI SQL for the DuckDB oracle. This is the
+reference's whole §3.1 lifecycle, hash-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mysql2psql_spark import schema_ir as ir
+from mysql2psql_spark.plans.migration import migrate_table, plan_migration
+from mysql2psql_spark.queries import query
+
+_SCHEMA_CHANGES = {
+    "tables": {
+        "reservation_reminder": {
+            "_PRE_SQL_": [
+                "DELETE IGNORE FROM reservation_reminder WHERE resa_id NOT IN (SELECT id FROM reservation)"
+            ],
+            "name": "reminder",
+            "columns": {
+                "resa_id": {"name": "reservation_id", "reference": "reservation (id)"},
+                "user_id": {"nullable": True},
+                "legacy_col": "_SKIP_",
+            },
+        },
+    }
+}
+
+# Deterministic fixture rows (shared shape with the VALUES list in the
+# oracle SQL below). Ten reminders over four reservations; includes FK=0
+# ("no parent"), a zero-datetime, and two orphans.
+_RESERVATIONS = [(10,), (20,), (30,), (0,)]
+_REMINDERS = [
+    (1, 10, 5, "a", "2020-01-01 10:00:00"),
+    (2, 0, 6, "b", "0000-00-00 00:00:00"),
+    (3, 999, 7, "c", "2020-03-01 09:00:00"),  # orphan
+    (4, 20, 8, "d", None),
+    (5, 30, 9, "e", "2021-07-15 23:59:59"),
+    (6, 30, 10, "f", "0000-00-00 00:00:00"),
+    (7, 888, 11, "g", "2022-01-01 00:00:00"),  # orphan
+    (8, 10, 12, "h", "2023-02-28 08:30:00"),
+    (9, 0, 13, "i", None),
+    (10, 20, 14, "j", "2024-06-01 12:00:00"),
+]
+
+
+def _fixture_ir() -> dict:
+    reminder = ir.new_table(
+        "reservation_reminder",
+        [
+            ir.new_column("id", "int", nullable=False, is_pk=True),
+            ir.new_column("resa_id", "int", nullable=True),
+            ir.new_column("user_id", "int", nullable=False),
+            ir.new_column("legacy_col", "varchar", size="50"),
+            ir.new_column("remind_at", "datetime", full_type="datetime"),
+        ],
+    )
+    reservation = ir.new_table(
+        "reservation", [ir.new_column("id", "int", nullable=False, is_pk=True)]
+    )
+    return ir.new_schema([reservation, reminder])
+
+
+@query(
+    "m1_migration_pipeline",
+    oracle="""
+    WITH reservation(id) AS (VALUES (10), (20), (30), (0)),
+    reminders(id, resa_id, user_id, legacy_col, remind_at) AS (VALUES
+      (1, 10, 5, 'a', '2020-01-01 10:00:00'),
+      (2, 0, 6, 'b', '0000-00-00 00:00:00'),
+      (3, 999, 7, 'c', '2020-03-01 09:00:00'),
+      (4, 20, 8, 'd', NULL),
+      (5, 30, 9, 'e', '2021-07-15 23:59:59'),
+      (6, 30, 10, 'f', '0000-00-00 00:00:00'),
+      (7, 888, 11, 'g', '2022-01-01 00:00:00'),
+      (8, 10, 12, 'h', '2023-02-28 08:30:00'),
+      (9, 0, 13, 'i', NULL),
+      (10, 20, 14, 'j', '2024-06-01 12:00:00'))
+    SELECT r.id,
+           NULLIF(r.resa_id, 0) AS reservation_id,
+           r.user_id,
+           CASE WHEN r.remind_at LIKE '0000%' THEN NULL ELSE r.remind_at END AS remind_at
+    FROM reminders r
+    WHERE EXISTS (SELECT 1 FROM reservation p WHERE p.id = r.resa_id)
+    """,
+)
+def m1_migration_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plan = plan_migration(_fixture_ir(), schema_changes=_SCHEMA_CHANGES)
+    reminders = spark.createDataFrame(
+        _REMINDERS, "id int, resa_id int, user_id int, legacy_col string, remind_at string"
+    )
+    parents = {"reservation": spark.createDataFrame(_RESERVATIONS, "id int")}
+    return migrate_table(reminders, plan, "reservation_reminder", parents)

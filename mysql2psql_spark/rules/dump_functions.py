@@ -68,11 +68,14 @@ def make_it_time(col: Column, nullable: bool = True) -> Column:
 # /root/reference/libs/PsqlParser.py:214 but resolving to expression
 # builders instead of row functions.
 DUMP_FUNCTIONS: dict[str, Callable[..., Column]] = {
-    "convertStrBoolean": convert_str_boolean,
+    # every builder takes (col, nullable=...) — the date/datetime methods
+    # branch on the column's nullability inside, like the reference's
+    # f(value, col_attrs) signature (dumperAuxFuncs.py:13-27)
+    "convertStrBoolean": lambda c, nullable=True: convert_str_boolean(c),
     "defaultDate": default_date,
-    "notNullableDate": lambda c, nullable=False: default_date(c, nullable=False),
-    "notNullableDatetime": lambda c, nullable=False: default_datetime(c, nullable=False),
-    "refToNullable": ref_to_nullable,
+    "notNullableDate": default_date,
+    "notNullableDatetime": default_datetime,
+    "refToNullable": lambda c, nullable=True: ref_to_nullable(c) if nullable else c,
     "makeItEmpty": make_it_empty,
     "makeItTime": make_it_time,
 }

@@ -1,0 +1,33 @@
+"""CSV sink with the reference's bulk-load dialect.
+
+The reference writes one CSV per table with quote=', delimiter=,, and the
+literal NULL for SQL NULLs, then loads via `\\copy ... WITH (FORMAT CSV,
+QUOTE '''', DELIMITER ',', NULL 'NULL')` (/root/reference/libs/
+PsqlParser.py:122-146, format string 134-137). Spark's csv writer covers
+the dialect natively — and writes it in parallel, one file per partition,
+which is the 100 TB-safe shape (the single-file reference layout is a
+coalesce(1) away when a sink really needs it)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_reference_csv(df: DataFrame, path: str, single_file: bool = False) -> str:
+    """Write reference-dialect CSV; returns the matching \\copy command
+    (the psql_data.sql manifest line, PsqlParser.py:136-137)."""
+    out = df.coalesce(1) if single_file else df
+    (
+        out.write.mode("overwrite")
+        .option("quote", "'")
+        .option("escape", "'")  # PG CSV doubles the quote char
+        .option("nullValue", "NULL")
+        .option("delimiter", ",")
+        .csv(path)
+    )
+    cols = ", ".join(f'"{c}"' for c in df.columns)
+    table = path.rstrip("/").rsplit("/", 1)[-1]
+    return (
+        f"\\copy \"{table}\" ({cols}) FROM '{path}' "
+        "WITH (FORMAT CSV, QUOTE '''', DELIMITER ',', NULL 'NULL');"
+    )

@@ -1,0 +1,160 @@
+"""PostgreSQL DDL generation from the schema IR (SURVEY.md §2.10, D1-D10).
+
+Pure string generators over the converted (psql) IR — the Spark engine
+treats DDL as sink-side metadata. Semantics pinned to the reference:
+
+- D1 CREATE TABLE with columns ordered PK -> FK -> rest
+  (PsqlParser.py:422-434), skipped columns excluded
+- D2 column clause: SERIAL iff extra=auto_increment, upper-cased type,
+  size suffix except {text,bytea,smallint,decimal,set}, NOT NULL,
+  inline PRIMARY KEY, typed DEFAULT (PsqlParser.py:476-511)
+- D3 composite PK: >=2 PK columns demote inline PKs and emit a
+  table-level PRIMARY KEY (a,b) clause (PsqlParser.py:436-474)
+- D4 DROP TABLE IF EXISTS ... CASCADE (PsqlParser.py:277-285)
+- D5 sequence setval for auto-increment tables (PsqlParser.py:348-355)
+- D6 FK constraints ON DELETE RESTRICT DEFERRABLE INITIALLY IMMEDIATE
+  (PsqlParser.py:385-403)
+- D7 secondary indexes with renamed columns resolved (PsqlParser.py:405-420)
+- D8 v1 compatibility views: old schema queryable over new, dropped
+  columns NULL-backfilled (PsqlParser.py:162-197)
+- D10/S10 schema preamble (PsqlParser.py:51-70)
+"""
+
+from __future__ import annotations
+
+from mysql2psql_spark.schema_ir import TableIR
+
+NO_SIZE_SUFFIX = {"text", "bytea", "smallint", "decimal", "set"}
+SKIP = "_SKIP_"
+
+
+def _q(name: str) -> str:
+    return f'"{name}"'
+
+
+def _active_columns(table: TableIR) -> dict[str, dict]:
+    return {k: c for k, c in table["columns"].items() if c.get("extra") != SKIP}
+
+
+def _categorized(table: TableIR) -> list[dict]:
+    """PK first, FK columns second, the rest in IR order (D1)."""
+    cols = list(_active_columns(table).values())
+    pks = [c for c in cols if c.get("isPk")]
+    fks = [c for c in cols if not c.get("isPk") and c.get("reference")]
+    rest = [c for c in cols if not c.get("isPk") and not c.get("reference")]
+    return pks + fks + rest
+
+
+def _default_clause(col: dict) -> str:
+    """F14 default classing (PsqlParser.py:495-506): numeric / boolean /
+    current_timestamp literals pass through, anything else is quoted."""
+    d = str(col["default"])
+    if d.lstrip("-").replace(".", "", 1).isdigit() or d.lower() in (
+        "true",
+        "false",
+        "current_timestamp",
+    ):
+        return f" DEFAULT {d}"
+    return f" DEFAULT '{d}'"
+
+
+def _column_clause(col: dict, composite_pk: bool) -> str:
+    if col.get("extra") == "auto_increment":
+        type_sql = "SERIAL"
+    else:
+        type_sql = col["type"].upper()
+        if col.get("size") and col["type"].lower() not in NO_SIZE_SUFFIX:
+            type_sql += f"({col['size']})"
+    parts = [f"{_q(col['name'])} {type_sql}"]
+    if not col["nullable"]:
+        parts.append("NOT NULL")
+    if col.get("isPk") and not composite_pk:
+        parts.append("PRIMARY KEY")
+    if col.get("default") is not None:
+        parts[-1] = parts[-1] + _default_clause(col)
+    return " ".join(parts)
+
+
+def create_table_ddl(table: TableIR) -> str:
+    cols = _categorized(table)
+    pk_cols = [c for c in cols if c.get("isPk")]
+    composite = len(pk_cols) >= 2
+    clauses = [_column_clause(c, composite) for c in cols]
+    if composite:
+        clauses.append("PRIMARY KEY (" + ", ".join(_q(c["name"]) for c in pk_cols) + ")")
+    body = ",\n  ".join(clauses)
+    return f"CREATE TABLE {_q(table['name'])} (\n  {body}\n);"
+
+
+def drop_table_ddl(table: TableIR) -> str:
+    return f"DROP TABLE IF EXISTS {_q(table['name'])} CASCADE;"
+
+
+def sequence_ddl(table: TableIR) -> list[str]:
+    if not table.get("autoIncrement"):
+        return []
+    return [
+        f"SELECT setval('{table['name']}_{c['name']}_seq', {table['autoIncrement']}, false);"
+        for c in _active_columns(table).values()
+        if c.get("isPk") and c.get("extra") == "auto_increment"
+    ]
+
+
+def fk_constraint_ddl(table: TableIR, on_delete: str = "RESTRICT") -> list[str]:
+    out = []
+    for c in _active_columns(table).values():
+        ref = c.get("reference")
+        if not ref:
+            continue
+        out.append(
+            f"ALTER TABLE {_q(table['name'])} ADD CONSTRAINT "
+            f"{_q(table['name'] + '_' + c['name'] + '_fkey')} "
+            f"FOREIGN KEY ({_q(c['name'])}) REFERENCES {ref} "
+            f"ON DELETE {on_delete} DEFERRABLE INITIALLY IMMEDIATE;"
+        )
+    return out
+
+
+def create_index_ddl(table: TableIR) -> list[str]:
+    cols = table["columns"]
+    out = []
+    for idx in table.get("indexes", {}).values():
+        # resolve renamed columns: index IR keys are original names
+        resolved = [cols[c]["name"] if c in cols else c for c in idx["columns"]]
+        out.append(
+            f"CREATE INDEX {_q(table['name'] + '_' + idx['name'] + '_x')} "
+            f"ON {_q(table['name'])} (" + ", ".join(_q(c) for c in resolved) + ");"
+        )
+    return out
+
+
+def view_ddl(original_name: str, table: TableIR, v1_schema: str = "v1") -> str:
+    """D8: a view named after the ORIGINAL table exposing the ORIGINAL
+    column names over the migrated table; dropped columns come back as
+    NULL so old queries keep parsing."""
+    old_names, new_exprs = [], []
+    for key, col in table["columns"].items():
+        old_names.append(_q(key))
+        if col.get("extra") == SKIP:
+            new_exprs.append("NULL")
+        else:
+            new_exprs.append(_q(col["name"]))
+    return (
+        f"CREATE VIEW {_q(v1_schema)}.{_q(original_name)} ("
+        + ", ".join(old_names)
+        + ") AS SELECT "
+        + ", ".join(new_exprs)
+        + f" FROM public.{_q(table['name'])} WITH CASCADED CHECK OPTION;"
+    )
+
+
+def schema_preamble(v1_schema: str | None = None) -> list[str]:
+    out = [
+        "DROP SCHEMA IF EXISTS public CASCADE;",
+        "CREATE SCHEMA public;",
+        'CREATE EXTENSION IF NOT EXISTS "unaccent";',
+    ]
+    if v1_schema:
+        out.insert(1, f"DROP SCHEMA IF EXISTS {_q(v1_schema)} CASCADE;")
+        out.append(f"CREATE SCHEMA {_q(v1_schema)};")
+    return out

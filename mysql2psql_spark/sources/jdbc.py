@@ -1,0 +1,167 @@
+"""JDBC source: catalog introspection (S1-S3) + partitioned table reads
+(S4) for live MySQL/PostgreSQL databases.
+
+The reference introspects information_schema over a PyMySQL socket
+(/root/reference/libs/MysqlParser.py:147-154, 184-198, 233-242) and
+fetches whole tables single-threaded with fetchall (:136). Here both are
+JDBC DataFrame reads: introspection queries push down as dbtable
+subqueries, and data scans split into `num_partitions` parallel range
+reads on the primary key — the intra-table parallelism the reference
+lacks, and the knob that matters at 100 TB (partition count scales with
+cluster size, each task streams one key range).
+
+No MySQL server (or JDBC driver jar) exists in the test container, so
+everything here is exercised through plan construction in tests; the
+read path is the standard spark.read.jdbc contract.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mysql2psql_spark import schema_ir as ir
+
+# information_schema projections, matching the reference's column choices
+TABLES_QUERY = (
+    "SELECT table_name, engine, table_collation, auto_increment "
+    "FROM information_schema.tables WHERE table_schema = '{db}'"
+)
+COLUMNS_QUERY = (
+    "SELECT c.column_name, c.data_type, c.is_nullable, c.column_default, c.extra, "
+    "c.column_key, c.column_type, c.character_maximum_length, "
+    "c.numeric_precision, c.numeric_scale, "
+    "k.referenced_table_name, k.referenced_column_name "
+    "FROM information_schema.columns c "
+    "LEFT JOIN information_schema.key_column_usage k "
+    "  ON k.table_schema = c.table_schema AND k.table_name = c.table_name "
+    " AND k.column_name = c.column_name AND k.referenced_table_name IS NOT NULL "
+    "WHERE c.table_schema = '{db}' AND c.table_name = '{table}' "
+    "ORDER BY c.ordinal_position"
+)
+INDEXES_QUERY = (
+    "SELECT index_name, seq_in_index, column_name "
+    "FROM information_schema.statistics "
+    "WHERE table_schema = '{db}' AND table_name = '{table}' AND index_name != 'PRIMARY'"
+)
+
+
+def _jdbc_df(spark: SparkSession, url: str, query: str, props: dict[str, str]) -> DataFrame:
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", f"({query}) AS q")
+        .options(**props)
+        .load()
+    )
+
+
+def introspect_table(
+    spark: SparkSession, url: str, db: str, table: str, props: dict[str, str]
+) -> ir.TableIR:
+    """Build one table's IR node from information_schema (S2 + S3).
+
+    The FK reference string keeps the reference's "table (col)" rendering
+    (CONCAT at MysqlParser.py:188); the index column lists keep their
+    seq_in_index ordering (the GROUP_CONCAT ... ORDER BY at :236),
+    expressed as a sort over collected (seq, col) structs."""
+    cols = _jdbc_df(spark, url, COLUMNS_QUERY.format(db=db, table=table), props).collect()
+    columns = [
+        ir.new_column(
+            name=r["column_name"],
+            type_=r["data_type"],
+            nullable=r["is_nullable"] == "YES",
+            size=_size_of(r),
+            default=r["column_default"],
+            extra=r["extra"] or None,
+            is_pk=r["column_key"] == "PRI",
+            full_type=r["column_type"],
+            reference=(
+                f"{r['referenced_table_name']} ({r['referenced_column_name']})"
+                if r["referenced_table_name"]
+                else None
+            ),
+        )
+        for r in cols
+    ]
+    idx_rows = _jdbc_df(spark, url, INDEXES_QUERY.format(db=db, table=table), props).collect()
+    indexes: dict[str, list[tuple[int, str]]] = {}
+    for r in idx_rows:
+        indexes.setdefault(r["index_name"], []).append((r["seq_in_index"], r["column_name"]))
+    ordered = {name: [c for _, c in sorted(pairs)] for name, pairs in indexes.items()}
+    return ir.new_table(table, columns, indexes=ordered)
+
+
+def _size_of(r: Any) -> str | None:
+    if r["data_type"] in ("decimal", "double", "numeric") and r["numeric_precision"]:
+        return f"{r['numeric_precision']},{r['numeric_scale'] or 0}"
+    if r["character_maximum_length"]:
+        return str(r["character_maximum_length"])
+    return None
+
+
+def introspect_schema(
+    spark: SparkSession, url: str, db: str, props: dict[str, str], tables: list[str] | None = None
+) -> ir.SchemaIR:
+    """S1: the whole-database IR (stage [1] of the lifecycle)."""
+    tmeta = _jdbc_df(spark, url, TABLES_QUERY.format(db=db), props).collect()
+    out_tables = []
+    for r in tmeta:
+        if tables and r["table_name"] not in tables:
+            continue
+        node = introspect_table(spark, url, db, r["table_name"], props)
+        node["engine"] = r["engine"]
+        node["collation"] = r["table_collation"]
+        node["autoIncrement"] = r["auto_increment"]
+        out_tables.append(node)
+    return ir.new_schema(out_tables)
+
+
+def read_table(
+    spark: SparkSession,
+    url: str,
+    db: str,
+    table: ir.TableIR,
+    props: dict[str, str],
+    num_partitions: int = 32,
+    where: str | None = None,
+) -> DataFrame:
+    """S4 + P1: partitioned full-table read. Partitioning on the first
+    numeric PK gives `num_partitions` concurrent range scans; the optional
+    `where` lands in every partition's WHERE clause via Catalyst pushdown."""
+    pk = next(
+        (
+            c["name"]
+            for c in table["columns"].values()
+            if c.get("isPk") and c["type"] in ("int", "bigint", "mediumint", "smallint")
+        ),
+        None,
+    )
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", f"{db}.{table['name']}")
+        # zero-dates arrive as NULL, not exceptions — replaces the
+        # reference's raw-decoder bypass (MysqlParser.py:21-28)
+        .option("zeroDateTimeBehavior", "convertToNull")
+        .options(**props)
+    )
+    if pk is not None:
+        bounds = _jdbc_df(
+            spark,
+            url,
+            f"SELECT MIN({pk}) lo, MAX({pk}) hi FROM {db}.{table['name']}",
+            props,
+        ).collect()[0]
+        if bounds["lo"] is not None:
+            reader = (
+                reader.option("partitionColumn", pk)
+                .option("lowerBound", int(bounds["lo"]))
+                .option("upperBound", int(bounds["hi"]) + 1)
+                .option("numPartitions", num_partitions)
+            )
+    df = reader.load()
+    if where:
+        df = df.filter(where)
+    return df

@@ -1,0 +1,70 @@
+"""Structured Streaming twins of the batch event queries.
+
+The batch implementations (queries/events_q.py) define the semantics and
+are oracle-checked; these wire the SAME aggregations through readStream
+with watermarks, so the engine runs identically over a live stream. Tests
+drive them with the file source + memory sink and processAllAvailable()
+(deterministic: the whole fixture is one micro-batch replay).
+
+Late data policy: 10-minute watermark — late events beyond it are dropped
+from window aggregates; dropDuplicatesWithinWatermark bounds dedup state
+the same way. State stores are keyed by (window, event_type) / user_id,
+so state size is O(active windows x types), not O(events) — the shape
+that survives unbounded streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream (swap for kafka in production; schema contract
+    identical)."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of queries/events_q.py::stream_tumbling_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").cast("long").alias("bucket_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sessionized_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """session_window: the built-in stateful twin of the batch lag+cumsum
+    sessionizer."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def windowed_dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """dropDuplicatesWithinWatermark on the event key — bounded-state
+    streaming dedup (batch twin: stream_dedup_first)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )

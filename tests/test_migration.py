@@ -1,0 +1,219 @@
+"""Golden tests for the rule compiler + DDL generators, replaying the
+reference's checkpoint-diff workflow (main.py:54-69) on the migration
+fixture from FIXTURES.md §B (reservation / reservation_reminder /
+composite_pk_t / dropped_table)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mysql2psql_spark import schema_ir as ir
+from mysql2psql_spark.plans.migration import (
+    apply_pre_sql,
+    compile_pre_sql,
+    migrate_table,
+    plan_migration,
+)
+from mysql2psql_spark.sinks import ddl
+
+
+@pytest.fixture()
+def fixture_ir():
+    reservation = ir.new_table(
+        "reservation",
+        [
+            ir.new_column("id", "int", nullable=False, extra="auto_increment", is_pk=True),
+            ir.new_column("created_at", "datetime", nullable=False),
+            ir.new_column("is_active", "tinyint", full_type="tinyint(1)", nullable=False, default="1"),
+            ir.new_column("total", "double", size="10,2"),
+            ir.new_column("notes", "mediumtext"),
+            ir.new_column("photo", "longblob"),
+            ir.new_column("status", "enum", full_type="enum('new','paid','done')", size="8"),
+            ir.new_column("start_time", "TIME", full_type="time"),
+        ],
+        auto_increment=1000,
+    )
+    reminder = ir.new_table(
+        "reservation_reminder",
+        [
+            ir.new_column("id", "int", nullable=False, extra="auto_increment", is_pk=True),
+            ir.new_column("resa_id", "int", nullable=True),
+            ir.new_column("user_id", "int", nullable=False),
+            ir.new_column("client_id", "int", nullable=True),
+            ir.new_column("legacy_col", "varchar", size="50"),
+            ir.new_column("remind_at", "datetime", full_type="datetime"),
+        ],
+    )
+    composite = ir.new_table(
+        "composite_pk_t",
+        [
+            ir.new_column("a", "int", nullable=False, is_pk=True),
+            ir.new_column("b", "smallint", nullable=False, is_pk=True),
+            ir.new_column("payload", "varchar", size="100"),
+        ],
+        indexes={"idx_payload": ["payload"]},
+    )
+    dropped = ir.new_table("dropped_table", [ir.new_column("x", "int")])
+    return ir.new_schema([reservation, reminder, composite, dropped])
+
+
+SCHEMA_CHANGES = {
+    "tables": {
+        "reservation_reminder": {
+            "_PRE_SQL_": [
+                "DELETE IGNORE FROM reservation_reminder WHERE resa_id NOT IN (SELECT id FROM reservation)"
+            ],
+            "name": "reminder",
+            "columns": {
+                "resa_id": {"name": "reservation_id", "reference": "reservation (id)"},
+                "user_id": {"nullable": True},
+                "client_id": {"reference": "client (id)"},
+                "legacy_col": "_SKIP_",
+            },
+        },
+        "dropped_table": "_SKIP_",
+    }
+}
+
+
+@pytest.fixture()
+def plan(fixture_ir):
+    return plan_migration(fixture_ir, schema_changes=SCHEMA_CHANGES)
+
+
+def test_schema_rewrite_and_type_map(plan):
+    tables = plan.ir_converted["tables"]
+    assert "dropped_table" not in tables  # P5 table skip
+    rem = tables["reservation_reminder"]
+    assert rem["name"] == "reminder"  # table rename
+    assert rem["columns"]["resa_id"]["name"] == "reservation_id"  # P3
+    assert rem["columns"]["resa_id"]["reference"] == "reservation (id)"
+    assert rem["columns"]["user_id"]["nullable"] is True
+    assert rem["columns"]["legacy_col"]["extra"] == "_SKIP_"  # P4
+    res = tables["reservation"]
+    assert res["columns"]["is_active"]["type"] == "boolean"  # _IF_ tinyint(1)
+    assert res["columns"]["created_at"]["type"] == "timestamp"
+    assert res["columns"]["total"]["type"] == "decimal"  # double -> decimal
+    assert res["columns"]["total"]["size"] == "10,2"  # dsize kept
+    assert res["columns"]["notes"]["type"] == "text"
+    assert res["columns"]["photo"]["type"] == "bytea"
+    assert res["columns"]["status"]["type"] == "set"
+
+
+def test_struct_type_metadata(plan):
+    st = plan.target_schema("reservation_reminder")
+    names = [f.name for f in st.fields]
+    assert "reservation_id" in names and "legacy_col" in names
+    f = st["reservation_id"]
+    assert f.metadata["reference"] == "reservation (id)"
+    total = plan.target_schema("reservation")["total"]
+    assert total.dataType == T.DecimalType(10, 2)
+    assert plan.target_schema("reservation")["is_active"].dataType == T.BooleanType()
+
+
+def test_dump_plan_dispatch(plan):
+    dp = plan.dump_plans["reservation"]
+    assert dp["is_active"] == "convertStrBoolean"  # F6 via type=boolean
+    assert dp["photo"] == "makeItEmpty"  # F10 via type=bytea
+    assert dp["start_time"] == "makeItTime"  # F11 via type=TIME
+    assert dp["created_at"] == "notNullableDatetime"  # F8 via fullType
+    dp2 = plan.dump_plans["reservation_reminder"]
+    assert dp2["resa_id"] == "refToNullable"  # F9 via reference notNone
+
+
+def test_pre_sql_compiles_to_semi_join():
+    spec = compile_pre_sql(
+        "DELETE IGNORE FROM reservation_reminder WHERE resa_id NOT IN (SELECT id FROM reservation)"
+    )
+    assert spec == {
+        "kind": "semi_keep",
+        "table": "reservation_reminder",
+        "fk": "resa_id",
+        "parent_key": "id",
+        "parent": "reservation",
+    }
+    shift = compile_pre_sql("UPDATE t SET remind_at = remind_at - INTERVAL 2 HOUR")
+    assert shift == {"kind": "interval_shift", "table": "t", "col": "remind_at", "hours": 2}
+    assert compile_pre_sql("TRUNCATE t")["kind"] == "unsupported"
+
+
+def test_migrate_table_data_semantics(spark, plan):
+    reminders = spark.createDataFrame(
+        [
+            (1, 10, 5, 0, "x", "2020-01-01 10:00:00"),
+            (2, 0, 6, 3, "y", "0000-00-00 00:00:00"),
+            (3, 999, 7, None, "z", None),  # orphan: resa 999 doesn't exist
+        ],
+        "id int, resa_id int, user_id int, client_id int, legacy_col string, remind_at string",
+    )
+    parents = {"reservation": spark.createDataFrame([(10,), (0,)], "id int")}
+    out = migrate_table(reminders, plan, "reservation_reminder", parents)
+    rows = {r.id: r for r in out.collect()}
+    assert set(rows) == {1, 2}  # orphan 3 removed (J3 semi-keep)
+    assert list(out.columns) == ["id", "reservation_id", "user_id", "client_id", "remind_at"]
+    assert rows[1].reservation_id == 10
+    assert rows[2].reservation_id is None  # F9: FK 0 -> NULL
+    assert rows[2].remind_at is None  # F7/F8: zero-datetime, nullable -> NULL
+
+
+def test_migrate_reservation_values(spark, plan):
+    res = spark.createDataFrame(
+        [
+            (1, "2020-05-01 00:00:00", "1", 9.5, "n", bytearray(b"img"), "new", "12:34"),
+            (2, "0000-00-00 00:00:00", "0", None, None, None, "paid", "bad"),
+        ],
+        "id int, created_at string, is_active string, total double, notes string, "
+        "photo binary, status string, start_time string",
+    )
+    out = migrate_table(res, plan, "reservation").collect()
+    by_id = {r.id: r for r in out}
+    assert by_id[1].is_active is True and by_id[2].is_active is False  # F6
+    # created_at NOT NULL -> zero-date gets the epoch fallback (F8)
+    assert by_id[2].created_at == "1900-01-01 00:00:00"
+    assert by_id[1].photo is None and by_id[2].photo is None  # F10
+    assert by_id[1].start_time == "12:34" and by_id[2].start_time is None  # F11
+
+
+def test_ddl_generation(plan):
+    res_sql = ddl.create_table_ddl(plan.ir_converted["tables"]["reservation"])
+    assert '"id" SERIAL' in res_sql and "PRIMARY KEY" in res_sql
+    assert '"total" DECIMAL' in res_sql and "DECIMAL(10,2)" not in res_sql  # size suppressed
+    assert '"notes" TEXT' in res_sql and "TEXT(" not in res_sql
+    assert '"status" SET' in res_sql and "SET(" not in res_sql
+    # column ordering: PK first
+    assert res_sql.index('"id"') < res_sql.index('"created_at"')
+
+    comp_sql = ddl.create_table_ddl(plan.ir_converted["tables"]["composite_pk_t"])
+    assert "PRIMARY KEY (\"a\", \"b\")" in comp_sql
+    assert comp_sql.count("PRIMARY KEY") == 1  # singles demoted (D3)
+
+    rem = plan.ir_converted["tables"]["reservation_reminder"]
+    rem_sql = ddl.create_table_ddl(rem)
+    assert "legacy_col" not in rem_sql  # skipped column excluded
+    # FK ordering: reservation_id (FK) before plain columns, after PK
+    assert rem_sql.index('"id"') < rem_sql.index('"reservation_id"') < rem_sql.index('"remind_at"')
+
+    fks = ddl.fk_constraint_ddl(rem)
+    assert any(
+        '"reminder_reservation_id_fkey" FOREIGN KEY ("reservation_id") REFERENCES reservation (id) '
+        "ON DELETE RESTRICT DEFERRABLE INITIALLY IMMEDIATE" in s
+        for s in fks
+    )
+
+    idx = ddl.create_index_ddl(plan.ir_converted["tables"]["composite_pk_t"])
+    assert idx == ['CREATE INDEX "composite_pk_t_idx_payload_x" ON "composite_pk_t" ("payload");']
+
+    seqs = ddl.sequence_ddl(plan.ir_converted["tables"]["reservation"])
+    assert seqs == ["SELECT setval('reservation_id_seq', 1000, false);"]
+
+    view = ddl.view_ddl("reservation_reminder", rem)
+    assert view.startswith('CREATE VIEW "v1"."reservation_reminder" (')
+    assert '"legacy_col"' in view and "NULL" in view  # D8 NULL backfill
+    assert "WITH CASCADED CHECK OPTION" in view
+
+
+def test_ir_json_roundtrip(plan):
+    s = ir.to_json(plan.ir_converted)
+    assert ir.from_json(s) == plan.ir_converted

@@ -1,0 +1,84 @@
+"""Operator-level pinning tests: the probabilistic dedup operators must
+agree with the exact n-gram-Jaccard verifier, and the reference semantics
+of the dump functions hold on edge inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mysql2psql_spark.queries import QUERIES
+from tests.conftest import SF_DIR_ORACLE
+
+
+def test_minhash_agrees_with_exact(spark):
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["dedup_ngram_jaccard"](spark, SF_DIR_ORACLE).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["dedup_minhash_lsh"](spark, SF_DIR_ORACLE).collect()
+    }
+    # every LSH pair is exact-verified, so jaccard values must be identical
+    for pair, j in lsh.items():
+        assert j >= 0.5
+    # exact blocks on source; LSH does not — LSH must recover at least the
+    # high-similarity exact pairs (detection prob ~0.9998 at J>=0.9)
+    high = {p for p, j in exact.items() if j >= 0.9}
+    assert high <= set(lsh), f"LSH missed high-sim pairs: {high - set(lsh)}"
+
+
+def test_simhash_finds_known_dups(spark):
+    exact_high = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_ngram_jaccard"](spark, SF_DIR_ORACLE)
+        .filter(F.col("jaccard") >= 0.95)
+        .collect()
+    }
+    sim = {
+        (r.doc_a, r.doc_b) for r in QUERIES["dedup_simhash"](spark, SF_DIR_ORACLE).collect()
+    }
+    assert exact_high <= sim, f"simhash missed near-identical pairs: {exact_high - sim}"
+
+
+def test_dump_functions_reference_semantics(spark):
+    from mysql2psql_spark.rules.dump_functions import (
+        convert_str_boolean,
+        default_date,
+        default_datetime,
+        make_it_time,
+        ref_to_nullable,
+    )
+
+    df = spark.createDataFrame(
+        [(None, None), ("0", "0000-00-00"), ("1", "2020-05-01"), ("x", "0000-00-00 00:00:00"), ("7", None)],
+        "v string, d string",
+    )
+    out = df.select(
+        convert_str_boolean(F.col("v")).alias("b"),
+        default_date(F.col("d"), nullable=True).alias("dn"),
+        default_date(F.col("d"), nullable=False).alias("dnn"),
+        default_datetime(F.col("d"), nullable=False).alias("dtnn"),
+        ref_to_nullable(F.col("v")).alias("r"),
+        make_it_time(F.col("v"), nullable=False).alias("t"),
+    ).collect()
+    # convertStrBoolean: None->False, '0'->False, '1'->True, 'x'->False, '7'->True
+    assert [r.b for r in out] == [False, False, True, False, True]
+    # defaultDate nullable: zero-date & NULL -> NULL
+    assert [r.dn for r in out] == [None, None, "2020-05-01", None, None]
+    # notNullableDate: fallback epoch
+    assert [r.dnn for r in out] == ["1900-01-01", "1900-01-01", "2020-05-01", "1900-01-01", "1900-01-01"]
+    assert out[0].dtnn == "1900-01-01 00:00:00"
+    # refToNullable: '0' -> NULL, others pass through
+    assert [r.r for r in out] == [None, None, "1", "x", "7"]
+    # makeItTime not-null fallback
+    assert [r.t for r in out] == ["00:00", "00:00", "00:00", "00:00", "00:00"]
+
+
+def test_make_it_time_keeps_valid(spark):
+    from mysql2psql_spark.rules.dump_functions import make_it_time
+
+    df = spark.createDataFrame([("12:34",), ("9:30",), ("23:59:59",)], "v string")
+    out = df.select(make_it_time(F.col("v"), nullable=True).alias("t")).collect()
+    # reference regex is ^\d\d:\d\d (prefix match): '9:30' fails, '23:59:59' passes
+    assert [r.t for r in out] == ["12:34", None, "23:59:59"]

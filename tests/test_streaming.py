@@ -1,0 +1,83 @@
+"""Streaming shapes driven end-to-end with the file source + memory sink;
+the tumbling aggregate must agree with its oracle-checked batch twin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql2psql_spark.queries import QUERIES
+from mysql2psql_spark.sources import load_table
+from mysql2psql_spark.streaming.events import (
+    read_event_stream,
+    sessionized_stream,
+    tumbling_counts_stream,
+    windowed_dedup_stream,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def events_parquet(spark, tmp_path):
+    # re-write events with micros timestamps (streaming file source can't
+    # read the nanos parquet directly, same as the batch path)
+    out = str(tmp_path / "events")
+    load_table(spark, SF_DIR, "events").write.parquet(out)
+    return out
+
+
+def _run_stream(spark, df, name):
+    q = df.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _run_stream_append(spark, df, name):
+    q = df.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_stream_matches_batch(spark, events_parquet):
+    stream = tumbling_counts_stream(read_event_stream(spark, events_parquet))
+    got = {
+        (r.bucket_start, r.event_type): r.n_events
+        for r in _run_stream(spark, stream, "tumbling_out").collect()
+    }
+    want = {
+        (r.bucket_start, r.event_type): r.n_events
+        for r in QUERIES["stream_tumbling_window"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_sessionize_stream_runs(spark, events_parquet):
+    stream = sessionized_stream(read_event_stream(spark, events_parquet))
+    out = _run_stream(spark, stream, "session_out")
+    assert out.count() > 0
+    # session count per user can't exceed event count
+    ev = load_table(spark, SF_DIR, "events")
+    per_user = dict(ev.groupBy("user_id").count().collect())
+    for r in out.groupBy("user_id").count().collect():
+        assert r["count"] <= per_user[r.user_id]
+
+
+def test_windowed_dedup_stream(spark, events_parquet):
+    stream = windowed_dedup_stream(read_event_stream(spark, events_parquet))
+    out = _run_stream_append(spark, stream, "dedup_out")
+    n_keys = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    # dedup within watermark keeps at least one row per key, and no more
+    # rows than the input
+    assert n_keys <= out.count() <= load_table(spark, SF_DIR, "events").count()
+    assert out.select("user_id", "event_type").distinct().count() == n_keys
