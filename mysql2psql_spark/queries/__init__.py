@@ -42,6 +42,7 @@ def _load_all() -> None:
     from mysql2psql_spark.queries import (  # noqa: F401
         core,
         dedup_q,
+        embedding_q,
         events_q,
         functions_q,
         migration_q,

@@ -82,3 +82,61 @@ def test_make_it_time_keeps_valid(spark):
     out = df.select(make_it_time(F.col("v"), nullable=True).alias("t")).collect()
     # reference regex is ^\d\d:\d\d (prefix match): '9:30' fails, '23:59:59' passes
     assert [r.t for r in out] == ["12:34", None, "23:59:59"]
+
+
+def test_embedding_lsh_recall_on_near_dups(spark):
+    """Hyperplane-LSH must recover essentially all cosine>=0.95 pairs.
+
+    The driver testdata embeddings are near-isotropic (no high-cosine
+    pairs), so the recall regime is pinned on a synthetic set: 20 cluster
+    centers, 5 small perturbations each -> every intra-cluster pair sits
+    at cosine ~0.97+."""
+    import numpy as np
+
+    from mysql2psql_spark.operators.embedding import exact_cosine_pairs, lsh_cosine_pairs
+
+    rng = np.random.RandomState(11)
+    rows = []
+    vid = 0
+    for _ in range(20):
+        center = rng.standard_normal(64)
+        for _ in range(5):
+            v = center + 0.12 * rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    exact = {
+        (r.id_a, r.id_b) for r in exact_cosine_pairs(emb, 0.95).collect()
+    }
+    lsh = {(r.id_a, r.id_b) for r in lsh_cosine_pairs(emb, 0.95).collect()}
+    assert exact, "synthetic set must contain near-dup pairs"
+    # every LSH pair is exact-verified (subset); recall must be ~complete
+    assert lsh <= exact
+    missed = exact - lsh
+    assert len(missed) <= len(exact) * 0.02, f"LSH recall too low, missed {missed}"
+
+
+def test_ann_topk_matches_brute_force_head(spark):
+    """ANN with a generous Hamming budget must contain the true top-1 and
+    mostly agree with brute force on the testdata corpus."""
+    from mysql2psql_spark.operators.embedding import ann_topk_lsh
+    from mysql2psql_spark.operators.similarity import brute_force_scores
+    from mysql2psql_spark.sources import load_table
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    brute = [
+        r.vec_id
+        for r in brute_force_scores(emb, probe)
+        .filter(F.col("vec_id") != 0)
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    ann = [r.vec_id for r in ann_topk_lsh(emb, probe_id=0, k=10, max_hamming=6).collect()]
+    assert len(ann) == 10
+    # random-data regime: top-1 recall is the meaningful floor (clustered
+    # data gives near-perfect recall; pinned above)
+    assert brute[0] in ann
