@@ -40,6 +40,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def _load_all() -> None:
     # Import side-effect: each module registers its queries.
     from mysql2psql_spark.queries import (  # noqa: F401
+        analytics_q,
+        catalog_q,
         core,
         dedup_q,
         embedding_q,

@@ -127,6 +127,57 @@ def f7_zero_date_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F8: notNullableDatetime (dumperAuxFuncs.py:24-27): the datetime twin of
+# F7 with the '1900-01-01 00:00:00' epoch fallback.
+# ---------------------------------------------------------------------------
+@query(
+    "f8_zero_datetime_handling",
+    oracle="""
+    WITH raw AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN '0000-00-00 00:00:00'
+                  ELSE STRFTIME(ts, '%Y-%m-%d %H:%M:%S') END AS raw_ts
+      FROM events
+    )
+    SELECT event_id,
+           COALESCE(CASE WHEN raw_ts LIKE '0000%' THEN NULL ELSE raw_ts END,
+                    '1900-01-01 00:00:00') AS ts_not_null
+    FROM raw
+    """,
+)
+def f8_zero_datetime_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2psql_spark.rules.dump_functions import default_datetime
+
+    e = load_table(spark, sf_dir, "events")
+    raw = F.when(F.col("event_id") % 7 == 0, F.lit("0000-00-00 00:00:00")).otherwise(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    )
+    return e.select("event_id", default_datetime(raw, nullable=False).alias("ts_not_null"))
+
+
+# ---------------------------------------------------------------------------
+# F10: makeItEmpty (dumperAuxFuncs.py:34-36): blob payloads are not
+# migrated — NULL when nullable, '' when NOT NULL.
+# ---------------------------------------------------------------------------
+@query(
+    "f10_blob_empty",
+    oracle="""
+    SELECT doc_id, CAST(NULL AS VARCHAR) AS blob_nullable, '' AS blob_not_null
+    FROM documents
+    """,
+)
+def f10_blob_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2psql_spark.rules.dump_functions import make_it_empty
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        make_it_empty(F.col("text"), nullable=True).alias("blob_nullable"),
+        make_it_empty(F.col("text"), nullable=False).alias("blob_not_null"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # F9: refToNullable (dumperAuxFuncs.py:29-32): FK value 0 means "no parent"
 # -> NULL for nullable reference columns.
 # ---------------------------------------------------------------------------

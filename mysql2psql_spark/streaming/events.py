@@ -62,6 +62,40 @@ def sessionized_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def user_running_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum) maintained
+    across micro-batches with ``applyInPandasWithState`` — the escape
+    hatch for stateful logic the built-in windows can't express
+    (equivalent batch semantics: groupBy(user).agg(count, sum)).
+
+    State is one (long, double) pair per user — O(|users|), not
+    O(|events|) — and each micro-batch touches only the users present in
+    it, so state-store traffic scales with batch size. Arrow-batched:
+    the Python worker sees whole pandas frames per key, never rows.
+    """
+    import pandas as pd  # local import: worker-side dependency
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """dropDuplicatesWithinWatermark on the event key — bounded-state
     streaming dedup (batch twin: stream_dedup_first)."""

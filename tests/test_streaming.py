@@ -81,3 +81,32 @@ def test_windowed_dedup_stream(spark, events_parquet):
     # rows than the input
     assert n_keys <= out.count() <= load_table(spark, SF_DIR, "events").count()
     assert out.select("user_id", "event_type").distinct().count() == n_keys
+
+
+def test_stateful_running_totals(spark, events_parquet):
+    from mysql2psql_spark.streaming.events import user_running_totals_stream
+
+    stream = user_running_totals_stream(read_event_stream(spark, events_parquet))
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("totals_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT * FROM totals_out")
+    # last emitted row per user (single micro-batch replay -> exactly one)
+    got = {
+        r.user_id: (r.n_events, r.total_value) for r in out.collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want
