@@ -32,7 +32,12 @@ HEADLINE = [
     "text_quality",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_lsh",
     "sim_cosine_topk",
+    "sim_ann_lsh_topk",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "multimodal_frame_sample",
     "m1_migration_pipeline",
 ]
 

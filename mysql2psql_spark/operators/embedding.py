@@ -8,14 +8,15 @@ Three tiers, all DataFrame-native:
 
 - exact all-pairs cosine (`exact_cosine_pairs`): the correctness baseline.
   O(n^2) — fine for verification scales, NOT the 100 TB path.
-- hyperplane-LSH near-dup (`lsh_cosine_pairs`): sign-bit signatures from
-  B fixed random hyperplanes; band the B bits into chunks and equi-join on
-  (chunk_idx, chunk_value) so candidate generation is a hash-partitioned
-  join instead of a cross join; exact cosine verifies candidates. By
-  SimHash theory P[sign differs] = theta/pi per hyperplane, so a
-  cosine-0.95 pair (theta ~ 18deg) lands at expected Hamming ~0.1*B and
-  chunked banding (pigeonhole: Hamming < n_chunks implies >= 1 exact chunk
-  match) catches it with near-certainty.
+- hyperplane-LSH near-dup (`lsh_cosine_pairs`): the E2LSH OR-construction
+  — L independent tables, each keyed by r sign-bits from fixed random
+  hyperplanes; a pair is a candidate iff it collides in >= 1 table, then
+  exact cosine verifies. P[bit agrees] = 1 - theta/pi, so a cosine-0.95
+  pair hits a 10-bit table with p ~ 0.9^10 = 0.35 and L=12 tables give
+  recall 1-(1-0.35)^12 ~ 0.994 (higher still at 0.97+). The r-bit key
+  space (2^r values) is what keeps buckets O(N/2^r) — banding by tiny
+  chunks of one signature floods buckets on isotropic corpora (measured:
+  2-bit chunks made ~1M candidate pairs from 2000 vectors).
 - LSH-pruned ANN top-k (`ann_topk_lsh`): score only vectors whose
   signature is within `max_hamming` of the probe's, then exact cosine
   top-k within the pruned set. With data bucketed/partitioned by
@@ -33,11 +34,12 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mysql2psql_spark.operators.similarity import cosine
+from mysql2psql_spark.operators.similarity import cosine, cosine_pairs_df
 
 DIM = 64
-BITS = 16
-CHUNKS = 8  # 8 chunks x 2 bits: lossless for pairs at Hamming <= 7
+BITS = 16  # packed single-signature width (ANN pruning)
+TABLES_L = 12  # near-dup: L independent hash tables ...
+TABLE_R = 10  # ... of r sign-bits each
 
 
 def hyperplanes(bits: int = BITS, dim: int = DIM, seed: int = 7) -> list[list[float]]:
@@ -47,18 +49,58 @@ def hyperplanes(bits: int = BITS, dim: int = DIM, seed: int = 7) -> list[list[fl
     return [[round(float(x), 6) for x in row] for row in rng.standard_normal((bits, dim))]
 
 
-def signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature as one integer: bit i set iff vec . plane_i > 0.
-    Pure codegen'd expressions — one fused pass over the array per plane."""
-    sig = F.lit(0).cast("long")
-    for i, w in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(x) for x in w]), lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sig = sig + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sig
+def _packed_keys_df(
+    emb: DataFrame,
+    planes: list[list[float]],
+    tables: int,
+    r: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, keys: array<bigint>[tables]) — key of table t = the r
+    sign-bits of planes [t*r, (t+1)*r) packed into an integer.
+
+    Dense matmul is exactly what Arrow-batched pandas execution is for:
+    one numpy (batch x dim) @ (dim x B) product per batch, no explode, no
+    B-wide codegen'd aggregate (measured: the JVM conditional-sum shape
+    spends ~6 s per query just compiling the 120-aggregate plan, and HOF
+    lambdas evaluate interpreted). Partition-local, no shuffle. Vectors
+    are cast to float64 BEFORE the product, matching the SQL oracle's
+    CAST(embedding AS DOUBLE[]); a sign flip vs the oracle's sequential
+    LIST_DOT_PRODUCT would need |dot| within summation-order error
+    (~1e-14 relative) of zero — negligible for non-degenerate inputs.
+    """
+    import pandas as pd  # worker-side
+
+    w = np.array(planes, dtype=np.float64).T  # (dim, tables*r)
+    shifts = np.array([1 << j for j in range(r)], dtype=np.int64)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            bits = (v @ w) > 0  # (rows, tables*r)
+            keys = [
+                (bits[:, t * r : (t + 1) * r] * shifts).sum(axis=1) for t in range(tables)
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "keys": list(np.stack(keys, axis=1))})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_col} bigint, keys array<bigint>"
+    )
+
+
+def signature_df(
+    emb: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, sig): bit i of sig set iff vec . plane_i > 0 (one packed
+    B-bit signature; see _packed_keys_df for the execution shape)."""
+    packed = _packed_keys_df(emb, planes, tables=1, r=len(planes), id_col=id_col, vec_col=vec_col)
+    return packed.select(F.col(id_col), F.get("keys", 0).alias("sig"))
 
 
 def signature_sql(vec_expr: str, planes: list[list[float]]) -> str:
@@ -70,18 +112,43 @@ def signature_sql(vec_expr: str, planes: list[list[float]]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def table_keys_df(
+    emb: DataFrame,
+    planes: list[list[float]],
+    tables: int = TABLES_L,
+    r: int = TABLE_R,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, key): one row per (vector, hash table); see
+    _packed_keys_df for the execution shape."""
+    packed = _packed_keys_df(emb, planes, tables, r, id_col, vec_col)
+    return packed.select(F.col(id_col), F.posexplode("keys").alias("table", "key"))
+
+
+def table_keys_sql(
+    vec_expr: str, planes: list[list[float]], tables: int = TABLES_L, r: int = TABLE_R
+) -> list[str]:
+    """The L table-key expressions as ANSI SQL (one per table)."""
+    keys = []
+    for t in range(tables):
+        terms = [
+            f"(CASE WHEN LIST_DOT_PRODUCT({vec_expr}, {list(planes[t * r + j])}) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+            for j in range(r)
+        ]
+        keys.append("(" + " + ".join(terms) + ")")
+    return keys
+
+
 def exact_cosine_pairs(
     emb: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """All-pairs cosine >= threshold, id_a < id_b. Exact baseline."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
-    cos = F.round(cosine(F.col("v_a"), F.col("v_b")), 6)
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
-    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return cosine_pairs_df(pairs).filter(F.col("cos_sim") >= threshold)
 
 
 def lsh_cosine_pairs(
@@ -90,38 +157,24 @@ def lsh_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: list[list[float]] | None = None,
-    chunks: int = CHUNKS,
+    tables: int = TABLES_L,
+    r: int = TABLE_R,
 ) -> DataFrame:
-    """Near-dup pairs via hyperplane-LSH banding, exact-cosine verified.
+    """Near-dup pairs via multi-table hyperplane LSH, exact-cosine
+    verified.
 
-    Candidate rows carry only (id, chunk, val) — the vectors rejoin just
-    for the candidate set, so the banding shuffle is ~20 bytes/row
+    Candidate rows carry only (id, table, key) — the vectors rejoin just
+    for the candidate set, so the bucket-join shuffle is ~24 bytes/row
     regardless of embedding width (same shape as dedup.minhash_lsh_pairs).
     """
-    planes = planes or hyperplanes()
-    bits_per_chunk = len(planes) // chunks
-    mask = (1 << bits_per_chunk) - 1
-    sig = emb.select(F.col(id_col), signature(F.col(vec_col), planes).alias("sig"))
-    chunk_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("chunk"),
-                F.shiftrightunsigned(F.col("sig"), j * bits_per_chunk)
-                .bitwiseAND(F.lit(mask))
-                .alias("val"),
-            )
-            for j in range(chunks)
-        ]
-    )
-    buckets = sig.select(id_col, F.explode(chunk_structs).alias("ck")).select(
-        id_col, F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val")
-    )
+    planes = planes or hyperplanes(tables * r)
+    buckets = table_keys_df(emb, planes, tables, r, id_col, vec_col)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.val") == F.col("b.val"))
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
@@ -131,10 +184,7 @@ def lsh_cosine_pairs(
     cand = cand.join(
         vecs.withColumnRenamed(id_col, "id_a").withColumnRenamed(vec_col, "v_a"), "id_a"
     ).join(vecs.withColumnRenamed(id_col, "id_b").withColumnRenamed(vec_col, "v_b"), "id_b")
-    cos = F.round(cosine(F.col("v_a"), F.col("v_b")), 6)
-    return cand.select("id_a", "id_b", cos.alias("cos_sim")).filter(
-        F.col("cos_sim") >= threshold
-    )
+    return cosine_pairs_df(cand).filter(F.col("cos_sim") >= threshold)
 
 
 def ann_topk_lsh(
@@ -156,8 +206,8 @@ def ann_topk_lsh(
     TakeOrderedAndProject.
     """
     planes = planes or hyperplanes()
-    sig = emb.select(
-        F.col(id_col), F.col(vec_col), signature(F.col(vec_col), planes).alias("sig")
+    sig = signature_df(emb, planes, id_col, vec_col).join(
+        emb.select(id_col, vec_col), id_col
     )
     probe = sig.filter(F.col(id_col) == probe_id).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), F.col("sig").alias("q_sig")

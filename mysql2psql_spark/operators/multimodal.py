@@ -53,3 +53,45 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_hex string"
+
+
+def decode_frame_stub(payload: bytes, offset: int, size: int) -> str:
+    """STUB frame decoder: a real deployment replaces this with the codec's
+    seek+decode (ffmpeg keyframe extraction, image tile crop, audio window
+    FFT). Deterministic: the frame's raw bytes as hex."""
+    return payload[offset : offset + size].hex().upper()
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frame_bytes: int = 16,
+    every: int = 4,
+) -> DataFrame:
+    """Frame-sample a binary payload column: split into fixed
+    ``frame_bytes`` chunks and keep every ``every``-th one (the video
+    keyframe-sampling shape; one output row per kept frame).
+
+    mapInPandas (1 -> N rows): partition-local, no shuffle; output row
+    count is |docs| x (n_frames / every), so the fan-out is bounded by
+    payload size — at 100 TB the parallelism unit stays the input split,
+    and downstream ops see a normal exploded table.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            idxs: list = []
+            frames: list = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
+                for j in range(0, n_frames, every):
+                    ids.append(doc_id)
+                    idxs.append(j)
+                    frames.append(decode_frame_stub(payload, j * frame_bytes, frame_bytes))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_hex": frames})
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=FRAME_SCHEMA)

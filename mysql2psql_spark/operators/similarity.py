@@ -32,6 +32,36 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_pairs_df(pairs: DataFrame, round_to: int = 6) -> Column | DataFrame:
+    """(id_a, id_b, v_a, v_b) -> (id_a, id_b, cos_sim), codegen'd.
+
+    The row-level HOF form (aggregate over zip_with) evaluates interpreted
+    — fine for a handful of rows, ~10x slower over a large candidate set.
+    This shape explodes the zipped pair once and hash-aggregates plain
+    products; a pair's exploded rows never leave their input partition, so
+    map-side partial aggregation accumulates each sum sequentially in
+    position order (bit-compatible with DuckDB's LIST_COSINE_SIMILARITY).
+    """
+    ex = pairs.select(
+        "id_a", "id_b", F.posexplode(F.arrays_zip("v_a", "v_b")).alias("pos", "p")
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("p.v_a").cast("double").alias("xa"),
+        F.col("p.v_b").cast("double").alias("xb"),
+    )
+    agg = ex.groupBy("id_a", "id_b").agg(
+        F.sum(F.col("xa") * F.col("xb")).alias("dot"),
+        F.sum(F.col("xa") * F.col("xa")).alias("na"),
+        F.sum(F.col("xb") * F.col("xb")).alias("nb"),
+    )
+    return agg.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), round_to).alias("cos_sim"),
+    )
+
+
 def brute_force_scores(
     embeddings: DataFrame,
     query_vectors: DataFrame,

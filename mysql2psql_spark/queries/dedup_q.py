@@ -55,3 +55,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return extract_features(with_binary_payload(d))
+
+
+# Frame sampling (video keyframe shape): 16-byte frames, every 4th kept.
+# The oracle restates the chunking as hex-substring arithmetic.
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(j AS INT) AS frame_idx,
+           UPPER(SUBSTR(HEX(ENCODE(text)), CAST(j AS INT) * 32 + 1, 32)) AS frame_hex
+    FROM documents,
+         LATERAL (SELECT UNNEST(RANGE(0, CAST(CEIL(OCTET_LENGTH(ENCODE(text)) / 16.0) AS INT), 4)) AS j)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2psql_spark.operators.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_frames(with_binary_payload(d))

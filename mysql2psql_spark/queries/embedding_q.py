@@ -15,13 +15,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from mysql2psql_spark.operators.embedding import (
-    BITS,
-    CHUNKS,
+    TABLE_R,
+    TABLES_L,
     ann_topk_lsh,
     exact_cosine_pairs,
     hyperplanes,
     lsh_cosine_pairs,
     signature_sql,
+    table_keys_sql,
 )
 from mysql2psql_spark.queries import query
 from mysql2psql_spark.sources import load_table
@@ -45,23 +46,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_cosine_pairs(emb, _THRESHOLD)
 
 
-# chunk j of the 16-bit signature = (sig >> 2j) & 3; a pair is a candidate
-# iff some chunk matches exactly — the oracle states the banding rule as a
-# disjunction over xor-extracted chunks.
-_BPC = BITS // CHUNKS
-_CHUNK_MATCH = " OR ".join(
-    f"((XOR(a.sig, b.sig) >> {j * _BPC}) & {(1 << _BPC) - 1}) = 0" for j in range(CHUNKS)
-)
+# L independent table keys per vector; a pair is a candidate iff it
+# collides in >= 1 table — the oracle states the OR-construction as a
+# disjunction over key equalities.
+_PLANES_LSH = hyperplanes(TABLES_L * TABLE_R)
+_KEYS = table_keys_sql("CAST(embedding AS DOUBLE[])", _PLANES_LSH)
+_KEY_COLS = ",\n             ".join(f"{k} AS k{t}" for t, k in enumerate(_KEYS))
+_KEY_MATCH = " OR ".join(f"a.k{t} = b.k{t}" for t in range(TABLES_L))
 _ORACLE_LSH = f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-             {_SIG} AS sig
+             {_KEY_COLS}
       FROM embeddings
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 6) AS cos_sim
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE ({_CHUNK_MATCH})
+    WHERE ({_KEY_MATCH})
       AND ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 6) >= {_THRESHOLD}
 """
 
@@ -69,7 +70,7 @@ _ORACLE_LSH = f"""
 @query("dedup_embedding_lsh", oracle=_ORACLE_LSH)
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_cosine_pairs(emb, _THRESHOLD, planes=_PLANES)
+    return lsh_cosine_pairs(emb, _THRESHOLD, planes=_PLANES_LSH)
 
 
 _ORACLE_ANN = f"""
