@@ -32,15 +32,15 @@ from pyspark.sql import functions as F
 
 
 def minhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", shingles_col: str = "sg", k: int = 32
+    shingle_df: DataFrame, id_col: str = "doc_id", hash_col: str = "sh", k: int = 32
 ) -> DataFrame:
-    """(id, sig: array<bigint>[k]) via explode + k codegen'd min-aggs.
+    """(id, sig: array<bigint>[k]) from the exploded (id, shingle-hash)
+    table (operators.text.shingle_hash_table) via k codegen'd min-aggs.
 
     One shuffle keyed by doc id with map-side combine: each partition
     pre-reduces to one k-vector per local doc before exchanging."""
-    exploded = docs.select(F.col(id_col), F.explode(shingles_col).alias("s"))
-    mins = [F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(k)]
-    agg = exploded.groupBy(id_col).agg(*mins)
+    mins = [F.min(F.xxhash64(F.lit(i), F.col(hash_col))).alias(f"h{i}") for i in range(k)]
+    agg = shingle_df.groupBy(id_col).agg(*mins)
     return agg.select(F.col(id_col), F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
 
 
@@ -59,21 +59,27 @@ def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame,
-    shingles_col: str = "sg",
+    shingle_df: DataFrame,
     id_col: str = "doc_id",
+    hash_col: str = "sh",
     k: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, exact-verified.
 
-    ``docs`` must carry ``id_col`` and ``shingles_col`` (array of distinct
-    shingle hashes, e.g. operators.text.shingles + xxhash64). Returns
-    (doc_a, doc_b, jaccard) with jaccard >= threshold, doc_a < doc_b.
+    ``shingle_df`` is the exploded (id, distinct shingle hash) table
+    (operators.text.shingle_hash_table). Returns (doc_a, doc_b, jaccard)
+    with jaccard >= threshold, doc_a < doc_b.
+
+    The shingle table feeds four consumers (signatures + sizes + both
+    verify sides); Spark's ReusedExchange dedupes the identical shuffle
+    subtrees, so no explicit persist (measured: persisting it costs more
+    in serialization than the reuse saves at every scale where the table
+    fits in memory, and at 100 TB the caller decides what to checkpoint).
     """
     r = k // bands
-    sig = minhash_signatures(docs, id_col, shingles_col, k)
+    sig = minhash_signatures(shingle_df, id_col, hash_col, k)
     # Bucket rows carry ONLY (id, band, key) — never the shingle arrays.
     # The band explode multiplies row count by `bands`, so keeping the
     # payload off these rows keeps the LSH shuffle at ~24 bytes/row
@@ -100,16 +106,23 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sg = docs.select(F.col(id_col), F.col(shingles_col))
-    cand = cand.join(
-        sg.withColumnRenamed(id_col, "doc_a").withColumnRenamed(shingles_col, "sg_a"), "doc_a"
-    ).join(
-        sg.withColumnRenamed(id_col, "doc_b").withColumnRenamed(shingles_col, "sg_b"), "doc_b"
+    # Exact verification on the exploded table: |A ∩ B| = count of shingle
+    # hashes present on both sides (two hash joins + one count agg, all
+    # codegen'd; no shingle arrays are ever materialized or shuffled).
+    sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("n"))
+    a_sh = shingle_df.select(F.col(id_col).alias("doc_a"), F.col(hash_col).alias("sh"))
+    b_sh = shingle_df.select(F.col(id_col).alias("doc_b"), F.col(hash_col).alias("sh"))
+    inter = (
+        cand.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
     )
-    inter = F.size(F.array_intersect("sg_a", "sg_b"))
-    union = F.size("sg_a") + F.size("sg_b") - inter
-    jac = inter.cast("double") / union
-    return cand.filter(jac >= threshold).select(
+    pairs = inter.join(
+        sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na")), "doc_a"
+    ).join(sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return pairs.filter(jac >= threshold).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
@@ -120,15 +133,16 @@ def _bit_mask(i: int) -> int:
 
 
 def simhash_fingerprints(
-    docs: DataFrame, id_col: str = "doc_id", features_col: str = "sg"
+    shingle_df: DataFrame, id_col: str = "doc_id", hash_col: str = "sh"
 ) -> DataFrame:
-    """(id, sh: bigint) — 64-bit SimHash over a pre-hashed feature array
-    (array<bigint>, e.g. shingle hashes; already uniform, no re-hash).
+    """(id, sh: bigint) — 64-bit SimHash over the exploded pre-hashed
+    feature table (operators.text.shingle_hash_table output; hashes are
+    already uniform, no re-hash).
 
-    Explode + 64 conditional-sum aggregates (codegen'd, map-side
-    combined): bit i of the fingerprint is set iff more than half the
-    features have hash bit i set."""
-    exploded = docs.select(F.col(id_col), F.explode(features_col).alias("h"))
+    64 conditional-sum aggregates (codegen'd, map-side combined): bit i
+    of the fingerprint is set iff more than half the features have hash
+    bit i set."""
+    exploded = shingle_df.select(F.col(id_col), F.col(hash_col).alias("h"))
     sums = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(_bit_mask(i)).cast("long")) != 0, 1).otherwise(0)
@@ -147,9 +161,9 @@ def simhash_fingerprints(
 
 
 def simhash_pairs(
-    docs: DataFrame,
-    features_col: str = "sg",
+    shingle_df: DataFrame,
     id_col: str = "doc_id",
+    hash_col: str = "sh",
     max_hamming: int = 7,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
@@ -161,7 +175,7 @@ def simhash_pairs(
     doc pair lands at hamming ~7 with 3-shingle features, so the coarser
     4x16 banding, lossless only to hamming 3, under-recalls.)
     """
-    sh = simhash_fingerprints(docs, id_col, features_col)
+    sh = simhash_fingerprints(shingle_df, id_col, hash_col)
     chunk_structs = F.array(
         *[
             F.struct(

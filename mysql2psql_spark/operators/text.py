@@ -45,6 +45,45 @@ def quality_score(text: Column) -> Column:
     return F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
 
 
+def shingle_hash_table(
+    docs, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+):
+    """(id, sh): DISTINCT 64-bit k-word-shingle hashes, one row per
+    (doc, shingle) — the exploded twin of ``shingles`` and the input shape
+    the dedup operators consume.
+
+    Execution: posexplode tokens (partition-local), window ``lead`` over
+    (doc, pos) to assemble shingles, xxhash64, dropDuplicates. Everything
+    is codegen'd; the array-building HOF form (transform + F.get per
+    element) evaluates interpreted and measured ~5 s just to build the
+    sf0.1 shingle arrays, vs ~1 s for this shape end-to-end. Docs with
+    < k tokens contribute no rows (same as their empty shingle array).
+    """
+    from pyspark.sql.window import Window as W
+
+    # The tokenize+explode fan-out (~1000x rows) is the CPU-heavy step; a
+    # small input (few parquet splits) would run it almost serially, so
+    # widen to the cluster's parallelism first. At scale the input already
+    # has >= parallelism splits and this is a no-op.
+    para = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < para:
+        docs = docs.repartition(para)
+    toks = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w")
+    )
+    win = W.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(win).alias(f"w{j}") for j in range(1, k)]
+    sh = (
+        toks.select(F.col(id_col), *parts)
+        .filter(F.col(f"w{k - 1}").isNotNull())
+        .select(
+            F.col(id_col),
+            F.xxhash64(F.concat_ws(" ", "w", *[f"w{j}" for j in range(1, k)])).alias("sh"),
+        )
+    )
+    return sh.dropDuplicates([id_col, "sh"])
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles (the dedup unit for MinHash / n-gram
     Jaccard). Built-in array functions only; docs with < k tokens yield an

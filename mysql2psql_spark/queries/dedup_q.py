@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from mysql2psql_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
 from mysql2psql_spark.operators.multimodal import extract_features, with_binary_payload
-from mysql2psql_spark.operators.text import shingles
+from mysql2psql_spark.operators.text import shingle_hash_table
 from mysql2psql_spark.queries import query
 from mysql2psql_spark.sources import load_table
 
@@ -21,9 +21,7 @@ from mysql2psql_spark.sources import load_table
 @query("dedup_minhash_lsh")  # rows-only: probabilistic candidate generation
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    hashed = F.transform(shingles(F.col("text"), 3), lambda s: F.xxhash64(s))
-    docs = d.select("doc_id", hashed.alias("sg"))
-    return minhash_lsh_pairs(docs, threshold=0.5)
+    return minhash_lsh_pairs(shingle_hash_table(d), threshold=0.5)
 
 
 @query("dedup_simhash")  # rows-only: Hamming-band candidates
@@ -32,9 +30,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # useless on a small vocabulary: every doc has nearly the same word
     # set, so unigram SimHashes collide corpus-wide)
     d = load_table(spark, sf_dir, "documents")
-    hashed = F.transform(shingles(F.col("text"), 3), lambda s: F.xxhash64(s))
-    docs = d.select("doc_id", hashed.alias("sg"))
-    return simhash_pairs(docs, max_hamming=7)
+    return simhash_pairs(shingle_hash_table(d), max_hamming=7)
 
 
 # ---------------------------------------------------------------------------
