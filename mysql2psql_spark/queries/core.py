@@ -504,3 +504,74 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _money(F.sum(_dec("l_quantity"))).alias("sum_qty"),
         F.count("*").alias("cnt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 fill: cube + grouping sets — the remaining multi-dimensional
+# aggregate shapes (same one-shuffle property as rollup).
+# ---------------------------------------------------------------------------
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_price,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        _money(F.sum(_dec("l_extendedprice"))).alias("sum_price"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 fill: approximate distinct count (HLL) — no SQL oracle (estimates
+# are engine-specific); tests pin the estimate within 5% of exact.
+# ---------------------------------------------------------------------------
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_custs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4: column drop (`_SKIP_`, libs/RuleHandler.py:66-69) as a standalone
+# projection query — the kept-column SELECT list the reference builds at
+# libs/PsqlParser.py:125-126.
+# ---------------------------------------------------------------------------
+@query(
+    "p4_skip_columns",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+    FROM orders
+    """,
+)
+def p4_skip_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.drop("o_totalprice", "o_orderdate")

@@ -102,3 +102,16 @@ def windowed_dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> D
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
+
+
+def sliding_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of queries/events_q.py::stream_sliding_window:
+    10-minute windows sliding every 5 — each event lands in 2 window
+    states; state size is O(active windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").cast("long").alias("win_start"), "n_events")
+        .filter(F.col("win_start") >= 0)
+    )

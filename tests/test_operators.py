@@ -140,3 +140,21 @@ def test_ann_topk_matches_brute_force_head(spark):
     # random-data regime: top-1 recall is the meaningful floor (clustered
     # data gives near-perfect recall; pinned above)
     assert brute[0] in ann
+
+
+def test_approx_distinct_within_tolerance(spark):
+    got = {
+        r.o_orderstatus: r.approx_custs
+        for r in QUERIES["agg_approx_distinct"](spark, SF_DIR_ORACLE).collect()
+    }
+    from mysql2psql_spark.sources import load_table
+
+    exact = {
+        r.o_orderstatus: r.n
+        for r in load_table(spark, SF_DIR_ORACLE, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(got[k] - n) <= max(1, 0.05 * n), (k, got[k], n)

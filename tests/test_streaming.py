@@ -110,3 +110,18 @@ def test_stateful_running_totals(spark, events_parquet):
         .collect()
     }
     assert got == want
+
+
+def test_sliding_stream_matches_batch(spark, events_parquet):
+    from mysql2psql_spark.streaming.events import sliding_counts_stream
+
+    stream = sliding_counts_stream(read_event_stream(spark, events_parquet))
+    got = {
+        r.win_start: r.n_events
+        for r in _run_stream(spark, stream, "sliding_out").collect()
+    }
+    want = {
+        r.win_start: r.n_events
+        for r in QUERIES["stream_sliding_window"](spark, SF_DIR).collect()
+    }
+    assert got == want
