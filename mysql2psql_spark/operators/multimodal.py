@@ -56,6 +56,46 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_hex string"
+RESIZE_SCHEMA = "doc_id bigint, payload binary, meta struct<orig_bytes: int, target_bytes: int, truncated: boolean>"
+
+
+def resize_stub(payload: bytes, target_bytes: int) -> bytes:
+    """STUB resize: a real deployment replaces this with the codec's
+    rescale (PIL thumbnail, audio resample). Deterministic: truncate or
+    zero-pad to the target size so the output schema/width contract is
+    exercised end-to-end."""
+    if len(payload) >= target_bytes:
+        return payload[:target_bytes]
+    return payload + b"\x00" * (target_bytes - len(payload))
+
+
+def resize_payloads(
+    df: DataFrame, target_bytes: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resize the binary column to a fixed width, carrying typed metadata
+    (original size, target, whether truncation occurred) alongside — the
+    image-thumbnail / audio-resample shape. mapInPandas, partition-local,
+    1:1 rows, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [resize_stub(p, target_bytes) for p in pdf["payload"]],
+                    "meta": [
+                        {
+                            "orig_bytes": len(p),
+                            "target_bytes": target_bytes,
+                            "truncated": len(p) > target_bytes,
+                        }
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+            yield out
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
 def decode_frame_stub(payload: bytes, offset: int, size: int) -> str:

@@ -198,3 +198,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting: a GPT-2-style pre-tokenizer approximation
+# (word pieces / digit runs / punctuation as separate tokens) as a regex
+# count — the cheap LLM-token estimator a data pipeline runs per document.
+# ---------------------------------------------------------------------------
+@query(
+    "text_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)
+            )
+        ).alias("n_bpe_tokens"),
+    )

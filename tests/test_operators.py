@@ -158,3 +158,16 @@ def test_approx_distinct_within_tolerance(spark):
     }
     for k, n in exact.items():
         assert abs(got[k] - n) <= max(1, 0.05 * n), (k, got[k], n)
+
+
+def test_multimodal_resize_contract(spark):
+    from mysql2psql_spark.operators.multimodal import resize_payloads, with_binary_payload
+    from mysql2psql_spark.sources import load_table
+
+    d = load_table(spark, SF_DIR_ORACLE, "documents").limit(50)
+    out = resize_payloads(with_binary_payload(d), target_bytes=64).collect()
+    assert len(out) == 50
+    for r in out:
+        assert len(r.payload) == 64
+        assert r.meta.target_bytes == 64
+        assert r.meta.truncated == (r.meta.orig_bytes > 64)
