@@ -35,8 +35,11 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "sim_cosine_topk",
     "sim_ann_lsh_topk",
+    "sim_ann_ivf_topk",
     "q03_shipping_priority",
     "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q10_returned_items",
     "multimodal_frame_sample",
     "m1_migration_pipeline",
 ]

@@ -187,6 +187,88 @@ def lsh_cosine_pairs(
     return cosine_pairs_df(cand).filter(F.col("cos_sim") >= threshold)
 
 
+def ivf_assign(
+    emb: DataFrame,
+    seeds: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster): IVF coarse quantization — each vector assigned to
+    the seed centroid with the highest (rounded) cosine; ties break to the
+    lowest seed id. One Arrow-batched matmul per batch, no shuffle.
+
+    Seeds are a small driver-side list by definition (the centroid table);
+    at scale they come from a sampled k-means — here they are the first C
+    vectors, which keeps the operator fully deterministic and lets the SQL
+    oracle restate the same assignment."""
+    import pandas as pd  # worker-side
+
+    s = np.array([v for _, v in seeds], dtype=np.float64)  # (C, dim)
+    s_norm = np.sqrt((s * s).sum(axis=1))
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            v_norm = np.sqrt((v * v).sum(axis=1))
+            cos = np.round((v @ s.T) / np.outer(v_norm, s_norm), 6)
+            yield pd.DataFrame({id_col: pdf[id_col], "cluster": cos.argmax(axis=1)})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_col} bigint, cluster int"
+    )
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into `n_centroids` inverted
+    lists, search only the `n_probe` lists nearest the query, exact-score
+    the survivors. The scan side carries a cheap int filter (with data
+    written partitioned by cluster this becomes partition pruning); only
+    ~n_probe/n_centroids of the corpus is ever scored."""
+    seed_rows = (
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()  # centroid table: n_centroids rows by construction
+    )
+    seeds = [(r[0], [float(x) for x in r[1]]) for r in seed_rows]
+    probe_row = emb.filter(F.col(id_col) == probe_id).select(vec_col).head()
+    q = np.asarray(probe_row[0], dtype=np.float64)
+    s = np.array([v for _, v in seeds], dtype=np.float64)
+    cos_q = np.round(
+        (s @ q) / (np.sqrt((s * s).sum(axis=1)) * np.sqrt((q * q).sum())), 6
+    )
+    # top-n_probe clusters, ties to lower seed id (stable argsort on -cos)
+    probe_clusters = [int(c) for c in np.argsort(-cos_q, kind="stable")[:n_probe]]
+
+    assigned = ivf_assign(emb, seeds, id_col, vec_col).filter(
+        F.col("cluster").isin(probe_clusters)
+    )
+    cand = assigned.filter(F.col(id_col) != probe_id).join(
+        emb.select(id_col, vec_col), id_col
+    )
+    pairs = cand.select(
+        F.col(id_col).alias("id_a"),
+        F.lit(probe_id).alias("id_b"),
+        F.col(vec_col).alias("v_a"),
+    ).withColumn("v_b", F.array(*[F.lit(float(x)) for x in q]))
+    return (
+        cosine_pairs_df(pairs)
+        .select(F.col("id_a").alias(id_col), "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ann_topk_lsh(
     emb: DataFrame,
     probe_id: int,

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from mysql2psql_spark.operators.embedding import (
     TABLE_R,
     TABLES_L,
+    ann_topk_ivf,
     ann_topk_lsh,
     exact_cosine_pairs,
     hyperplanes,
@@ -97,3 +98,39 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clustered production embeddings prune far more sharply at the same
     # budget because true neighbors sit at hamming 0-2.
     return ann_topk_lsh(emb, probe_id=0, k=10, max_hamming=6, planes=_PLANES)
+
+
+# IVF ANN: 16 deterministic seed centroids (first 16 vectors), assign by
+# highest rounded cosine (ties -> lowest seed), probe the 4 lists nearest
+# the query, exact-score survivors. The oracle restates coarse
+# quantization + multi-probe + rerank in ANSI SQL.
+_ORACLE_IVF = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 16),
+    assign AS (
+      SELECT e.vec_id, e.v, s.sid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(LIST_COSINE_SIMILARITY(e.v, s.sv), 6) DESC, s.sid
+             ) AS rn
+      FROM e CROSS JOIN seeds s
+    ),
+    clus AS (SELECT vec_id, v, sid FROM assign WHERE rn = 1),
+    probe AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probe_clusters AS (
+      SELECT s.sid FROM seeds s CROSS JOIN probe p
+      ORDER BY ROUND(LIST_COSINE_SIMILARITY(p.qv, s.sv), 6) DESC, s.sid
+      LIMIT 4
+    )
+    SELECT c.vec_id, ROUND(LIST_COSINE_SIMILARITY(c.v, p.qv), 6) AS cos_sim
+    FROM clus c JOIN probe_clusters pc ON c.sid = pc.sid CROSS JOIN probe p
+    WHERE c.vec_id != 0
+    ORDER BY cos_sim DESC, c.vec_id
+    LIMIT 10
+"""
+
+
+@query("sim_ann_ivf_topk", oracle=_ORACLE_IVF)
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_ivf(emb, probe_id=0, k=10, n_centroids=16, n_probe=4)

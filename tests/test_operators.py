@@ -171,3 +171,16 @@ def test_multimodal_resize_contract(spark):
         assert len(r.payload) == 64
         assert r.meta.target_bytes == 64
         assert r.meta.truncated == (r.meta.orig_bytes > 64)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from mysql2psql_spark.operators.skew import salted_join
+    from mysql2psql_spark.sources import load_table
+
+    li = load_table(spark, SF_DIR_ORACLE, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF_DIR_ORACLE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = li.join(o, "l_orderkey").groupBy("o_orderpriority").count()
+    salted = salted_join(li, o, "l_orderkey").groupBy("o_orderpriority").count()
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
