@@ -139,25 +139,52 @@ def simhash_fingerprints(
     feature table (operators.text.shingle_hash_table output; hashes are
     already uniform, no re-hash).
 
-    64 conditional-sum aggregates (codegen'd, map-side combined): bit i
-    of the fingerprint is set iff more than half the features have hash
-    bit i set."""
-    exploded = shingle_df.select(F.col(id_col), F.col(hash_col).alias("h"))
-    sums = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(_bit_mask(i)).cast("long")) != 0, 1).otherwise(0)
-        ).alias(f"c{i}")
-        for i in range(64)
-    ]
-    agg = exploded.groupBy(id_col).agg(F.count("*").alias("n"), *sums)
-    sh = F.lit(0).cast("long")
-    for i in range(64):
-        sh = sh.bitwiseOR(
-            F.when(F.col(f"c{i}") * 2 > F.col("n"), F.lit(_bit_mask(i)).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return agg.select(F.col(id_col), sh.alias("sh"))
+    Bit i of the fingerprint is set iff more than half the features have
+    hash bit i set. The per-bit majority count runs as an Arrow-batched
+    numpy unpackbits pass after an explicit repartition on the doc id
+    (so each doc's features land in one partition; partial counts
+    accumulate across the partition's batches). The equivalent JVM shape
+    — 64 sum-aggregates — is semantically identical but pays ~8 s of
+    whole-stage-codegen compilation for the 64-column aggregate, which
+    dominates the operator's wall time at any scale where compile time
+    matters, and the shuffle here (one row per feature, 16 bytes) is the
+    same either way."""
+    import numpy as np
+    import pandas as pd  # worker-side
+
+    def run(batches):
+        counts: dict = {}
+        totals: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            hs = pdf[hash_col].to_numpy().astype(np.int64).view(np.uint64)
+            bits = np.unpackbits(
+                hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).astype(np.int64)
+            order = np.argsort(ids, kind="stable")
+            ids_s, bits_s = ids[order], bits[order]
+            uniq, starts = np.unique(ids_s, return_index=True)
+            sums = np.add.reduceat(bits_s, starts, axis=0)
+            sizes = np.diff(np.append(starts, len(ids_s)))
+            for i, s, n in zip(uniq, sums, sizes):
+                if i in counts:
+                    counts[i] = counts[i] + s
+                    totals[i] += int(n)
+                else:
+                    counts[i] = s
+                    totals[i] = int(n)
+        shifts = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        rows = []
+        for i, c in counts.items():
+            fp = int((shifts[(2 * c) > totals[i]]).sum(dtype=np.uint64))
+            rows.append((int(i), fp - (1 << 64) if fp >= 1 << 63 else fp))
+        yield pd.DataFrame(rows, columns=[id_col, "sh"])
+
+    return shingle_df.repartition(id_col).mapInPandas(
+        run, schema=f"{id_col} bigint, sh bigint"
+    )
 
 
 def simhash_pairs(
