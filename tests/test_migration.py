@@ -217,3 +217,57 @@ def test_ddl_generation(plan):
 def test_ir_json_roundtrip(plan):
     s = ir.to_json(plan.ir_converted)
     assert ir.from_json(s) == plan.ir_converted
+
+
+REF_RULES = "/root/reference/rules"
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(REF_RULES), reason="reference not present")
+def test_reference_rule_files_golden():
+    """Parity pin: the engine consumes the reference's OWN rule files
+    (mysql_to_psql.json, mysql_raw_dump.json) unmodified and reproduces
+    the §1.2 type-conversion table and the dump-function dispatch.
+    (schema_changes.json is a sample with a trailing comma — invalid
+    strict JSON even for the reference's own json.load — so the
+    schema-change shape is covered by the fixture tests above instead.)
+    """
+    import json
+
+    from mysql2psql_spark import schema_ir as ir
+    from mysql2psql_spark.rules.handler import apply_node_rules, compile_dump_plan
+
+    with open(f"{REF_RULES}/mysql_to_psql.json") as f:
+        node_rules = json.load(f)
+    with open(f"{REF_RULES}/mysql_raw_dump.json") as f:
+        dump_rules = json.load(f)
+
+    table = ir.new_table(
+        "t",
+        [
+            ir.new_column("flag", "tinyint", full_type="tinyint(1)"),
+            ir.new_column("small", "tinyint", full_type="tinyint(4)"),
+            ir.new_column("med", "mediumint"),
+            ir.new_column("body", "longtext"),
+            ir.new_column("bin", "blob"),
+            ir.new_column("price", "double", size="10,2"),
+            ir.new_column("kind", "enum"),
+            ir.new_column("created", "datetime", full_type="datetime"),
+            ir.new_column("fk", "int", reference="parent (id)"),
+        ],
+    )
+    schema = apply_node_rules(ir.new_schema([table]), node_rules)
+    cols = schema["tables"]["t"]["columns"]
+    assert cols["flag"]["type"] == "boolean"
+    assert cols["small"]["type"] == "smallint"
+    assert cols["med"]["type"] == "int"
+    assert cols["body"]["type"] == "text"
+    assert cols["bin"]["type"] == "bytea"
+    assert cols["price"]["type"] == "decimal"
+    assert cols["kind"]["type"] == "set"
+    assert cols["created"]["type"] == "timestamp"
+
+    dispatch = compile_dump_plan(schema["tables"]["t"], dump_rules)
+    assert dispatch["flag"] == "convertStrBoolean"
+    assert dispatch["bin"] == "makeItEmpty"
+    assert dispatch["created"] == "notNullableDatetime"
+    assert dispatch["fk"] == "refToNullable"
