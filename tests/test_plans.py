@@ -1,0 +1,69 @@
+"""Physical-plan regression pins: the scale properties README.md claims
+(pushdown, pruned read schemas, broadcast dimensions, partition pruning on
+partitioned writes) are asserted here so a refactor can't silently lose
+them."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from mysql2psql_spark.queries import QUERIES
+from mysql2psql_spark.sources import load_table
+from tests.conftest import SF_DIR_ORACLE
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(QUERIES["p1_filter_pushdown"](spark, SF_DIR_ORACLE))
+    assert "PushedFilters: [" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*o_orderstatus[^\]]*\]", plan)
+
+
+def test_projection_prunes_read_schema(spark):
+    plan = _plan(QUERIES["s4_scan_projection"](spark, SF_DIR_ORACLE))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = m.group(1).split(",")
+    # only the 3 projected columns are read, not lineitem's 11
+    assert len(cols) == 3, cols
+
+
+def test_dimension_joins_broadcast(spark):
+    for name in ("q03_shipping_priority", "q05_local_supplier_volume", "q10_returned_items"):
+        plan = _plan(QUERIES[name](spark, SF_DIR_ORACLE))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_no_collect_in_fact_paths(spark):
+    # top-k queries must plan as TakeOrderedAndProject (no global sort)
+    plan = _plan(QUERIES["o1_global_topk"](spark, SF_DIR_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """Partitioned Parquet write + partition-pruned read — the layout a
+    100 TB fact table uses (partition column = coarse date)."""
+    out = str(tmp_path / "li_part")
+    li = load_table(spark, SF_DIR_ORACLE, "lineitem")
+    li.withColumn("ship_month", F.date_format("l_shipdate", "yyyy-MM")).write.partitionBy(
+        "ship_month"
+    ).parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("ship_month") == "1997-03")
+    plan = _plan(back)
+    # partition filter present and non-partition data files pruned
+    assert re.search(r"PartitionFilters: \[[^\]]*ship_month[^\]]*\]", plan)
+    want = li.filter(F.date_format("l_shipdate", "yyyy-MM") == "1997-03").count()
+    assert back.count() == want
