@@ -1,0 +1,193 @@
+"""CLI: the reference's entry points, Spark-first.
+
+Reference (README.md:10-17, main.py:163-190):
+    python main.py <database> [table1 table2 ...]
+    python main.py all-databases
+
+Ours (same positional shape; source/sink selection is explicit because
+the engine speaks both JDBC and Parquet):
+    python -m mysql2psql_spark <database> [tables ...] \
+        --source parquet:/path/to/dir | jdbc \
+        --out ./output [--config parameters.json] \
+        [--schema-changes schema_changes.json] [--v1-schema v1]
+
+Produces the reference's artifact tree per database (README.md:58-64):
+    <out>/<db>/mysql_schema.json        stage [1] checkpoint
+    <out>/<db>/mysql_schema_v2.json     stage [2] checkpoint
+    <out>/<db>/psql_schema.json         stage [3] checkpoint
+    <out>/<db>/psql_tables.sql          stage [4] DDL
+    <out>/<db>/tables/<t>.sql/          stage [5] per-table CSV data
+    <out>/<db>/psql_data.sql            stage [5] \\copy manifest
+    <out>/<db>/psql_index_fk.sql        stage [6] indexes + FKs + sequences
+    <out>/<db>/psql_views.sql           stage [7] v1 compatibility views
+    <out>/<db>/logs/<db>.log            per-phase wall times
+
+parameters.json is accepted in the reference's exact format (mysql/psql
+credentials feed the JDBC URLs; `threads` caps concurrent table jobs;
+`v1_schema_name` switches stage [7] on). Rule files are accepted in the
+reference's exact formats, including its sample files' trailing commas.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+from typing import Any
+
+from mysql2psql_spark import schema_ir as ir
+from mysql2psql_spark.plans.migration import migrate_table, plan_migration
+from mysql2psql_spark.plans.orchestration import PhaseTimer, run_concurrent
+from mysql2psql_spark.sinks import write_reference_csv
+from mysql2psql_spark.sinks import ddl as ddl_gen
+
+
+def load_json_lenient(path: str) -> dict[str, Any]:
+    """json.load tolerating trailing commas (the reference's own
+    schema_changes.json sample has one; strict json would refuse it)."""
+    with open(path) as f:
+        text = f.read()
+    return json.loads(re.sub(r",(\s*[}\]])", r"\1", text))
+
+
+def load_config(path: str | None) -> dict[str, Any]:
+    if path is None:
+        return {"threads": 0, "prefix": False, "v1_schema_name": False}
+    return load_json_lenient(path)
+
+
+def _parquet_tables(spark, src_dir: str, only: list[str]) -> dict[str, Any]:
+    names = sorted(
+        f.removesuffix(".parquet") for f in os.listdir(src_dir) if f.endswith(".parquet")
+    )
+    if only:
+        names = [n for n in names if n in only]
+    return {n: spark.read.parquet(f"{src_dir}/{n}.parquet") for n in names}
+
+
+def migrate_db(
+    spark,
+    db: str,
+    frames: dict[str, Any],
+    out_dir: str,
+    schema_changes: dict[str, Any] | None = None,
+    v1_schema: str | None = None,
+    threads: int = 0,
+) -> dict[str, float]:
+    """The §3.1 lifecycle for one database worth of DataFrames."""
+    base = os.path.join(out_dir, db)
+    os.makedirs(os.path.join(base, "tables"), exist_ok=True)
+    os.makedirs(os.path.join(base, "logs"), exist_ok=True)
+    timer = PhaseTimer()
+
+    with timer.phase("introspect"):
+        schema = ir.new_schema([ir.from_dataframe(n, df) for n, df in frames.items()])
+        _checkpoint(base, "mysql_schema.json", schema)
+
+    with timer.phase("plan"):
+        plan = plan_migration(schema, schema_changes=schema_changes or {})
+        _checkpoint(base, "mysql_schema_v2.json", plan.ir_rewritten)
+        _checkpoint(base, "psql_schema.json", plan.ir_converted)
+
+    with timer.phase("ddl"):
+        lines = ddl_gen.schema_preamble(v1_schema)
+        for table in plan.ir_converted["tables"].values():
+            lines.append(ddl_gen.drop_table_ddl(table))
+            lines.append(ddl_gen.create_table_ddl(table))
+        _write(base, "psql_tables.sql", "\n".join(lines) + "\n")
+
+    with timer.phase("data"):
+        manifest: dict[str, str] = {}
+
+        def dump(key: str):
+            table = plan.ir_converted["tables"][key]
+            out = migrate_table(frames[key], plan, key, parents=frames)
+            path = os.path.join(base, "tables", f"{table['name']}.sql")
+            manifest[key] = write_reference_csv(out, path, single_file=True)
+
+        jobs = [(k, (lambda k=k: dump(k))) for k in plan.ir_converted["tables"] if k in frames]
+        run_concurrent(spark, jobs, max_parallel=threads or 4)
+        _write(
+            base,
+            "psql_data.sql",
+            "\n".join(manifest[k] for k in plan.ir_converted["tables"] if k in manifest) + "\n",
+        )
+
+    with timer.phase("index_fk"):
+        lines = []
+        for table in plan.ir_converted["tables"].values():
+            lines.extend(ddl_gen.sequence_ddl(table))
+            lines.extend(ddl_gen.create_index_ddl(table))
+            lines.extend(ddl_gen.fk_constraint_ddl(table))
+        _write(base, "psql_index_fk.sql", "\n".join(lines) + "\n")
+
+    if v1_schema:
+        with timer.phase("views"):
+            lines = [
+                ddl_gen.view_ddl(orig, table, v1_schema)
+                for orig, table in plan.ir_converted["tables"].items()
+            ]
+            _write(base, "psql_views.sql", "\n".join(lines) + "\n")
+
+    report = timer.report()
+    _write(
+        base,
+        os.path.join("logs", f"{db}.log"),
+        "".join(f"{phase} took {secs}s\n" for phase, secs in report.items()),
+    )
+    return report
+
+
+def _checkpoint(base: str, name: str, schema: Any) -> None:
+    _write(base, name, ir.to_json(schema))
+
+
+def _write(base: str, name: str, content: str) -> None:
+    with open(os.path.join(base, name), "w") as f:
+        f.write(content)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="mysql2psql_spark", description=__doc__.split("\n")[0])
+    p.add_argument("database", help="database name (parquet: the run label)")
+    p.add_argument("tables", nargs="*", help="optional table subset")
+    p.add_argument("--source", required=True, help="parquet:<dir> or jdbc")
+    p.add_argument("--out", default="./output")
+    p.add_argument("--config", default=None, help="parameters.json (reference format)")
+    p.add_argument("--schema-changes", default=None, help="schema_changes.json (reference format)")
+    p.add_argument("--v1-schema", default=None, help="emit v1 compatibility views")
+    args = p.parse_args(argv)
+
+    config = load_config(args.config)
+    changes = load_json_lenient(args.schema_changes) if args.schema_changes else None
+    v1 = args.v1_schema or (config.get("v1_schema_name") or None)
+
+    from mysql2psql_spark.session import get_spark
+
+    spark = get_spark(app_name=f"mysql2psql_spark_{args.database}")
+    if args.source.startswith("parquet:"):
+        frames = _parquet_tables(spark, args.source.removeprefix("parquet:"), args.tables)
+    elif args.source == "jdbc":
+        from mysql2psql_spark.sources.jdbc import read_tables
+
+        frames = read_tables(spark, config, args.database, args.tables)
+    else:
+        p.error(f"unknown --source {args.source}")
+
+    report = migrate_db(
+        spark,
+        args.database,
+        frames,
+        args.out,
+        schema_changes=changes,
+        v1_schema=v1,
+        threads=int(config.get("threads") or 0),
+    )
+    print(json.dumps({"database": args.database, "phases": report}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -141,3 +141,43 @@ def to_struct_type(table: TableIR) -> T.StructType:
             T.StructField(col["name"], spark_type_for(col), bool(col["nullable"]), metadata=meta)
         )
     return T.StructType(fields)
+
+
+# --- introspection from a live DataFrame (stage [1] for parquet sources) -----
+_FROM_SPARK: dict[str, str] = {
+    "boolean": "boolean",
+    "short": "smallint",
+    "integer": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "varchar",
+    "binary": "blob",
+    "date": "date",
+    "timestamp": "datetime",
+    "timestamp_ntz": "datetime",
+}
+
+
+def from_dataframe(name: str, df, pk: str | None = None) -> TableIR:
+    """Stage [1] INTROSPECT for file sources: build the table IR from a
+    DataFrame's schema (the parquet footer is the catalog — the analogue
+    of the reference's information_schema reads, libs/MysqlParser.py:
+    147-154). Array/struct columns are carried opaquely as 'varchar'
+    unless the engine consumes them natively."""
+    cols = []
+    for f in df.schema.fields:
+        tname = _FROM_SPARK.get(f.dataType.typeName(), "varchar")
+        full = tname
+        if f.dataType.typeName() == "decimal":
+            tname, full = "decimal", f.dataType.simpleString()
+        cols.append(
+            new_column(
+                f.name,
+                tname,
+                nullable=f.nullable,
+                full_type=full,
+                is_pk=(f.name == pk),
+            )
+        )
+    return new_table(name, cols)

@@ -26,7 +26,9 @@ def write_reference_csv(df: DataFrame, path: str, single_file: bool = False) -> 
         .csv(path)
     )
     cols = ", ".join(f'"{c}"' for c in df.columns)
-    table = path.rstrip("/").rsplit("/", 1)[-1]
+    # files are written as tables/<t>.sql (reference naming); the \copy
+    # targets the bare table name
+    table = path.rstrip("/").rsplit("/", 1)[-1].removesuffix(".sql")
     return (
         f"\\copy \"{table}\" ({cols}) FROM '{path}' "
         "WITH (FORMAT CSV, QUOTE '''', DELIMITER ',', NULL 'NULL');"

@@ -165,3 +165,29 @@ def read_table(
     if where:
         df = df.filter(where)
     return df
+
+
+def mysql_url(config: dict) -> tuple[str, dict[str, str]]:
+    """JDBC URL + properties from the reference's parameters.json shape
+    (config/parameters.json.sample)."""
+    my = config.get("mysql", {})
+    url = f"jdbc:mysql://{my.get('host', '127.0.0.1')}:{my.get('port', 3306)}"
+    props = {
+        "user": str(my.get("user", "root")),
+        "password": str(my.get("password", "")),
+        "driver": "com.mysql.cj.jdbc.Driver",
+    }
+    return url, props
+
+
+def read_tables(
+    spark: SparkSession, config: dict, db: str, tables: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """CLI adapter: introspect + partitioned-read every (selected) table
+    of a database using parameters.json credentials."""
+    url, props = mysql_url(config)
+    schema = introspect_schema(spark, url, db, props, tables or None)
+    return {
+        name: read_table(spark, url, db, node, props)
+        for name, node in schema["tables"].items()
+    }

@@ -1,0 +1,80 @@
+"""CLI lifecycle test: the reference's entry-point shape produces the
+reference's artifact tree (§3.1 stages [1]-[7]) from a Parquet source."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import duckdb
+
+from mysql2psql_spark.cli import load_json_lenient, migrate_db
+from mysql2psql_spark.sources import load_table
+from tests.conftest import SF_DIR
+
+
+def test_cli_artifact_tree(spark, tmp_path):
+    frames = {n: load_table(spark, SF_DIR, n) for n in ("region", "nation")}
+    changes = {
+        "tables": {
+            "nation": {
+                "name": "nations",
+                "columns": {
+                    "n_name": {"name": "nation_name"},
+                    "n_regionkey": {"reference": "region (r_regionkey)"},
+                },
+            }
+        }
+    }
+    report = migrate_db(
+        spark, "db1", frames, str(tmp_path), schema_changes=changes, v1_schema="v1"
+    )
+    base = tmp_path / "db1"
+    for artifact in (
+        "mysql_schema.json",
+        "mysql_schema_v2.json",
+        "psql_schema.json",
+        "psql_tables.sql",
+        "psql_data.sql",
+        "psql_index_fk.sql",
+        "psql_views.sql",
+        "logs/db1.log",
+    ):
+        assert (base / artifact).exists(), artifact
+    assert {"introspect", "plan", "ddl", "data", "index_fk", "views"} <= set(report)
+
+    ddl = (base / "psql_tables.sql").read_text()
+    assert 'CREATE TABLE "nations"' in ddl
+    assert '"nation_name"' in ddl
+    fk = (base / "psql_index_fk.sql").read_text()
+    # the reference inserts the `reference` attr raw ("table (col)"),
+    # unquoted — PsqlParser.py:385-403; we match that exactly
+    assert "REFERENCES region (r_regionkey)" in fk
+    views = (base / "psql_views.sql").read_text()
+    assert 'CREATE VIEW "v1"."nation"' in views
+
+    # the \copy manifest references the renamed table and columns
+    manifest = (base / "psql_data.sql").read_text()
+    assert '\\copy "nations" ("n_nationkey", "nation_name", "n_regionkey")' in manifest
+
+    # data round-trip: the emitted CSV holds exactly the source rows
+    csv = glob.glob(str(base / "tables" / "nations.sql" / "*.csv"))[0]
+    con = duckdb.connect()
+    n = con.execute(
+        "SELECT COUNT(*), COUNT(DISTINCT nation_name) FROM "
+        f"read_csv('{csv}', header=false, names=['n_nationkey','nation_name','n_regionkey'], quote='''')"
+    ).fetchone()
+    src = frames["nation"].count()
+    assert n[0] == src and n[1] == src
+
+
+def test_lenient_json_accepts_reference_sample(tmp_path):
+    # the reference's own schema_changes.json sample has a trailing comma
+    ref = "/root/reference/rules/schema_changes.json"
+    if os.path.isfile(ref):
+        parsed = load_json_lenient(ref)
+        assert "reservation_reminder" in parsed["tables"]
+    p = tmp_path / "x.json"
+    p.write_text('{"a": [1, 2,], "b": {"c": 1,},}')
+    assert load_json_lenient(str(p)) == {"a": [1, 2], "b": {"c": 1}}
