@@ -167,25 +167,47 @@ def main(argv: list[str] | None = None) -> int:
     from mysql2psql_spark.session import get_spark
 
     spark = get_spark(app_name=f"mysql2psql_spark_{args.database}")
-    if args.source.startswith("parquet:"):
-        frames = _parquet_tables(spark, args.source.removeprefix("parquet:"), args.tables)
-    elif args.source == "jdbc":
-        from mysql2psql_spark.sources.jdbc import read_tables
 
-        frames = read_tables(spark, config, args.database, args.tables)
-    else:
+    def frames_for(db: str) -> dict[str, Any]:
+        if args.source.startswith("parquet:"):
+            src = args.source.removeprefix("parquet:")
+            if args.database == "all-databases":
+                src = os.path.join(src, db)
+            return _parquet_tables(spark, src, args.tables)
+        if args.source == "jdbc":
+            from mysql2psql_spark.sources.jdbc import read_tables
+
+            return read_tables(spark, config, db, args.tables)
         p.error(f"unknown --source {args.source}")
 
-    report = migrate_db(
-        spark,
-        args.database,
-        frames,
-        args.out,
-        schema_changes=changes,
-        v1_schema=v1,
-        threads=int(config.get("threads") or 0),
-    )
-    print(json.dumps({"database": args.database, "phases": report}))
+    if args.database == "all-databases":
+        # reference entry point 2 (main.py:118-123,167): every database,
+        # optional name prefix from config, each through the same pipeline.
+        # The reference forks a process per db; here they share one Spark
+        # session and the cluster scheduler interleaves their jobs.
+        if args.source.startswith("parquet:"):
+            root = args.source.removeprefix("parquet:")
+            dbs = sorted(d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
+        else:
+            from mysql2psql_spark.sources.jdbc import list_databases, mysql_url
+
+            url, props = mysql_url(config)
+            dbs = list_databases(spark, url, props, prefix=config.get("prefix") or None)
+    else:
+        dbs = [args.database]
+
+    reports = {}
+    for db in dbs:
+        reports[db] = migrate_db(
+            spark,
+            db,
+            frames_for(db),
+            args.out,
+            schema_changes=changes,
+            v1_schema=v1,
+            threads=int(config.get("threads") or 0),
+        )
+    print(json.dumps({"databases": reports}))
     return 0
 
 

@@ -191,3 +191,17 @@ def read_tables(
         name: read_table(spark, url, db, node, props)
         for name, node in schema["tables"].items()
     }
+
+
+def list_databases(
+    spark: SparkSession, url: str, props: dict[str, str], prefix: str | None = None
+) -> list[str]:
+    """S5: distinct schemas excluding system ones, optional name prefix
+    (get_all_databases, /root/reference/libs/MysqlParser.py:277-291)."""
+    q = (
+        "SELECT TABLE_SCHEMA FROM information_schema.tables "
+        "WHERE TABLE_SCHEMA NOT IN ('mysql', 'information_schema') "
+        + (f"AND TABLE_SCHEMA LIKE '{prefix}%' " if prefix else "")
+        + "GROUP BY TABLE_SCHEMA"
+    )
+    return sorted(r[0] for r in _jdbc_df(spark, url, q, props).collect())

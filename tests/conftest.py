@@ -37,3 +37,10 @@ def duck():
             )
     yield con
     con.close()
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    # alias so hypothesis-driven tests share the session fixture without
+    # hypothesis seeing a function-scoped fixture warning
+    return spark

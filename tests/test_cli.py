@@ -78,3 +78,36 @@ def test_lenient_json_accepts_reference_sample(tmp_path):
     p = tmp_path / "x.json"
     p.write_text('{"a": [1, 2,], "b": {"c": 1,},}')
     assert load_json_lenient(str(p)) == {"a": [1, 2], "b": {"c": 1}}
+
+
+def test_cli_all_databases_layout(spark, tmp_path):
+    """all-databases over a parent dir of per-db parquet dirs."""
+    import shutil
+    import subprocess
+    import sys
+
+    root = tmp_path / "dbs"
+    for db in ("alpha", "beta"):
+        os.makedirs(root / db, exist_ok=True)
+        for t in ("region",):
+            shutil.copy(f"{SF_DIR}/{t}.parquet", root / db / f"{t}.parquet")
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "mysql2psql_spark.cli",
+            "all-databases",
+            "--source",
+            f"parquet:{root}",
+            "--out",
+            str(tmp_path / "out"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert set(out["databases"]) == {"alpha", "beta"}
+    for db in ("alpha", "beta"):
+        assert (tmp_path / "out" / db / "psql_tables.sql").exists()
