@@ -167,3 +167,64 @@ def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "minute_bucket", F.col("event_id").alias("first_event_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Typed JSON parsing: from_json with an explicit schema (the scalable twin
+# of get_json_object — one parse per row into a struct Catalyst can prune,
+# instead of one parse per extracted path).
+# ---------------------------------------------------------------------------
+@query(
+    "f_json_typed_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(props::JSON ->> 'k' AS INTEGER) AS k_val,
+           (CAST(props::JSON ->> 'k' AS INTEGER) IS NOT NULL) AS parsed_ok
+    FROM events
+    """,
+)
+def f_json_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k_val"),
+        parsed.getField("k").isNotNull().alias("parsed_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quarantine split: the data-quality gate a training pipeline puts in
+# front of ingestion — try_cast the raw column, keep valid rows, count the
+# quarantined remainder per reason. One pass, no Python.
+# ---------------------------------------------------------------------------
+@query(
+    "quality_quarantine",
+    oracle="""
+    WITH raw AS (
+      SELECT event_id,
+             CASE WHEN event_id % 11 = 0 THEN 'not-a-number'
+                  WHEN event_id % 13 = 0 THEN NULL
+                  ELSE CAST(value AS VARCHAR) END AS raw_value
+      FROM events
+    )
+    SELECT CASE WHEN TRY_CAST(raw_value AS DOUBLE) IS NOT NULL THEN 'valid'
+                WHEN raw_value IS NULL THEN 'missing'
+                ELSE 'unparseable' END AS bucket,
+           COUNT(*) AS n
+    FROM raw GROUP BY 1
+    """,
+)
+def quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    raw = (
+        F.when(F.col("event_id") % 11 == 0, F.lit("not-a-number"))
+        .when(F.col("event_id") % 13 == 0, F.lit(None))
+        .otherwise(F.col("value").cast("string"))
+    )
+    bucket = (
+        F.when(raw.try_cast("double").isNotNull(), F.lit("valid"))
+        .when(raw.isNull(), F.lit("missing"))
+        .otherwise(F.lit("unparseable"))
+    )
+    return e.select(bucket.alias("bucket")).groupBy("bucket").agg(F.count("*").alias("n"))
