@@ -228,3 +228,49 @@ def quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("unparseable"))
     )
     return e.select(bucket.alias("bucket")).groupBy("bucket").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# As-of join (SURVEY §2.3 note: absent in reference and in Spark's join
+# API): for each event, the customer's most recent order at or before the
+# event time. The oracle spells the same semantics with a ranked
+# inequality join; the engine's union + forward-fill window is linear in
+# |events| + |orders| (operators/asof.py).
+# ---------------------------------------------------------------------------
+@query(
+    "j5_asof_last_order",
+    oracle="""
+    SELECT event_id, user_id, last_orderkey,
+           STRFTIME(last_orderdate, '%Y-%m-%d') AS last_orderdate
+    FROM (
+      SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey,
+             o.o_orderdate AS last_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+             ) AS rn
+      FROM events e JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+)
+def j5_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2psql_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    joined = asof_join(
+        e,
+        o.withColumnRenamed("o_custkey", "user_id"),
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_orderdate"),
+    )

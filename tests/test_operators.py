@@ -184,3 +184,25 @@ def test_salted_join_matches_plain_join(spark):
     plain = li.join(o, "l_orderkey").groupBy("o_orderpriority").count()
     salted = salted_join(li, o, "l_orderkey").groupBy("o_orderpriority").count()
     assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_asof_join_no_prior_rows_yield_nulls(spark):
+    from mysql2psql_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 5), (3, 2, 50)], "id bigint, k bigint, t bigint"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 7), (1, 40, 8), (1, 40, 9), (3, 10, 99)], "k bigint, t bigint, payload bigint"
+    )
+    out = {
+        r.id: r.payload
+        for r in asof_join(
+            left, right, key="k", left_time="t", right_time="t",
+            payload=["payload"], tiebreak="payload",
+        ).collect()
+    }
+    # id=1 (t=100): latest right at t<=100 is t=40; tie -> highest payload 9
+    # id=2 (t=5): no right row at t<=5 -> NULL
+    # id=3 (k=2): no right rows for key -> NULL
+    assert out == {1: 9, 2: None, 3: None}
