@@ -575,3 +575,38 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p4_skip_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.drop("o_totalprice", "o_orderdate")
+
+
+# ---------------------------------------------------------------------------
+# §2.5 fill: the remaining analytic-window family — ntile quartiles,
+# percent_rank, and first/last value over a frame.
+# ---------------------------------------------------------------------------
+@query(
+    "w4_analytic_functions",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS balance_quartile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal DESC, c_custkey), 6) AS pct_rank,
+           FIRST_VALUE(c_custkey) OVER (
+             PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS segment_top_cust
+    FROM customer
+    """,
+)
+def w4_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    c = load_table(spark, sf_dir, "customer")
+    global_w = W.orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    seg_w = (
+        W.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(global_w).alias("balance_quartile"),
+        F.round(F.percent_rank().over(global_w), 6).alias("pct_rank"),
+        F.first("c_custkey").over(seg_w).alias("segment_top_cust"),
+    )

@@ -67,3 +67,26 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[[^\]]*ship_month[^\]]*\]", plan)
     want = li.filter(F.date_format("l_shipdate", "yyyy-MM") == "1997-03").count()
     assert back.count() == want
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """bucketBy on the join key -> both sides pre-partitioned on disk ->
+    the join plans without a shuffle Exchange (the co-located-join layout
+    for repeated fact-fact joins at scale)."""
+    li = load_table(spark, SF_DIR_ORACLE, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = load_table(spark, SF_DIR_ORACLE, "orders").select("o_orderkey", "o_orderpriority")
+    for name, df, key in (("li_b", li, "l_orderkey"), ("o_b", o, "o_orderkey")):
+        df.write.mode("overwrite").bucketBy(8, key).sortBy(key).saveAsTable(name)
+    a = spark.table("li_b")
+    b = spark.table("o_b")
+    joined = a.join(b, a.l_orderkey == b.o_orderkey)
+    plan = _plan(joined)
+    body = plan.split("== Physical Plan ==")[-1]
+    import re as _re
+
+    assert not _re.search(r"Exchange hashpartitioning", body), body[:2000]
+    assert joined.count() == li.join(o, li.l_orderkey == o.o_orderkey).count()
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
