@@ -1,0 +1,43 @@
+"""Binned range join: points joined into covering intervals.
+
+Spark's only native plan for `point BETWEEN start AND end` is a broadcast
+nested-loop (fine for a handful of intervals, quadratic death at scale).
+The scale shape bins the time axis: every interval explodes to the bins
+it overlaps, every point lands in exactly one bin, and the pair space
+collapses to a hash-partitioned equi-join on bin_id + a residual
+containment filter. Cost: |points| + sum(interval_span/bin_width) rows
+through one shuffle — linear, skew-bounded by bin width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def binned_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int = 7 * 86400,
+    how: str = "inner",
+) -> DataFrame:
+    """Join rows of `points` to every interval with
+    start <= point < end. Timestamps bin at `bin_seconds` granularity;
+    choose it near the typical interval span (too small -> wide interval
+    explode; too large -> fat bins, weak pruning)."""
+    def _epoch(c: str):
+        # NTZ timestamps have no direct long cast; the bin only needs a
+        # consistent monotonic epoch, so route through TIMESTAMP
+        return F.col(c).cast("timestamp").cast("long")
+
+    p_bin = F.floor(_epoch(point_col) / bin_seconds)
+    i_lo = F.floor(_epoch(start_col) / bin_seconds)
+    i_hi = F.floor((_epoch(end_col) - 1) / bin_seconds)
+    exploded = intervals.withColumn("_bin", F.explode(F.sequence(i_lo, i_hi)))
+    joined = points.withColumn("_bin", p_bin).join(exploded, "_bin", how)
+    return joined.filter(
+        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+    ).drop("_bin")

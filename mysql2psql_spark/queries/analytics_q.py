@@ -223,3 +223,50 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join (binned): lineitem ship dates into deterministic 7-day promo
+# windows (first week of each quarter, 1997-1998). The oracle states the
+# plain inequality join; the engine's binned equi-join shape is linear
+# and survives interval tables far too large to broadcast
+# (operators/rangejoin.py).
+# ---------------------------------------------------------------------------
+_PROMO_WINDOWS = [
+    (f"{y}-{m:02d}", f"{y}-{m:02d}-01 00:00:00", f"{y}-{m:02d}-08 00:00:00")
+    for y in (1997, 1998)
+    for m in (1, 4, 7, 10)
+]
+_PROMO_VALUES = ", ".join(
+    f"('{w}', TIMESTAMP '{s}', TIMESTAMP '{e}')" for w, s, e in _PROMO_WINDOWS
+)
+
+
+@query(
+    "r1_range_join_promo",
+    oracle=f"""
+    WITH promo(window_id, w_start, w_end) AS (VALUES {_PROMO_VALUES})
+    SELECT p.window_id, COUNT(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS volume
+    FROM lineitem l JOIN promo p
+      ON l.l_shipdate >= p.w_start AND l.l_shipdate < p.w_end
+    GROUP BY p.window_id
+    """,
+)
+def r1_range_join_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2psql_spark.operators.rangejoin import binned_range_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_shipdate", "l_extendedprice")
+    promo = spark.createDataFrame(
+        [(w, s, e) for w, s, e in _PROMO_WINDOWS],
+        "window_id string, w_start string, w_end string",
+    ).select(
+        "window_id",
+        F.to_timestamp("w_start").alias("w_start"),
+        F.to_timestamp("w_end").alias("w_end"),
+    )
+    joined = binned_range_join(li, promo, "l_shipdate", "w_start", "w_end")
+    return joined.groupBy("window_id").agg(
+        F.count("*").alias("n_lines"),
+        _money(F.sum(_dec("l_extendedprice"))).alias("volume"),
+    )

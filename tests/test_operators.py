@@ -206,3 +206,22 @@ def test_asof_join_no_prior_rows_yield_nulls(spark):
     # id=2 (t=5): no right row at t<=5 -> NULL
     # id=3 (k=2): no right rows for key -> NULL
     assert out == {1: 9, 2: None, 3: None}
+
+
+def test_binned_range_join_matches_inequality_join(spark):
+    from mysql2psql_spark.operators.rangejoin import binned_range_join
+    from mysql2psql_spark.sources import load_table
+
+    li = load_table(spark, SF_DIR_ORACLE, "lineitem").select("l_orderkey", "l_shipdate")
+    iv = spark.createDataFrame(
+        [("w1", "1997-02-15 00:00:00", "1997-03-20 00:00:00"),
+         ("w2", "1997-03-01 00:00:00", "1997-03-02 00:00:00")],
+        "wid string, s string, e string",
+    ).select("wid", F.to_timestamp("s").alias("s"), F.to_timestamp("e").alias("e"))
+    got = binned_range_join(li, iv, "l_shipdate", "s", "e").groupBy("wid").count()
+    want = (
+        li.join(iv, (li.l_shipdate >= iv.s) & (li.l_shipdate < iv.e))
+        .groupBy("wid")
+        .count()
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
