@@ -59,12 +59,16 @@ def load_config(path: str | None) -> dict[str, Any]:
 
 
 def _parquet_tables(spark, src_dir: str, only: list[str]) -> dict[str, Any]:
+    from mysql2psql_spark.sources.parquet import load_table
+
     names = sorted(
         f.removesuffix(".parquet") for f in os.listdir(src_dir) if f.endswith(".parquet")
     )
     if only:
         names = [n for n in names if n in only]
-    return {n: spark.read.parquet(f"{src_dir}/{n}.parquet") for n in names}
+    # load_table (not raw spark.read.parquet): it normalizes quirks like
+    # TIMESTAMP(NANOS) columns that need a runtime conf + conversion
+    return {n: load_table(spark, src_dir, n) for n in names}
 
 
 def migrate_db(

@@ -11,12 +11,25 @@ coalesce(1) away when a sink really needs it)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def write_reference_csv(df: DataFrame, path: str, single_file: bool = False) -> str:
     """Write reference-dialect CSV; returns the matching \\copy command
     (the psql_data.sql manifest line, PsqlParser.py:136-137)."""
-    out = df.coalesce(1) if single_file else df
+    # CSV is flat; the reference's world has no nested types, so our
+    # extension columns (array/map/struct, e.g. embeddings) serialize as
+    # JSON text — matching their varchar mapping in the introspected DDL
+    out = df.select(
+        *[
+            F.to_json(f.name).alias(f.name)
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+    out = out.coalesce(1) if single_file else out
     (
         out.write.mode("overwrite")
         .option("quote", "'")
