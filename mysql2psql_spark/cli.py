@@ -113,11 +113,12 @@ def migrate_db(
 
         jobs = [(k, (lambda k=k: dump(k))) for k in plan.ir_converted["tables"] if k in frames]
         run_concurrent(spark, jobs, max_parallel=threads or 4)
-        _write(
-            base,
-            "psql_data.sql",
-            "\n".join(manifest[k] for k in plan.ir_converted["tables"] if k in manifest) + "\n",
+        copy_lines = (
+            ddl_gen.load_preamble()
+            + [manifest[k] for k in plan.ir_converted["tables"] if k in manifest]
+            + ddl_gen.load_epilogue()
         )
+        _write(base, "psql_data.sql", "\n".join(copy_lines) + "\n")
 
     with timer.phase("index_fk"):
         lines = []

@@ -158,3 +158,19 @@ def schema_preamble(v1_schema: str | None = None) -> list[str]:
         out.insert(1, f"DROP SCHEMA IF EXISTS {_q(v1_schema)} CASCADE;")
         out.append(f"CREATE SCHEMA {_q(v1_schema)};")
     return out
+
+
+def load_preamble() -> list[str]:
+    """D10 (PsqlParser.py:357-365): session options before the bulk data
+    load — string literal compatibility + FK checks deferred so load
+    order inside the transaction doesn't matter."""
+    return [
+        "SET standard_conforming_strings = 'off';",
+        "SET CONSTRAINTS ALL DEFERRED;",
+    ]
+
+
+def load_epilogue() -> list[str]:
+    """D10 (PsqlParser.py:367-372): re-arm constraint checking after the
+    load (any violation surfaces here, transactionally)."""
+    return ["SET CONSTRAINTS ALL IMMEDIATE;"]

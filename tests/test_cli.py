@@ -111,3 +111,12 @@ def test_cli_all_databases_layout(spark, tmp_path):
     assert set(out["databases"]) == {"alpha", "beta"}
     for db in ("alpha", "beta"):
         assert (tmp_path / "out" / db / "psql_tables.sql").exists()
+
+
+def test_data_manifest_has_load_session_wrappers(spark, tmp_path):
+    frames = {"region": load_table(spark, SF_DIR, "region")}
+    migrate_db(spark, "db2", frames, str(tmp_path))
+    manifest = (tmp_path / "db2" / "psql_data.sql").read_text().splitlines()
+    assert manifest[0] == "SET standard_conforming_strings = 'off';"
+    assert manifest[1] == "SET CONSTRAINTS ALL DEFERRED;"
+    assert manifest[-1] == "SET CONSTRAINTS ALL IMMEDIATE;"
