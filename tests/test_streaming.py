@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from mysql2psql_spark.queries import QUERIES
 from mysql2psql_spark.sources import load_table
 from mysql2psql_spark.streaming.events import (
+    EVENTS_SCHEMA,
     read_event_stream,
     sessionized_stream,
     tumbling_counts_stream,
@@ -125,3 +126,64 @@ def test_sliding_stream_matches_batch(spark, events_parquet):
         for r in QUERIES["stream_sliding_window"](spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """Two real micro-batches: batch 1 advances the watermark far ahead;
+    batch 2 delivers an event older than watermark - delay, which the
+    windowed aggregate must drop (this is the state-bound guarantee that
+    lets the operator run forever)."""
+    from pyspark.sql import Row
+
+    src = str(tmp_path / "late_src")
+    out_dir = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def write_batch(rows, part):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    from datetime import datetime
+
+    on_time = [
+        Row(event_id=1, ts=datetime(2024, 1, 1, 12, 0), user_id=1, event_type="a", value=1.0, props="{}"),
+        Row(event_id=2, ts=datetime(2024, 1, 1, 13, 0), user_id=1, event_type="a", value=1.0, props="{}"),
+    ]
+    write_batch(on_time, 0)
+
+    stream = tumbling_counts_stream(read_event_stream(spark, src), watermark="10 minutes")
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # late event: 12:02 is ~58 min older than the 13:00 max ts seen,
+        # far beyond the 10-minute watermark -> must be dropped
+        late = [
+            Row(event_id=3, ts=datetime(2024, 1, 1, 12, 2), user_id=1, event_type="a", value=9.0, props="{}"),
+            Row(event_id=4, ts=datetime(2024, 1, 1, 13, 30), user_id=1, event_type="a", value=1.0, props="{}"),
+        ]
+        write_batch(late, 1)
+        q.processAllAvailable()
+        # one more batch advances the watermark so closed windows emit
+        write_batch(
+            [Row(event_id=5, ts=datetime(2024, 1, 1, 15, 0), user_id=1, event_type="a", value=1.0, props="{}")],
+            2,
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.bucket_start: (r.n_events, r.sum_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    noon = int(datetime(2024, 1, 1, 12, 0).timestamp())
+    # the 12:00 window closed in batch 1; the late 12:02 event (value 9.0)
+    # must NOT be counted in it
+    assert got[noon] == (1, 1.0), got
