@@ -234,3 +234,46 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """(doc_id, cluster_id) for every node in `pairs`: cluster_id = the
+    smallest doc id reachable through the near-dup graph — the canonical
+    representative a dedup pipeline keeps.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels (join + min-agg, one
+    shuffle per round); converges in O(graph diameter) rounds, checked
+    with a driver-side scalar (no data ever collects). Near-dup graphs
+    are unions of small cliques-ish clusters, so the diameter — and the
+    round count — is tiny regardless of corpus size.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("new_label"),
+                "label",
+            )
+        )
+        changed = updated.filter(F.col("new_label") != F.col("label")).limit(1).count()
+        labels = updated.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

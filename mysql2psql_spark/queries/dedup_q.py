@@ -70,3 +70,40 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return sample_frames(with_binary_payload(d))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the exact-Jaccard pair
+# graph, cluster id = min reachable doc id (the canonical-representative
+# step after candidate generation). The oracle walks the same graph with
+# a recursive CTE.
+# ---------------------------------------------------------------------------
+from mysql2psql_spark.queries import ORACLE as _ORACLE_REG  # noqa: E402
+from mysql2psql_spark.queries.text_q import dedup_ngram_jaccard  # noqa: E402
+
+_PAIRS_SQL = _ORACLE_REG["dedup_ngram_jaccard"]
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE e.dst != r.src
+    )
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2psql_spark.operators.dedup import connected_components
+
+    return connected_components(dedup_ngram_jaccard(spark, sf_dir))
