@@ -250,10 +250,18 @@ def connected_components(
     are unions of small cliques-ish clusters, so the diameter — and the
     round count — is tiny regardless of corpus size.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    # Iteration is the one legitimate persist case: every round (and its
+    # convergence check) would otherwise re-derive the pair graph from
+    # source, and the label lineage would grow by one join per round.
+    # Edges persist once; labels localCheckpoint each round to truncate
+    # lineage (executor-local materialization, no driver collect).
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -272,8 +280,10 @@ def connected_components(
                 "label",
             )
         )
+        updated = updated.localCheckpoint(eager=True)
         changed = updated.filter(F.col("new_label") != F.col("label")).limit(1).count()
         labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    return out
