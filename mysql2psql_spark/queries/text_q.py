@@ -170,33 +170,46 @@ _SHINGLE_SQL = """
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Work on 64-bit shingle hashes, not strings (collisions ~0; the
+    # oracle intersects raw shingle sets). The pair space blocks on
+    # (source, size window), and intersections come from joining the
+    # exploded shingle table — no shingle arrays, no interpreted
+    # array_intersect per pair (same verify shape as minhash_lsh_pairs).
+    from mysql2psql_spark.operators.text import shingle_hash_table
+
     d = load_table(spark, sf_dir, "documents")
-    # Intersect 64-bit shingle hashes, not strings: long compares are far
-    # cheaper than 20-char string compares and collisions are ~0 (the
-    # oracle intersects the raw shingle sets; |union| = |A|+|B|-|∩| keeps
-    # one array op per pair instead of two).
-    hashed = F.transform(shingles(F.col("text"), 3), lambda s: F.xxhash64(s))
-    sh = d.select("doc_id", "source", hashed.alias("sg"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    na, nb = F.size(F.col("a.sg")), F.size(F.col("b.sg"))
-    inter = F.size(F.array_intersect(F.col("a.sg"), F.col("b.sg")))
-    union = na + nb - inter
-    jac = inter.cast("double") / union
-    size_window = (nb >= F.ceil(na * 0.5)) & (nb <= F.floor(na * 2.0))
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & size_window,
+    sh = shingle_hash_table(d)
+    meta = sh.groupBy("doc_id").agg(F.count("*").alias("n")).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    a = meta.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), F.col("source").alias("src")
+    )
+    b = meta.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), F.col("source").alias("src")
+    )
+    # lossless size window: Jaccard >= 0.5 requires |B| in [|A|/2, 2|A|]
+    cand = (
+        a.join(b, "src")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("nb") >= F.ceil(F.col("na") * 0.5))
+            & (F.col("nb") <= F.floor(F.col("na") * 2.0))
         )
-        .filter(jac >= 0.5)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 6).alias("jaccard"),
-        )
+        .select("doc_a", "doc_b", "na", "nb")
+    )
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    pairs = inter.join(cand, ["doc_a", "doc_b"])
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return pairs.filter(jac >= 0.5).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 
