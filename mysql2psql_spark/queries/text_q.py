@@ -17,7 +17,6 @@ from mysql2psql_spark.operators.text import (
     STOPWORDS,
     en_stopword_ratio,
     quality_score,
-    shingles,
     token_count,
 )
 from mysql2psql_spark.sources import load_table
