@@ -95,3 +95,13 @@ def shingles(text: Column, k: int = 3) -> Column:
     )
     make = lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(k)])  # noqa: E731
     return F.array_distinct(F.transform(idx, make))
+
+
+def hash_sample(key: Column, rate_percent: Column) -> Column:
+    """Deterministic sampling predicate: keep iff the first 8 hex chars of
+    md5(key) land under the rate. Unlike rng-based sample(), membership is
+    a pure function of the key — stable across reruns, engines, partition
+    layouts, and cluster sizes, which is what reproducible training-data
+    draws need. md5 (not xxhash64) so SQL oracles reproduce it exactly."""
+    bucket = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 100
+    return bucket < rate_percent

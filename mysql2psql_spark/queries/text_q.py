@@ -235,3 +235,25 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_bpe_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling: per-language rates (the corpus-
+# mixture draw of a training pipeline), reproducible because membership
+# is md5(key)-derived, not rng state.
+# ---------------------------------------------------------------------------
+@query(
+    "text_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100)
+          < (CASE WHEN lang = 'en' THEN 50 ELSE 20 END)
+    """,
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2psql_spark.operators.text import hash_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 50).otherwise(20)
+    return d.filter(hash_sample(F.col("doc_id"), rate)).select("doc_id", "lang")
