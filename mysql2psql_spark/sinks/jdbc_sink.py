@@ -1,0 +1,88 @@
+"""JDBC (PostgreSQL) sink: the direct-load alternative to the CSV +
+\\copy manifest path.
+
+The reference hands loading to psql (bin/migrate.sh:53-78) in the strict
+order DDL -> data -> views -> index/FK, with ON_ERROR_STOP and deferred
+constraints (SURVEY.md §4 "load ordering"). This sink drives the same
+order over one JDBC connection: executing DDL batches via the driver and
+writing data with `df.write.jdbc` (executor-parallel, batched inserts).
+Index/FK creation stays AFTER data on purpose — bulk loads into indexed
+tables are the classic anti-pattern the reference's ordering avoids.
+
+No PostgreSQL runs in the test container, so the connection-free pieces
+(URL/properties building, statement ordering) are unit-tested and the
+execution path is exercised against a mock connection.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+
+def psql_url(config: dict) -> tuple[str, dict[str, str]]:
+    """JDBC URL + properties from the reference's parameters.json shape
+    (the `psql` block, config/parameters.json.sample:9-14)."""
+    pg = config.get("psql", {})
+    url = f"jdbc:postgresql://{pg.get('host', '127.0.0.1')}:{pg.get('port', 5432)}/{pg.get('database', 'postgres')}"
+    props = {
+        "user": str(pg.get("user", "root")),
+        "password": str(pg.get("password", "")),
+        "driver": "org.postgresql.Driver",
+    }
+    return url, props
+
+
+def load_statement_plan(
+    ddl: Iterable[str],
+    tables: Iterable[str],
+    views: Iterable[str],
+    index_fk: Iterable[str],
+) -> list[tuple[str, Any]]:
+    """The ordered load plan (bin/migrate.sh:58-78): each entry is
+    ("sql", statement) executed on the driver connection or
+    ("write", table_name) performed by executors via df.write.jdbc.
+    Constraint checking is deferred across the data phase."""
+    plan: list[tuple[str, Any]] = [("sql", s) for s in ddl]
+    plan.append(("sql", "SET standard_conforming_strings = 'off';"))
+    plan.append(("sql", "SET CONSTRAINTS ALL DEFERRED;"))
+    plan.extend(("write", t) for t in tables)
+    plan.append(("sql", "SET CONSTRAINTS ALL IMMEDIATE;"))
+    plan.extend(("sql", s) for s in views)
+    plan.extend(("sql", s) for s in index_fk)
+    return plan
+
+
+def execute_load(
+    plan: list[tuple[str, Any]],
+    frames: dict[str, DataFrame],
+    url: str,
+    props: dict[str, str],
+    batchsize: int = 10_000,
+    run_sql=None,
+) -> None:
+    """Run a load plan. `run_sql` executes one statement on the target
+    (injectable for tests; defaults to a JDBC driver connection through
+    the JVM). Data writes append via executor-parallel batched inserts —
+    the table exists from the DDL phase, so mode='append' never lets
+    Spark re-derive DDL from the DataFrame schema."""
+    if run_sql is None:  # pragma: no cover - needs a live PostgreSQL
+
+        def run_sql(stmt: str) -> None:
+            spark = next(iter(frames.values())).sparkSession
+            jvm = spark._jvm
+            conn = jvm.java.sql.DriverManager.getConnection(url, props["user"], props["password"])
+            try:
+                conn.createStatement().execute(stmt)
+            finally:
+                conn.close()
+
+    for kind, payload in plan:
+        if kind == "sql":
+            run_sql(payload)
+        else:
+            frames[payload].write.mode("append").option("batchsize", str(batchsize)).jdbc(
+                url, payload, properties=props
+            )

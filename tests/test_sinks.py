@@ -48,3 +48,39 @@ def test_run_concurrent_and_timer(spark):
         results = run_concurrent(spark, jobs, max_parallel=3)
     assert results == {"region": 5, "nation": 25, "customer": 150}
     assert timer.report()["extract"] > 0
+
+
+def test_jdbc_load_plan_ordering():
+    from mysql2psql_spark.sinks.jdbc_sink import load_statement_plan, psql_url
+
+    plan = load_statement_plan(
+        ddl=['CREATE TABLE "t" (a INT);'],
+        tables=["t"],
+        views=['CREATE VIEW "v1"."t" AS SELECT * FROM "t";'],
+        index_fk=['ALTER TABLE "t" ADD CONSTRAINT c FOREIGN KEY (a) REFERENCES p (a);'],
+    )
+    kinds = [k for k, _ in plan]
+    # strict reference order: DDL -> (defer) data (immediate) -> views -> index/FK
+    assert kinds == ["sql", "sql", "sql", "write", "sql", "sql", "sql"]
+    stmts = [p for k, p in plan if k == "sql"]
+    assert stmts.index("SET CONSTRAINTS ALL DEFERRED;") < 3
+    assert any("FOREIGN KEY" in s for s in stmts[-1:])
+
+    url, props = psql_url({"psql": {"host": "h", "port": 5433, "user": "u", "password": "p"}})
+    assert url == "jdbc:postgresql://h:5433/postgres"
+    assert props["driver"] == "org.postgresql.Driver"
+
+
+def test_jdbc_execute_load_with_mock(spark):
+    from mysql2psql_spark.sinks.jdbc_sink import execute_load, load_statement_plan
+
+    executed = []
+
+    # no live PostgreSQL in the container: drive the statement branch
+    # with an injected runner (the write branch is plain df.write.jdbc)
+    plan = load_statement_plan(ddl=["A;"], tables=[], views=["B;"], index_fk=["C;"])
+    execute_load(plan, {}, "jdbc:postgresql://x/none", {"user": "", "password": ""},
+                 run_sql=executed.append)
+    assert executed == ["A;", "SET standard_conforming_strings = 'off';",
+                        "SET CONSTRAINTS ALL DEFERRED;", "SET CONSTRAINTS ALL IMMEDIATE;",
+                        "B;", "C;"]
