@@ -76,8 +76,8 @@ def f5_interval_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f6_boolean_coercion",
     oracle="""
     SELECT o_orderkey,
-           COALESCE(TRY_CAST(o_orderpriority AS INTEGER) != 0, FALSE) AS as_bool,
-           COALESCE(TRY_CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) != 0, FALSE) AS prefix_bool
+           COALESCE(TRY_CAST(o_orderpriority AS BIGINT) != 0, FALSE) AS as_bool,
+           COALESCE(TRY_CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) != 0, FALSE) AS prefix_bool
     FROM orders
     """,
 )

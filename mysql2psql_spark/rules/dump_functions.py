@@ -36,7 +36,10 @@ TIME_RE = r"^\d\d:\d\d"
 
 def convert_str_boolean(col: Column) -> Column:
     # try_cast mirrors the reference's swallowed int() exception branch.
-    return F.coalesce(col.try_cast("int") != F.lit(0), F.lit(False))
+    # BIGINT, not INT: Python's int() is arbitrary-precision, so values
+    # past 2^31 (e.g. '2200000000') must still coerce truthy (found by
+    # the hypothesis property test against the reference model).
+    return F.coalesce(col.try_cast("bigint") != F.lit(0), F.lit(False))
 
 
 def default_date(col: Column, nullable: bool = True) -> Column:
