@@ -40,6 +40,12 @@ HEADLINE = [
     "q05_local_supplier_volume",
     "q06_forecast_revenue",
     "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "q19_disjunctive_filters",
+    "j5_asof_last_order",
+    "r1_range_join_promo",
+    "dedup_ngram_jaccard",
     "multimodal_frame_sample",
     "m1_migration_pipeline",
 ]
