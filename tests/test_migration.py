@@ -271,3 +271,41 @@ def test_reference_rule_files_golden():
     assert dispatch["bin"] == "makeItEmpty"
     assert dispatch["created"] == "notNullableDatetime"
     assert dispatch["fk"] == "refToNullable"
+
+
+def test_incremental_watermark_two_runs(spark, tmp_path):
+    from mysql2psql_spark.plans.incremental import (
+        advance_watermark,
+        incremental_scan,
+        load_watermarks,
+        save_watermarks,
+    )
+
+    state = str(tmp_path / "wm.json")
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "id bigint, seq bigint"
+    )
+    # run 1: everything flows, watermark lands at 30
+    marks = load_watermarks(state)
+    out1 = incremental_scan(df, "t", "seq", marks)
+    assert out1.count() == 3
+    save_watermarks(state, advance_watermark(out1, "t", "seq", marks))
+
+    # run 2: two new rows arrive; only they flow
+    df2 = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40), (5, 50)], "id bigint, seq bigint"
+    )
+    marks = load_watermarks(state)
+    assert marks == {"t": 30}
+    out2 = incremental_scan(df2, "t", "seq", marks)
+    assert sorted(r.id for r in out2.collect()) == [4, 5]
+    # pushed into the scan (filter above the relation, no full re-read)
+    assert "seq" in out2._jdf.queryExecution().executedPlan().toString()
+
+    # run 3: nothing new -> empty output, watermark holds at 50
+    save_watermarks(state, advance_watermark(out2, "t", "seq", marks))
+    marks = load_watermarks(state)
+    assert marks == {"t": 50}
+    out3 = incremental_scan(df2, "t", "seq", marks)
+    assert out3.count() == 0
+    assert advance_watermark(out3, "t", "seq", marks) == {"t": 50}
