@@ -163,6 +163,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--config", default=None, help="parameters.json (reference format)")
     p.add_argument("--schema-changes", default=None, help="schema_changes.json (reference format)")
     p.add_argument("--v1-schema", default=None, help="emit v1 compatibility views")
+    p.add_argument(
+        "--incremental",
+        default=None,
+        metavar="CURSOR_COL",
+        help="high-watermark column: extract only rows above the watermark "
+        "persisted in <out>/<db>/watermarks.json (tables lacking the column "
+        "run full)",
+    )
     args = p.parse_args(argv)
 
     config = load_config(args.config)
@@ -203,15 +211,35 @@ def main(argv: list[str] | None = None) -> int:
 
     reports = {}
     for db in dbs:
+        frames = frames_for(db)
+        if args.incremental:
+            from mysql2psql_spark.plans.incremental import (
+                advance_watermark,
+                incremental_scan,
+                load_watermarks,
+                save_watermarks,
+            )
+
+            state = os.path.join(args.out, db, "watermarks.json")
+            marks = load_watermarks(state)
+            new_marks = dict(marks)
+            for name, df in list(frames.items()):
+                if args.incremental in df.columns:
+                    frames[name] = incremental_scan(df, name, args.incremental, marks)
+                    new_marks = advance_watermark(
+                        frames[name], name, args.incremental, new_marks
+                    )
         reports[db] = migrate_db(
             spark,
             db,
-            frames_for(db),
+            frames,
             args.out,
             schema_changes=changes,
             v1_schema=v1,
             threads=int(config.get("threads") or 0),
         )
+        if args.incremental:
+            save_watermarks(state, new_marks)
     print(json.dumps({"databases": reports}))
     return 0
 

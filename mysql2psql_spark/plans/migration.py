@@ -146,3 +146,28 @@ def migrate_table(
     if specs:
         df = apply_pre_sql(df, specs, parents or {})
     return df.select(*plan.select_exprs(table_key))
+
+
+def register_compat_views(
+    spark, plan: MigrationPlan, migrated: dict[str, DataFrame], suffix: str = "_v1"
+) -> list[str]:
+    """D8's Spark-native analogue (reference: CREATE VIEW v1.t with old
+    column names + NULL backfill for dropped columns, PsqlParser.py:
+    162-197): register temp views exposing each migrated table under its
+    ORIGINAL name and column set, so pre-migration queries keep running
+    in-session. Returns the view names."""
+    names = []
+    for key, table in plan.ir_converted["tables"].items():
+        if key not in migrated:
+            continue
+        df = migrated[key]
+        cols = []
+        for orig_key, col in table["columns"].items():
+            if col.get("extra") == SKIP:
+                cols.append(F.lit(None).alias(orig_key))
+            else:
+                cols.append(F.col(col["name"]).alias(orig_key))
+        view = f"{key}{suffix}"
+        df.select(*cols).createOrReplaceTempView(view)
+        names.append(view)
+    return names

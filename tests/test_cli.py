@@ -120,3 +120,33 @@ def test_data_manifest_has_load_session_wrappers(spark, tmp_path):
     assert manifest[0] == "SET standard_conforming_strings = 'off';"
     assert manifest[1] == "SET CONSTRAINTS ALL DEFERRED;"
     assert manifest[-1] == "SET CONSTRAINTS ALL IMMEDIATE;"
+
+
+def test_cli_incremental_two_runs(spark, tmp_path):
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "inc_out")
+
+    def run():
+        return subprocess.run(
+            [sys.executable, "-m", "mysql2psql_spark.cli", "events_db", "events",
+             "--source", f"parquet:{SF_DIR}", "--out", out, "--incremental", "event_id"],
+            capture_output=True, text=True, timeout=240,
+        )
+
+    r1 = run()
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    marks = json.load(open(f"{out}/events_db/watermarks.json"))
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert marks["events"] == n_events - 1  # event_ids are 0..n-1
+
+    # second run over unchanged source: zero rows extracted, mark holds
+    r2 = run()
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    marks2 = json.load(open(f"{out}/events_db/watermarks.json"))
+    assert marks2 == marks
+    import glob as _glob
+
+    csv = _glob.glob(f"{out}/events_db/tables/events.sql/*.csv")
+    assert csv and sum(os.path.getsize(c) for c in csv) == 0

@@ -309,3 +309,38 @@ def test_incremental_watermark_two_runs(spark, tmp_path):
     out3 = incremental_scan(df2, "t", "seq", marks)
     assert out3.count() == 0
     assert advance_watermark(out3, "t", "seq", marks) == {"t": 50}
+
+
+def test_compat_views_expose_old_schema(spark, plan):
+    from mysql2psql_spark.plans.migration import migrate_table, register_compat_views
+
+    reminders = spark.createDataFrame(
+        [(1, 10, 5, 7, "a", "2020-01-01 10:00:00"), (2, 0, 6, 8, "b", None)],
+        "id int, resa_id int, user_id int, client_id int, legacy_col string, remind_at string",
+    )
+    parents = {"reservation": spark.createDataFrame([(10,), (0,)], "id int")}
+    migrated = {
+        "reservation_reminder": migrate_table(reminders, plan, "reservation_reminder", parents)
+    }
+    views = register_compat_views(spark, plan, migrated)
+    assert views == ["reservation_reminder_v1"]
+    rows = spark.sql(
+        "SELECT id, resa_id, legacy_col FROM reservation_reminder_v1 ORDER BY id"
+    ).collect()
+    # old column names resolve; renamed column reads through; skipped
+    # column backfills NULL (reference PsqlParser.py:184)
+    assert [(r.id, r.resa_id, r.legacy_col) for r in rows] == [(1, 10, None), (2, None, None)]
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """mergeSchema unifies batches written with evolving schemas — the
+    ingestion reality of a long-lived 100 TB table."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id bigint, name string").write.parquet(f"{p}/b1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, name string, score double"
+    ).write.parquet(f"{p}/b2")
+    df = spark.read.option("mergeSchema", "true").parquet(f"{p}/b1", f"{p}/b2")
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows == {1: None, 2: 9.5}
