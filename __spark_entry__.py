@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mysql2psql_spark.queries import ORACLE, QUERIES
+from mysql2psql_spark.queries import ORACLE, QUERIES, driver_ordered
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -21,10 +21,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, ordered so a
+    budget-limited driver run reaches the queries that lacked a
+    CORRECTNESS_r01 row first (round 1 stopped after 50 entries)."""
+    return driver_ordered(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each SQL-expressible query."""
-    return dict(ORACLE)
+    return driver_ordered(ORACLE)

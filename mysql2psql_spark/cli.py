@@ -79,11 +79,27 @@ def migrate_db(
     schema_changes: dict[str, Any] | None = None,
     v1_schema: str | None = None,
     threads: int = 0,
+    incremental_col: str | None = None,
+    watermarks: dict[str, Any] | None = None,
 ) -> dict[str, float]:
-    """The §3.1 lifecycle for one database worth of DataFrames."""
+    """The §3.1 lifecycle for one database worth of DataFrames.
+
+    Incremental mode (`incremental_col` set): the caller passes frames
+    already filtered to the delta. Destructive DDL artifacts
+    (DROP SCHEMA/TABLE CASCADE in psql_tables.sql, plus index/FK/view
+    scripts) are emitted only on the BOOTSTRAP run — replaying a delta
+    run's artifact tree must never wipe previously loaded data, so a
+    delta run's tree is append-only (\\copy manifest + CSVs). New
+    watermarks are computed from the WRITTEN CSVs (see
+    plans/incremental.py on the live-source race) and merged into the
+    `watermarks` dict in place."""
     base = os.path.join(out_dir, db)
     os.makedirs(os.path.join(base, "tables"), exist_ok=True)
     os.makedirs(os.path.join(base, "logs"), exist_ok=True)
+    # bootstrap = first run into this artifact tree (no DDL yet)
+    emit_ddl = incremental_col is None or not os.path.exists(
+        os.path.join(base, "psql_tables.sql")
+    )
     timer = PhaseTimer()
 
     with timer.phase("introspect"):
@@ -95,12 +111,13 @@ def migrate_db(
         _checkpoint(base, "mysql_schema_v2.json", plan.ir_rewritten)
         _checkpoint(base, "psql_schema.json", plan.ir_converted)
 
-    with timer.phase("ddl"):
-        lines = ddl_gen.schema_preamble(v1_schema)
-        for table in plan.ir_converted["tables"].values():
-            lines.append(ddl_gen.drop_table_ddl(table))
-            lines.append(ddl_gen.create_table_ddl(table))
-        _write(base, "psql_tables.sql", "\n".join(lines) + "\n")
+    if emit_ddl:
+        with timer.phase("ddl"):
+            lines = ddl_gen.schema_preamble(v1_schema)
+            for table in plan.ir_converted["tables"].values():
+                lines.append(ddl_gen.drop_table_ddl(table))
+                lines.append(ddl_gen.create_table_ddl(table))
+            _write(base, "psql_tables.sql", "\n".join(lines) + "\n")
 
     with timer.phase("data"):
         manifest: dict[str, str] = {}
@@ -120,15 +137,39 @@ def migrate_db(
         )
         _write(base, "psql_data.sql", "\n".join(copy_lines) + "\n")
 
-    with timer.phase("index_fk"):
-        lines = []
-        for table in plan.ir_converted["tables"].values():
-            lines.extend(ddl_gen.sequence_ddl(table))
-            lines.extend(ddl_gen.create_index_ddl(table))
-            lines.extend(ddl_gen.fk_constraint_ddl(table))
-        _write(base, "psql_index_fk.sql", "\n".join(lines) + "\n")
+    if incremental_col is not None and watermarks is not None:
+        with timer.phase("watermarks"):
+            from mysql2psql_spark.plans.incremental import (
+                advance_watermark,
+                watermark_from_csv,
+            )
 
-    if v1_schema:
+            for key, table in plan.ir_converted["tables"].items():
+                col = table["columns"].get(incremental_col)
+                if key not in frames or col is None or col.get("_SKIP_"):
+                    continue
+                kept = [c["name"] for c in table["columns"].values() if not c.get("_SKIP_")]
+                written = watermark_from_csv(
+                    spark,
+                    os.path.join(base, "tables", f"{table['name']}.sql"),
+                    kept,
+                    col["name"],
+                    ir.spark_type_for(col),
+                )
+                watermarks.update(
+                    advance_watermark(written, key, col["name"], watermarks)
+                )
+
+    if emit_ddl:
+        with timer.phase("index_fk"):
+            lines = []
+            for table in plan.ir_converted["tables"].values():
+                lines.extend(ddl_gen.sequence_ddl(table))
+                lines.extend(ddl_gen.create_index_ddl(table))
+                lines.extend(ddl_gen.fk_constraint_ddl(table))
+            _write(base, "psql_index_fk.sql", "\n".join(lines) + "\n")
+
+    if v1_schema and emit_ddl:
         with timer.phase("views"):
             lines = [
                 ddl_gen.view_ddl(orig, table, v1_schema)
@@ -212,9 +253,9 @@ def main(argv: list[str] | None = None) -> int:
     reports = {}
     for db in dbs:
         frames = frames_for(db)
+        new_marks = None
         if args.incremental:
             from mysql2psql_spark.plans.incremental import (
-                advance_watermark,
                 incremental_scan,
                 load_watermarks,
                 save_watermarks,
@@ -226,9 +267,6 @@ def main(argv: list[str] | None = None) -> int:
             for name, df in list(frames.items()):
                 if args.incremental in df.columns:
                     frames[name] = incremental_scan(df, name, args.incremental, marks)
-                    new_marks = advance_watermark(
-                        frames[name], name, args.incremental, new_marks
-                    )
         reports[db] = migrate_db(
             spark,
             db,
@@ -237,6 +275,8 @@ def main(argv: list[str] | None = None) -> int:
             schema_changes=changes,
             v1_schema=v1,
             threads=int(config.get("threads") or 0),
+            incremental_col=args.incremental,
+            watermarks=new_marks,
         )
         if args.incremental:
             save_watermarks(state, new_marks)

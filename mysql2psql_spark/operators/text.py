@@ -46,7 +46,8 @@ def quality_score(text: Column) -> Column:
 
 
 def shingle_hash_table(
-    docs, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+    docs, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
+    portable: bool = False,
 ):
     """(id, sh): DISTINCT 64-bit k-word-shingle hashes, one row per
     (doc, shingle) — the exploded twin of ``shingles`` and the input shape
@@ -58,6 +59,12 @@ def shingle_hash_table(
     element) evaluates interpreted and measured ~5 s just to build the
     sf0.1 shingle arrays, vs ~1 s for this shape end-to-end. Docs with
     < k tokens contribute no rows (same as their empty shingle array).
+
+    ``portable=True`` swaps xxhash64 for a 60-bit md5-prefix hash that a
+    SQL oracle reproduces bit-for-bit (``CAST('0x'||SUBSTR(MD5(s),1,15) AS
+    BIGINT)`` in DuckDB) — used where the downstream fingerprint itself is
+    hash-compared across engines (SimHash). xxhash64 stays the default:
+    it is ~10x cheaper than md5 and the right choice at scale.
     """
     from pyspark.sql.window import Window as W
 
@@ -73,13 +80,16 @@ def shingle_hash_table(
     )
     win = W.partitionBy(id_col).orderBy("pos")
     parts = [F.col("w")] + [F.lead("w", j).over(win).alias(f"w{j}") for j in range(1, k)]
+    shingle_str = F.concat_ws(" ", "w", *[f"w{j}" for j in range(1, k)])
+    hashed = (
+        F.conv(F.substring(F.md5(shingle_str), 1, 15), 16, 10).cast("long")
+        if portable
+        else F.xxhash64(shingle_str)
+    )
     sh = (
         toks.select(F.col(id_col), *parts)
         .filter(F.col(f"w{k - 1}").isNotNull())
-        .select(
-            F.col(id_col),
-            F.xxhash64(F.concat_ws(" ", "w", *[f"w{j}" for j in range(1, k)])).alias("sh"),
-        )
+        .select(F.col(id_col), hashed.alias("sh"))
     )
     return sh.dropDuplicates([id_col, "sh"])
 

@@ -12,6 +12,13 @@ so an incremental run touches only new data.
 State is a tiny JSON file per pipeline (the same checkpointing spirit as
 the reference's schema JSON artifacts); swap for a table/metastore in
 production without touching callers.
+
+Snapshot consistency: on a LIVE source (JDBC) the extract and a separate
+max(cursor) scan are two queries — rows committed between them would be
+extracted by both this run and the next. The watermark is therefore
+derived from the DUMPED data itself (`watermark_from_csv` reads back the
+written part files, pruning to the cursor column), so the mark always
+equals the max actually shipped, never the max the source briefly had.
 """
 
 from __future__ import annotations
@@ -59,3 +66,29 @@ def advance_watermark(
         m = row["m"]
         out[table] = m.isoformat(sep=" ") if hasattr(m, "isoformat") else m
     return out
+
+
+def watermark_from_csv(
+    spark,
+    path: str,
+    col_names: list[str],
+    cursor_col: str,
+    cursor_type,
+) -> DataFrame:
+    """Single-column frame of the cursor values actually WRITTEN to a
+    reference-dialect CSV directory — the race-free input for
+    `advance_watermark` (the mark derives from the dumped snapshot, not a
+    second live scan). All columns read as strings (complex extension
+    types are JSON text in the CSV); only the cursor column is projected
+    and cast, so the scan prunes to one column."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField(n, T.StringType(), True) for n in col_names])
+    return (
+        spark.read.option("quote", "'")
+        .option("escape", "'")
+        .option("nullValue", "NULL")
+        .schema(schema)
+        .csv(path)
+        .select(F.col(cursor_col).cast(cursor_type).alias(cursor_col))
+    )

@@ -78,7 +78,7 @@ class MigrationPlan:
     ir_rewritten: SchemaIR
     ir_converted: SchemaIR
     pre_sql: dict[str, list[dict[str, Any]]]
-    dump_plans: dict[str, dict[str, str]] = field(default_factory=dict)
+    dump_plans: dict[str, dict[str, list[str]]] = field(default_factory=dict)
 
     def select_exprs(self, table_key: str) -> list[Column]:
         table = self.ir_converted["tables"][table_key]
@@ -86,7 +86,7 @@ class MigrationPlan:
         return [
             dump_expression(key, col, plan.get(key))
             for key, col in table["columns"].items()
-            if col.get("extra") != SKIP
+            if not col.get(SKIP)
         ]
 
     def target_schema(self, table_key: str):
@@ -163,7 +163,7 @@ def register_compat_views(
         df = migrated[key]
         cols = []
         for orig_key, col in table["columns"].items():
-            if col.get("extra") == SKIP:
+            if col.get(SKIP):
                 cols.append(F.lit(None).alias(orig_key))
             else:
                 cols.append(F.col(col["name"]).alias(orig_key))

@@ -54,3 +54,59 @@ def _load_all() -> None:
 
 
 _load_all()
+
+# ---------------------------------------------------------------------------
+# Driver presentation order. The correctness driver walks ``queries()`` in
+# dict order under a bounded budget (round 1 stopped after exactly 50
+# entries), so registration order decides which operators get a driver row.
+# Front-load the queries that had NO row in CORRECTNESS_r01.json — the whole
+# F-family (the reference's value-conversion semantics,
+# /root/reference/dumperAuxFuncs.py:8-41), the m1 lifecycle pipeline, and the
+# sim/stream/embedding extension surface — then the previously-verified set
+# (all 50 were green in r01) in registration order.
+# ---------------------------------------------------------------------------
+_DRIVER_FIRST = [
+    # F-family: reference scalar semantics (SURVEY §2.8)
+    "f1_concat_reference",
+    "f5_interval_shift",
+    "f6_boolean_coercion",
+    "f7_zero_date_handling",
+    "f8_zero_datetime_handling",
+    "f9_fk_zero_to_null",
+    "f10_blob_empty",
+    "f11_time_guard",
+    "f_json_extract",
+    "f_json_typed_struct",
+    # M1: the whole §3.1 migration lifecycle as one query
+    "m1_migration_pipeline",
+    # joins+/quality extension ops without r01 rows
+    "j5_asof_last_order",
+    "quality_quarantine",
+    # streaming twins (batch shape; true readStream twins pinned in tests)
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_sessionize",
+    "stream_dedup_first",
+    # similarity / embedding family
+    "sim_cosine_scores",
+    "sim_cosine_topk",
+    "sim_multi_probe_topk",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "sim_ann_lsh_topk",
+    "sim_ann_ivf_topk",
+    # dedup/text extensions
+    "dedup_clusters",
+    "text_bpe_token_count",
+    "text_stratified_sample",
+]
+
+
+def driver_ordered(mapping: dict[str, object]) -> dict:
+    """Return ``mapping`` reordered: evidence-gap queries first, then the
+    rest in registration order. Names in ``_DRIVER_FIRST`` that are absent
+    from ``mapping`` (e.g. rows-only queries absent from ORACLE) are skipped.
+    """
+    ordered = {n: mapping[n] for n in _DRIVER_FIRST if n in mapping}
+    ordered.update((n, v) for n, v in mapping.items() if n not in ordered)
+    return ordered

@@ -549,14 +549,35 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# §2.4 fill: approximate distinct count (HLL) — no SQL oracle (estimates
-# are engine-specific); tests pin the estimate within 5% of exact.
+# §2.4 fill: approximate distinct count (HLL). Raw estimates are
+# engine-specific, so the driver-hashed columns are the exact count plus
+# each engine's own within-5% assertion over its HLL estimate — the
+# estimate is still computed and checked on both sides, and the row set
+# hash-matches exactly.
 # ---------------------------------------------------------------------------
-@query("agg_approx_distinct")
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_custs,
+           ABS(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey))
+             <= 0.05 * COUNT(DISTINCT o_custkey) AS approx_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_custs"),
+    agg = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_custs"),
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("_approx"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        "exact_custs",
+        (F.abs(F.col("_approx") - F.col("exact_custs")) <= 0.05 * F.col("exact_custs")).alias(
+            "approx_ok"
+        ),
     )
 
 

@@ -1,9 +1,19 @@
 """Scale-path dedup + multimodal queries.
 
-dedup_minhash_lsh / dedup_simhash are probabilistic-candidate operators
-(exact-verified for MinHash), so they carry no SQL oracle — the driver
-records the weaker rows-only check, and tests/test_operators.py pins
-their agreement with the exact dedup_ngram_jaccard verifier instead.
+Both probabilistic-candidate operators carry EXACT SQL oracles:
+
+- dedup_minhash_lsh exact-verifies its banding candidates (output =
+  pairs with true Jaccard >= 0.5), and the banding threshold (~0.59 for
+  b=8, r=4) sits far below the fixture's true-pair Jaccard floor (0.89),
+  so recall is 1 and the output equals the all-pairs answer — which the
+  oracle computes directly (size-window blocked, lossless for J >= 0.5).
+  tests/test_operators.py pins the recall=1 premise against the
+  unblocked truth.
+- dedup_simhash is restated in SQL wholesale: features use a 60-bit
+  md5-prefix hash both engines compute bit-for-bit, the oracle rebuilds
+  the per-bit majority fingerprint with 60 conditional sums, and the
+  8x8 pigeonhole banding is lossless for hamming <= 7, so the oracle is
+  just the Hamming filter over the XOR popcount.
 """
 
 from __future__ import annotations
@@ -16,21 +26,68 @@ from mysql2psql_spark.operators.multimodal import extract_features, with_binary_
 from mysql2psql_spark.operators.text import shingle_hash_table
 from mysql2psql_spark.queries import query
 from mysql2psql_spark.sources import load_table
+from mysql2psql_spark.queries.text_q import _SHINGLE_SQL
+
+_JACCARD = """CAST(LEN(LIST_INTERSECT(a.sg, b.sg)) AS DOUBLE)
+                 / (LEN(a.sg) + LEN(b.sg) - LEN(LIST_INTERSECT(a.sg, b.sg)))"""
 
 
-@query("dedup_minhash_lsh")  # rows-only: probabilistic candidate generation
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND({_JACCARD}, 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.doc_id < b.doc_id
+         AND LEN(b.sg) BETWEEN CAST(CEIL(LEN(a.sg) * 0.5) AS BIGINT)
+                           AND CAST(FLOOR(LEN(a.sg) * 2.0) AS BIGINT)
+    WHERE {_JACCARD} >= 0.5
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(shingle_hash_table(d), threshold=0.5)
 
 
-@query("dedup_simhash")  # rows-only: Hamming-band candidates
+def _simhash_oracle(max_hamming: int = 7, bits: int = 60) -> str:
+    """DuckDB SQL computing the identical SimHash pair set: md5-prefix
+    60-bit feature hashes -> per-bit majority fingerprint -> Hamming
+    filter (banding is pigeonhole-lossless for hamming <= 7, so the
+    candidate step needs no SQL restatement)."""
+    majority = "\n           + ".join(
+        f"CASE WHEN 2 * SUM((h >> {i}) & 1) > COUNT(*)"
+        f" THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
+    WITH sg AS ({_SHINGLE_SQL}),
+    feat AS (
+      SELECT DISTINCT doc_id,
+             CAST(CONCAT('0x', SUBSTR(MD5(g), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, UNNEST(sg) AS g FROM sg)
+    ),
+    fp AS (
+      SELECT doc_id,
+             ( {majority} ) AS f
+      FROM feat GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(BIT_COUNT(XOR(a.f, b.f)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE BIT_COUNT(XOR(a.f, b.f)) <= {max_hamming}
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SimHash features = 3-word shingle hashes (unigram features are
     # useless on a small vocabulary: every doc has nearly the same word
-    # set, so unigram SimHashes collide corpus-wide)
+    # set, so unigram SimHashes collide corpus-wide). portable=True uses
+    # the md5-prefix hash so the oracle rebuilds identical fingerprints.
     d = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(shingle_hash_table(d), max_hamming=7)
+    pairs = simhash_pairs(shingle_hash_table(d, portable=True), max_hamming=7)
+    return pairs.withColumn("hamming", F.col("hamming").cast("int"))
 
 
 # ---------------------------------------------------------------------------

@@ -33,12 +33,12 @@ from mysql2psql_spark.sources import load_table
            CONCAT_WS(',', n_name, CAST(n_nationkey AS VARCHAR)) AS name_key,
            UPPER(SUBSTR(n_name, 1, 3)) AS prefix3
     FROM nation
-    WHERE n_name LIKE 'A%'
+    WHERE n_name LIKE 'NATION_1%'
     """,
 )
 def f1_concat_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
-    return n.filter(F.col("n_name").startswith("A")).select(
+    return n.filter(F.col("n_name").startswith("NATION_1")).select(
         "n_nationkey",
         F.concat(F.col("n_name"), F.lit(" ("), F.col("n_regionkey").cast("string"), F.lit(")")).alias("fk_ref"),
         F.concat_ws(",", F.col("n_name"), F.col("n_nationkey").cast("string")).alias("name_key"),

@@ -139,11 +139,13 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # N-gram (3-word-shingle) Jaccard near-dup pairs, exact (oracle-checked).
 # Shingle sets are far more discriminative than unigram sets (planted
-# near-dups score 0.9+, unrelated docs < 0.3). Blocked on `source` plus a
-# lossless shingle-count window (Jaccard >= 0.5 requires |A|/|B| in
-# [0.5, 2]), which kills most of the quadratic pair space before any array
-# intersection work. At 100 TB the block key becomes an LSH band — see
-# dedup_minhash_lsh — and this exact variant doubles as its verifier.
+# near-dups score 0.9+, unrelated docs < 0.3). Candidates come from
+# PREFIX FILTERING (rarest-shingle-first, AllPairs/PPJoin principle) —
+# a lossless exact block whose size is bounded by the document frequency
+# of rare shingles, not by the corpus: the scale-correct exact shape
+# (blocking on `source` alone would go quadratic within a source at
+# 100x). The probabilistic twin is dedup_minhash_lsh; both emit all
+# pairs with J >= 0.5, so they verify each other.
 # ---------------------------------------------------------------------------
 _SHINGLE_SQL = """
       SELECT doc_id, source,
@@ -155,13 +157,16 @@ _SHINGLE_SQL = """
 
 @query(
     "dedup_ngram_jaccard",
+    # The oracle needs no prefix restatement: prefix filtering is
+    # lossless for J >= 0.5, so the answer equals the size-window-blocked
+    # all-pairs Jaccard join (the window itself is lossless too).
     oracle=f"""
     WITH sh AS ({_SHINGLE_SQL})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            ROUND(CAST(LEN(LIST_INTERSECT(a.sg, b.sg)) AS DOUBLE)
                  / (LEN(a.sg) + LEN(b.sg) - LEN(LIST_INTERSECT(a.sg, b.sg))), 6) AS jaccard
     FROM sh a JOIN sh b
-      ON a.source = b.source AND a.doc_id < b.doc_id
+      ON a.doc_id < b.doc_id
          AND LEN(b.sg) BETWEEN CAST(CEIL(LEN(a.sg) * 0.5) AS BIGINT)
                            AND CAST(FLOOR(LEN(a.sg) * 2.0) AS BIGINT)
     WHERE CAST(LEN(LIST_INTERSECT(a.sg, b.sg)) AS DOUBLE)
@@ -170,46 +175,14 @@ _SHINGLE_SQL = """
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Work on 64-bit shingle hashes, not strings (collisions ~0; the
-    # oracle intersects raw shingle sets). The pair space blocks on
-    # (source, size window), and intersections come from joining the
-    # exploded shingle table — no shingle arrays, no interpreted
-    # array_intersect per pair (same verify shape as minhash_lsh_pairs).
+    # oracle intersects raw shingle sets). Candidates via prefix
+    # filtering, verification via the exploded-intersection join — no
+    # shingle arrays, no interpreted array_intersect per pair.
+    from mysql2psql_spark.operators.dedup import prefix_filter_pairs
     from mysql2psql_spark.operators.text import shingle_hash_table
 
     d = load_table(spark, sf_dir, "documents")
-    sh = shingle_hash_table(d)
-    meta = sh.groupBy("doc_id").agg(F.count("*").alias("n")).join(
-        d.select("doc_id", "source"), "doc_id"
-    )
-    a = meta.select(
-        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), F.col("source").alias("src")
-    )
-    b = meta.select(
-        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), F.col("source").alias("src")
-    )
-    # lossless size window: Jaccard >= 0.5 requires |B| in [|A|/2, 2|A|]
-    cand = (
-        a.join(b, "src")
-        .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("nb") >= F.ceil(F.col("na") * 0.5))
-            & (F.col("nb") <= F.floor(F.col("na") * 2.0))
-        )
-        .select("doc_a", "doc_b", "na", "nb")
-    )
-    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (
-        cand.join(a_sh, "doc_a")
-        .join(b_sh, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    pairs = inter.join(cand, ["doc_a", "doc_b"])
-    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return pairs.filter(jac >= 0.5).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
-    )
+    return prefix_filter_pairs(shingle_hash_table(d), threshold=0.5)
 
 
 # ---------------------------------------------------------------------------

@@ -9,9 +9,12 @@ RuleHandler.py; rule files at /root/reference/rules/*.json):
    - table value "_SKIP_" deletes the table (RuleHandler.py:41-43)
    - "name" renames table / column (RuleHandler.py:61-65)
    - column value "_SKIP_" drops the column (RuleHandler.py:66-69) —
-     recorded as extra="_SKIP_" so downstream view generation can
-     NULL-backfill it (PsqlParser.py:184)
-   - a "type" override nulls the stale "size" (RuleHandler.py:71-73)
+     recorded under a dedicated "_SKIP_": True key (the reference's own
+     checkpoint shape, RuleHandler.py:66) so downstream view generation
+     can NULL-backfill it (PsqlParser.py:184)
+   - a "type" override nulls the stale "size" ONLY when the same rule
+     does not set "size" itself (RuleHandler.py:71-73: `'size' not in
+     col_attrs`)
    - "_PRE_SQL_" raw statements are collected, never executed against the
      source (engine deviation, SURVEY §7: re-expressed as transformations)
 
@@ -49,7 +52,7 @@ def apply_schema_changes(ir: SchemaIR, changes: dict[str, Any]) -> tuple[SchemaI
     """Pipeline stage [2] (main.py:59-64): returns (rewritten IR,
     {table: [pre-SQL statements]}). The IR keeps ORIGINAL column keys with
     rewritten "name" attrs (rename resolution happens at plan build), and
-    skipped columns stay present flagged extra=_SKIP_ so the view
+    skipped columns stay present flagged _SKIP_=True so the view
     generator can backfill them.
     """
     out = clone(ir)
@@ -71,12 +74,14 @@ def apply_schema_changes(ir: SchemaIR, changes: dict[str, Any]) -> tuple[SchemaI
                 continue
             col = table["columns"][cname]
             if crule == SKIP:
-                col["extra"] = SKIP
+                col[SKIP] = True
                 continue
             for attr, val in crule.items():
                 col[attr] = val
-                if attr == "type":
-                    col["size"] = None  # stale size (RuleHandler.py:71-73)
+            # stale size: only when the rule overrides "type" WITHOUT
+            # also setting "size" (RuleHandler.py:71-73)
+            if "type" in crule and "size" not in crule:
+                col["size"] = None
     return out, pre_sql
 
 
@@ -114,16 +119,17 @@ def apply_node_rules(ir: SchemaIR, node_rules: dict[str, Any]) -> SchemaIR:
 # --- 3. dump rules (value conversion dispatch) --------------------------------
 
 
-def compile_dump_plan(table: TableIR, dump_rules: dict[str, Any]) -> dict[str, str]:
+def compile_dump_plan(table: TableIR, dump_rules: dict[str, Any]) -> dict[str, list[str]]:
     """Per-column method-name dispatch over the CONVERTED (psql) schema,
-    mirroring tranf_method compilation (PsqlParser.py:200-209). Returns
-    {column_key: method_name}; first matching rule wins."""
-    plan: dict[str, str] = {}
+    mirroring tranf_method compilation (PsqlParser.py:200-214). Returns
+    {column_key: [method_name, ...]}: the reference accumulates EVERY
+    matching (attr, rule) into tuple_to_check and applies them in
+    sequence (_apply_raw_dump_rules), so e.g. a nullable FK datetime
+    column gets both notNullableDatetime and refToNullable."""
+    plan: dict[str, list[str]] = {}
     col_rules = dump_rules.get("column", {})
     for key, col in table["columns"].items():
         for attr, rules in col_rules.items():
-            if key in plan:
-                break
             for rule in rules:
                 matches = (
                     col.get(attr) is not None
@@ -131,15 +137,16 @@ def compile_dump_plan(table: TableIR, dump_rules: dict[str, Any]) -> dict[str, s
                     else str(col.get(attr, "")).lower() == str(rule["value"]).lower()
                 )
                 if matches:
-                    plan[key] = rule["method"]
-                    break
+                    plan.setdefault(key, []).append(rule["method"])
     return plan
 
 
-def dump_expression(col_key: str, col: dict[str, Any], method: str | None) -> Column:
-    """Resolve one column's conversion into a Column expression, aliased
-    to its (possibly renamed) output name."""
+def dump_expression(col_key: str, col: dict[str, Any], methods: list[str] | None) -> Column:
+    """Resolve one column's conversion chain into a Column expression,
+    aliased to its (possibly renamed) output name. Methods compose in
+    rule order, exactly as the reference applies them row-by-row
+    (PsqlParser.py:210-214)."""
     expr = F.col(col_key)
-    if method is not None:
+    for method in methods or ():
         expr = DUMP_FUNCTIONS[method](expr, nullable=bool(col["nullable"]))
     return expr.alias(col["name"])

@@ -10,14 +10,22 @@ coalesce(1) away when a sink really needs it)."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
 def write_reference_csv(df: DataFrame, path: str, single_file: bool = False) -> str:
-    """Write reference-dialect CSV; returns the matching \\copy command
-    (the psql_data.sql manifest line, PsqlParser.py:136-137)."""
+    """Write reference-dialect CSV; returns the matching \\copy command(s)
+    (the psql_data.sql manifest line, PsqlParser.py:136-137).
+
+    psql's \\copy reads FILES, not directories, so the manifest targets
+    the actual part file(s) inside Spark's output directory: one line for
+    the single part when ``single_file=True`` (the reference's one-CSV-
+    per-table layout), else one \\copy line per part file — same rows,
+    loadable in parallel psql sessions at scale."""
     # CSV is flat; the reference's world has no nested types, so our
     # extension columns (array/map/struct, e.g. embeddings) serialize as
     # JSON text — matching their varchar mapping in the introspected DDL
@@ -42,7 +50,11 @@ def write_reference_csv(df: DataFrame, path: str, single_file: bool = False) -> 
     # files are written as tables/<t>.sql (reference naming); the \copy
     # targets the bare table name
     table = path.rstrip("/").rsplit("/", 1)[-1].removesuffix(".sql")
-    return (
-        f"\\copy \"{table}\" ({cols}) FROM '{path}' "
+    parts = sorted(
+        str(p) for p in Path(path).glob("part-*.csv")
+    ) or [path]  # non-local filesystems: fall back to the directory URI
+    return "\n".join(
+        f"\\copy \"{table}\" ({cols}) FROM '{p}' "
         "WITH (FORMAT CSV, QUOTE '''', DELIMITER ',', NULL 'NULL');"
+        for p in parts
     )

@@ -33,7 +33,7 @@ def _q(name: str) -> str:
 
 
 def _active_columns(table: TableIR) -> dict[str, dict]:
-    return {k: c for k, c in table["columns"].items() if c.get("extra") != SKIP}
+    return {k: c for k, c in table["columns"].items() if not c.get(SKIP)}
 
 
 def _categorized(table: TableIR) -> list[dict]:
@@ -135,7 +135,7 @@ def view_ddl(original_name: str, table: TableIR, v1_schema: str = "v1") -> str:
     old_names, new_exprs = [], []
     for key, col in table["columns"].items():
         old_names.append(_q(key))
-        if col.get("extra") == SKIP:
+        if col.get(SKIP):
             new_exprs.append("NULL")
         else:
             new_exprs.append(_q(col["name"]))
@@ -162,10 +162,15 @@ def schema_preamble(v1_schema: str | None = None) -> list[str]:
 
 def load_preamble() -> list[str]:
     """D10 (PsqlParser.py:357-365): session options before the bulk data
-    load — string literal compatibility + FK checks deferred so load
-    order inside the transaction doesn't matter."""
+    load — standard-conforming string literals ON (the reference's
+    `SET standard_conforming_strings=on`, so backslashes are literal in
+    the emitted data) + FK checks deferred so load order inside the
+    transaction doesn't matter."""
     return [
-        "SET standard_conforming_strings = 'off';",
+        "SET standard_conforming_strings = 'on';",
+        "SET escape_string_warning = 'on';",
+        "SET client_min_messages TO ERROR;",
+        "SET client_encoding = 'UTF8';",
         "SET CONSTRAINTS ALL DEFERRED;",
     ]
 

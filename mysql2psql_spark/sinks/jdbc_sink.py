@@ -45,11 +45,12 @@ def load_statement_plan(
     ("sql", statement) executed on the driver connection or
     ("write", table_name) performed by executors via df.write.jdbc.
     Constraint checking is deferred across the data phase."""
+    from mysql2psql_spark.sinks.ddl import load_epilogue, load_preamble
+
     plan: list[tuple[str, Any]] = [("sql", s) for s in ddl]
-    plan.append(("sql", "SET standard_conforming_strings = 'off';"))
-    plan.append(("sql", "SET CONSTRAINTS ALL DEFERRED;"))
+    plan.extend(("sql", s) for s in load_preamble())
     plan.extend(("write", t) for t in tables)
-    plan.append(("sql", "SET CONSTRAINTS ALL IMMEDIATE;"))
+    plan.extend(("sql", s) for s in load_epilogue())
     plan.extend(("sql", s) for s in views)
     plan.extend(("sql", s) for s in index_fk)
     return plan
@@ -64,25 +65,33 @@ def execute_load(
     run_sql=None,
 ) -> None:
     """Run a load plan. `run_sql` executes one statement on the target
-    (injectable for tests; defaults to a JDBC driver connection through
-    the JVM). Data writes append via executor-parallel batched inserts —
-    the table exists from the DDL phase, so mode='append' never lets
-    Spark re-derive DDL from the DataFrame schema."""
+    (injectable for tests; defaults to ONE shared JDBC connection through
+    the JVM, opened once and committed at the end — the reference pipes
+    the whole script into a single psql session, so session SETs and
+    SET CONSTRAINTS deferral must see the same connection to take
+    effect). Data writes append via executor-parallel batched inserts on
+    their own connections — the table exists from the DDL phase, so
+    mode='append' never lets Spark re-derive DDL from the DataFrame
+    schema, and index/FK DDL runs after data so per-executor connections
+    don't weaken the deferral semantics."""
+    conn = None
     if run_sql is None:  # pragma: no cover - needs a live PostgreSQL
-
-        def run_sql(stmt: str) -> None:
-            spark = next(iter(frames.values())).sparkSession
-            jvm = spark._jvm
-            conn = jvm.java.sql.DriverManager.getConnection(url, props["user"], props["password"])
-            try:
-                conn.createStatement().execute(stmt)
-            finally:
-                conn.close()
-
-    for kind, payload in plan:
-        if kind == "sql":
-            run_sql(payload)
-        else:
-            frames[payload].write.mode("append").option("batchsize", str(batchsize)).jdbc(
-                url, payload, properties=props
-            )
+        spark = next(iter(frames.values())).sparkSession
+        jvm = spark._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(url, props["user"], props["password"])
+        conn.setAutoCommit(False)
+        statement = conn.createStatement()
+        run_sql = statement.execute
+    try:
+        for kind, payload in plan:
+            if kind == "sql":
+                run_sql(payload)
+            else:
+                frames[payload].write.mode("append").option("batchsize", str(batchsize)).jdbc(
+                    url, payload, properties=props
+                )
+        if conn is not None:
+            conn.commit()
+    finally:
+        if conn is not None:
+            conn.close()

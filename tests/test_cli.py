@@ -117,8 +117,8 @@ def test_data_manifest_has_load_session_wrappers(spark, tmp_path):
     frames = {"region": load_table(spark, SF_DIR, "region")}
     migrate_db(spark, "db2", frames, str(tmp_path))
     manifest = (tmp_path / "db2" / "psql_data.sql").read_text().splitlines()
-    assert manifest[0] == "SET standard_conforming_strings = 'off';"
-    assert manifest[1] == "SET CONSTRAINTS ALL DEFERRED;"
+    assert manifest[0] == "SET standard_conforming_strings = 'on';"  # PsqlParser.py:360
+    assert "SET CONSTRAINTS ALL DEFERRED;" in manifest[:5]
     assert manifest[-1] == "SET CONSTRAINTS ALL IMMEDIATE;"
 
 
@@ -140,6 +140,9 @@ def test_cli_incremental_two_runs(spark, tmp_path):
     marks = json.load(open(f"{out}/events_db/watermarks.json"))
     n_events = load_table(spark, SF_DIR, "events").count()
     assert marks["events"] == n_events - 1  # event_ids are 0..n-1
+    # bootstrap run emits the full DDL tree
+    assert os.path.exists(f"{out}/events_db/psql_tables.sql")
+    ddl_mtime = os.path.getmtime(f"{out}/events_db/psql_tables.sql")
 
     # second run over unchanged source: zero rows extracted, mark holds
     r2 = run()
@@ -150,3 +153,9 @@ def test_cli_incremental_two_runs(spark, tmp_path):
 
     csv = _glob.glob(f"{out}/events_db/tables/events.sql/*.csv")
     assert csv and sum(os.path.getsize(c) for c in csv) == 0
+    # delta runs must be append-only: the destructive DDL artifacts
+    # (DROP SCHEMA/TABLE CASCADE) are NOT regenerated, so replaying the
+    # artifact tree never wipes previously loaded data
+    assert os.path.getmtime(f"{out}/events_db/psql_tables.sql") == ddl_mtime
+    data_sql = open(f"{out}/events_db/psql_data.sql").read()
+    assert "DROP" not in data_sql.upper()

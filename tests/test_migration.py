@@ -91,7 +91,9 @@ def test_schema_rewrite_and_type_map(plan):
     assert rem["columns"]["resa_id"]["name"] == "reservation_id"  # P3
     assert rem["columns"]["resa_id"]["reference"] == "reservation (id)"
     assert rem["columns"]["user_id"]["nullable"] is True
-    assert rem["columns"]["legacy_col"]["extra"] == "_SKIP_"  # P4
+    assert rem["columns"]["legacy_col"]["_SKIP_"] is True  # P4
+    # the real "extra" attr survives the skip (reference keeps it too)
+    assert rem["columns"]["legacy_col"].get("extra") != "_SKIP_"
     res = tables["reservation"]
     assert res["columns"]["is_active"]["type"] == "boolean"  # _IF_ tinyint(1)
     assert res["columns"]["created_at"]["type"] == "timestamp"
@@ -115,12 +117,12 @@ def test_struct_type_metadata(plan):
 
 def test_dump_plan_dispatch(plan):
     dp = plan.dump_plans["reservation"]
-    assert dp["is_active"] == "convertStrBoolean"  # F6 via type=boolean
-    assert dp["photo"] == "makeItEmpty"  # F10 via type=bytea
-    assert dp["start_time"] == "makeItTime"  # F11 via type=TIME
-    assert dp["created_at"] == "notNullableDatetime"  # F8 via fullType
+    assert dp["is_active"] == ["convertStrBoolean"]  # F6 via type=boolean
+    assert dp["photo"] == ["makeItEmpty"]  # F10 via type=bytea
+    assert dp["start_time"] == ["makeItTime"]  # F11 via type=TIME
+    assert dp["created_at"] == ["notNullableDatetime"]  # F8 via fullType
     dp2 = plan.dump_plans["reservation_reminder"]
-    assert dp2["resa_id"] == "refToNullable"  # F9 via reference notNone
+    assert dp2["resa_id"] == ["refToNullable"]  # F9 via reference notNone
 
 
 def test_pre_sql_compiles_to_semi_join():
@@ -267,10 +269,43 @@ def test_reference_rule_files_golden():
     assert cols["created"]["type"] == "timestamp"
 
     dispatch = compile_dump_plan(schema["tables"]["t"], dump_rules)
-    assert dispatch["flag"] == "convertStrBoolean"
-    assert dispatch["bin"] == "makeItEmpty"
-    assert dispatch["created"] == "notNullableDatetime"
-    assert dispatch["fk"] == "refToNullable"
+    assert dispatch["flag"] == ["convertStrBoolean"]
+    assert dispatch["bin"] == ["makeItEmpty"]
+    assert dispatch["created"] == ["notNullableDatetime"]
+    assert dispatch["fk"] == ["refToNullable"]
+
+
+def test_dump_rules_compose_in_sequence(spark):
+    """A nullable FK datetime column matches BOTH notNullableDatetime and
+    refToNullable; the reference applies every match in rule order
+    (PsqlParser.py:200-214), not first-match-wins."""
+    import json
+
+    from mysql2psql_spark import schema_ir as ir
+    from mysql2psql_spark.rules.handler import compile_dump_plan, dump_expression
+
+    with open(f"{REF_RULES}/mysql_raw_dump.json") as f:
+        dump_rules = json.load(f)
+    table = ir.new_table(
+        "t",
+        [
+            ir.new_column(
+                "fk_created", "timestamp", full_type="datetime",
+                reference="parent (id)", nullable=True,
+            ),
+        ],
+    )
+    dispatch = compile_dump_plan(table, dump_rules)
+    assert dispatch["fk_created"] == ["notNullableDatetime", "refToNullable"]
+
+    # and the composed expression evaluates both conversions in order:
+    # zero-datetime -> NULL (stays NULL through refToNullable), '0' -> NULL
+    df = spark.createDataFrame(
+        [("0000-00-00 00:00:00",), ("0",), ("2021-05-01 10:00:00",)], ["fk_created"]
+    )
+    col = table["columns"]["fk_created"]
+    out = [r[0] for r in df.select(dump_expression("fk_created", col, dispatch["fk_created"])).collect()]
+    assert out == [None, None, "2021-05-01 10:00:00"]
 
 
 def test_incremental_watermark_two_runs(spark, tmp_path):

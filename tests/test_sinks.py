@@ -18,6 +18,16 @@ def test_reference_csv_dialect(spark, tmp_path):
     copy_cmd = write_reference_csv(df, path, single_file=True)
     assert "FORMAT CSV, QUOTE '''', DELIMITER ',', NULL 'NULL'" in copy_cmd
     assert '"id", "s", "v"' in copy_cmd
+    # \copy reads files, not directories: the manifest must target the
+    # actual part file, and single_file=True must yield exactly one line
+    import re
+
+    (copy_line,) = copy_cmd.splitlines()
+    (target,) = re.findall(r"FROM '([^']+)'", copy_line)
+    import os
+
+    assert os.path.isfile(target), target
+    assert target.endswith(".csv")
     text = spark.read.text(path).collect()
     lines = sorted(r.value for r in text)
     # single-quote doubling + NULL literal (PsqlParser.py:374-383 semantics)
@@ -27,7 +37,13 @@ def test_reference_csv_dialect(spark, tmp_path):
 def test_csv_roundtrip(spark, tmp_path):
     df = load_table(spark, SF_DIR, "nation")
     path = str(tmp_path / "nation")
-    write_reference_csv(df, path)
+    copy_cmd = write_reference_csv(df, path)
+    # multi-part write: one \copy line per part file, all real files
+    import os
+    import re
+
+    targets = re.findall(r"FROM '([^']+)'", copy_cmd)
+    assert targets and all(os.path.isfile(t) for t in targets)
     back = (
         spark.read.option("quote", "'")
         .option("nullValue", "NULL")
@@ -60,10 +76,17 @@ def test_jdbc_load_plan_ordering():
         index_fk=['ALTER TABLE "t" ADD CONSTRAINT c FOREIGN KEY (a) REFERENCES p (a);'],
     )
     kinds = [k for k, _ in plan]
-    # strict reference order: DDL -> (defer) data (immediate) -> views -> index/FK
-    assert kinds == ["sql", "sql", "sql", "write", "sql", "sql", "sql"]
+    # strict reference order: DDL -> preamble (defer) -> data -> immediate
+    # -> views -> index/FK; preamble length tracks ddl.load_preamble()
+    from mysql2psql_spark.sinks.ddl import load_preamble
+
+    n_pre = len(load_preamble())
+    assert kinds == ["sql"] * (1 + n_pre) + ["write"] + ["sql"] * 3
     stmts = [p for k, p in plan if k == "sql"]
-    assert stmts.index("SET CONSTRAINTS ALL DEFERRED;") < 3
+    assert stmts.index("SET CONSTRAINTS ALL DEFERRED;") <= n_pre
+    assert stmts.index("SET CONSTRAINTS ALL DEFERRED;") < stmts.index(
+        "SET CONSTRAINTS ALL IMMEDIATE;"
+    )
     assert any("FOREIGN KEY" in s for s in stmts[-1:])
 
     url, props = psql_url({"psql": {"host": "h", "port": 5433, "user": "u", "password": "p"}})
@@ -81,6 +104,11 @@ def test_jdbc_execute_load_with_mock(spark):
     plan = load_statement_plan(ddl=["A;"], tables=[], views=["B;"], index_fk=["C;"])
     execute_load(plan, {}, "jdbc:postgresql://x/none", {"user": "", "password": ""},
                  run_sql=executed.append)
-    assert executed == ["A;", "SET standard_conforming_strings = 'off';",
-                        "SET CONSTRAINTS ALL DEFERRED;", "SET CONSTRAINTS ALL IMMEDIATE;",
-                        "B;", "C;"]
+    # reference session preamble (PsqlParser.py:357-365): conforming
+    # strings ON, then deferral; epilogue re-arms before views/FK
+    assert executed[0] == "A;"
+    assert "SET standard_conforming_strings = 'on';" in executed
+    assert executed.index("SET CONSTRAINTS ALL DEFERRED;") < executed.index(
+        "SET CONSTRAINTS ALL IMMEDIATE;"
+    )
+    assert executed[-2:] == ["B;", "C;"]
