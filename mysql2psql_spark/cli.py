@@ -81,6 +81,7 @@ def migrate_db(
     threads: int = 0,
     incremental_col: str | None = None,
     watermarks: dict[str, Any] | None = None,
+    bootstrap_creds: tuple[str, str] | None = None,
 ) -> dict[str, float]:
     """The §3.1 lifecycle for one database worth of DataFrames.
 
@@ -169,6 +170,20 @@ def migrate_db(
                 lines.extend(ddl_gen.fk_constraint_ddl(table))
             _write(base, "psql_index_fk.sql", "\n".join(lines) + "\n")
 
+    if bootstrap_creds is not None and emit_ddl:
+        # D9 (reference generate_sql_user, PsqlParser.py:43-48): emitted
+        # even when the credential set resolves to "" (root/empty), like
+        # the reference's unconditional open/write
+        with timer.phase("users"):
+            user, password = bootstrap_creds
+            _write(
+                base,
+                "psql_users.sql",
+                ddl_gen.user_bootstrap_sql(
+                    user, password, f"client_{db}", v1_schema=v1_schema or "v1"
+                ),
+            )
+
     if v1_schema and emit_ddl:
         with timer.phase("views"):
             lines = [
@@ -205,6 +220,23 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--schema-changes", default=None, help="schema_changes.json (reference format)")
     p.add_argument("--v1-schema", default=None, help="emit v1 compatibility views")
     p.add_argument(
+        "--from-dump",
+        default=None,
+        metavar="DUMP_FILE",
+        help="S7 dump mode (reference generate_dump_from_mysql_dump): "
+        "convert a mysqldump SQL text file into <out>/<db>/psql_dump.sql "
+        "applying --schema-changes renames/skips; no live source is read",
+    )
+    p.add_argument(
+        "--bootstrap-user",
+        default=None,
+        metavar="IDENTIFIER",
+        help="emit psql_users.sql (D9 user/grant bootstrap): credentials "
+        "come from an S6 point lookup on a `client_db` table among the "
+        "source tables (login/pass WHERE identifier=IDENTIFIER, the "
+        "reference's get_user_user_pass), else from config['client_db']",
+    )
+    p.add_argument(
         "--incremental",
         default=None,
         metavar="CURSOR_COL",
@@ -234,6 +266,19 @@ def main(argv: list[str] | None = None) -> int:
             return read_tables(spark, config, db, args.tables)
         p.error(f"unknown --source {args.source}")
 
+    if args.from_dump:
+        # S7: the deprecated dump-file mode is a standalone conversion —
+        # no live source, no extraction pipeline (PsqlParser.py:73-98)
+        from mysql2psql_spark.sources.dump_file import convert_dump_file
+
+        base = os.path.join(args.out, args.database)
+        os.makedirs(base, exist_ok=True)
+        n = convert_dump_file(
+            spark, args.from_dump, os.path.join(base, "psql_dump.sql"), changes
+        )
+        print(json.dumps({"databases": {args.database: {"insert_lines": n}}}))
+        return 0
+
     if args.database == "all-databases":
         # reference entry point 2 (main.py:118-123,167): every database,
         # optional name prefix from config, each through the same pipeline.
@@ -249,6 +294,24 @@ def main(argv: list[str] | None = None) -> int:
             dbs = list_databases(spark, url, props, prefix=config.get("prefix") or None)
     else:
         dbs = [args.database]
+
+    def bootstrap_creds_for(frames: dict[str, Any]) -> tuple[str, str] | None:
+        """S6 credentials path (MysqlParser.get_user_user_pass:262-274):
+        point lookup by identifier, fetchone -> (login, pass)."""
+        if not args.bootstrap_user:
+            return None
+        if "client_db" in frames:
+            from pyspark.sql import functions as F
+
+            row = (
+                frames["client_db"]
+                .filter(F.col("identifier") == args.bootstrap_user)
+                .select("login", "pass")
+                .head()
+            )
+            return (None, None) if row is None else (row["login"], row["pass"])
+        cfg = config.get("client_db", {}).get(args.bootstrap_user, {})
+        return (cfg.get("login"), cfg.get("pass"))
 
     reports = {}
     for db in dbs:
@@ -277,6 +340,7 @@ def main(argv: list[str] | None = None) -> int:
             threads=int(config.get("threads") or 0),
             incremental_col=args.incremental,
             watermarks=new_marks,
+            bootstrap_creds=bootstrap_creds_for(frames),
         )
         if args.incremental:
             save_watermarks(state, new_marks)

@@ -66,6 +66,8 @@ _load_all()
 # (all 50 were green in r01) in registration order.
 # ---------------------------------------------------------------------------
 _DRIVER_FIRST = [
+    # round-2 additions without any prior driver row
+    "s7_dump_rewrite",
     # F-family: reference scalar semantics (SURVEY §2.8)
     "f1_concat_reference",
     "f5_interval_shift",

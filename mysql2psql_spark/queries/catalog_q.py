@@ -113,3 +113,41 @@ def s6_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.filter(F.col("c_custkey") == 42).select(
         "c_custkey", "c_name", "c_mktsegment"
     ).limit(1)
+
+
+# S7: mysqldump-file ingestion (F13 INSERT rewrite). The dump "file" is
+# synthesized from the nation table so both engines derive it from the
+# same rows; the Spark side runs the real rewrite operator
+# (sources/dump_file.py, PsqlParser.py:217-257 semantics: \' -> '',
+# \\ protected, zero-date -> 2000-01-01, renames applied), the oracle
+# states the rewritten line directly.
+@query(
+    "s7_dump_rewrite",
+    oracle=r"""
+    SELECT 'nation_v2' AS tbl,
+           'INSERT INTO "nation_v2" ("n_nationkey", "n_name", "comment") VALUES  ('
+           || CAST(n_nationkey AS VARCHAR) || ', ''' || n_name
+           || ''', ''it''''s \\ 2000-01-01'');' AS insert_sql
+    FROM nation
+    """,
+)
+def s7_dump_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2psql_spark.sources.dump_file import rewrite_insert_lines
+
+    n = load_table(spark, sf_dir, "nation")
+    raw = n.select(
+        F.concat(
+            F.lit('INSERT INTO "nation" ("n_nationkey", "n_name", "n_comment") VALUES ('),
+            F.col("n_nationkey").cast("string"),
+            F.lit(", '"),
+            F.col("n_name"),
+            F.lit("', 'it\\'s \\\\ 0000-00-00');"),
+        ).alias("value")
+    )
+    changes = {
+        "tables": {
+            "nation": {"name": "nation_v2", "columns": {"n_comment": {"name": "comment"}}}
+        }
+    }
+    out = rewrite_insert_lines(raw, changes)
+    return out.select(F.col("table").alias("tbl"), "insert_sql")

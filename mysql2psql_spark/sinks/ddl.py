@@ -179,3 +179,69 @@ def load_epilogue() -> list[str]:
     """D10 (PsqlParser.py:367-372): re-arm constraint checking after the
     load (any violation surfaces here, transactionally)."""
     return ["SET CONSTRAINTS ALL IMMEDIATE;"]
+
+
+def escape_password(password: str) -> str:
+    """F15 (PsqlParser.py:294): '$' -> '\\0024' so the password embeds in
+    a PostgreSQL U&'...' unicode-escape literal ('$' is the common
+    generated-password character that breaks dollar-quoted contexts)."""
+    return password.replace("$", "\\0024")
+
+
+def user_bootstrap_sql(
+    user: str | None,
+    password: str | None,
+    db_name: str,
+    group_role: str = "b7group_user",
+    v1_schema: str = "v1",
+) -> str:
+    """D9 (PsqlParser.py:288-345): the re-pointing bootstrap a migration
+    user runs so existing clients can connect to the new database —
+    idempotent CREATE/ALTER USER, database ownership, the GRANT battery
+    over both the v1 compatibility schema and public, search_path for
+    database and user, and default privileges for future objects.
+
+    Statement set mirrors the reference 1:1 (including its duplicated
+    USAGE/SEQUENCES/TABLES block per schema); credentials come from the
+    S6 point-lookup path (MysqlParser.get_user_user_pass:262-274).
+    Returns "" for missing/empty/root users (PsqlParser.py:292-293).
+    """
+    if user is None or password is None:
+        return ""
+    if len(user) == 0 or user == "root":
+        return ""
+    pw = escape_password(password)
+    grants = "\n".join(
+        f"""GRANT USAGE ON SCHEMA {schema} TO {user};
+GRANT ALL ON ALL SEQUENCES IN SCHEMA {schema} TO {user};
+GRANT ALL PRIVILEGES ON ALL TABLES IN SCHEMA {schema} TO {user};"""
+        for schema in (v1_schema, "public")
+    )
+    search_path = ", ".join((v1_schema, "public"))
+    return f"""-- Adding PG User
+DO $$DECLARE r record;
+BEGIN
+   IF NOT EXISTS (
+      SELECT *
+      FROM   pg_catalog.pg_user
+      WHERE  usename = '{user}') THEN
+
+      CREATE USER {user} WITH PASSWORD U&'{pw}';
+   ELSE
+      ALTER USER {user} WITH PASSWORD U&'{pw}';
+   END IF;
+END$$;
+ALTER DATABASE {db_name} OWNER TO {user};
+GRANT CONNECT ON DATABASE {db_name} TO {user};
+
+GRANT {group_role} TO {user};
+
+{grants}
+
+ALTER DATABASE {db_name} SET search_path TO {search_path};
+ALTER USER {user} SET search_path TO {search_path};
+ALTER DEFAULT PRIVILEGES IN SCHEMA public GRANT ALL ON TABLES TO {user};
+ALTER DEFAULT PRIVILEGES IN SCHEMA public GRANT ALL ON SEQUENCES TO {user};
+ALTER DEFAULT PRIVILEGES IN SCHEMA {v1_schema} GRANT ALL ON TABLES TO {user};
+ALTER DEFAULT PRIVILEGES IN SCHEMA {v1_schema} GRANT ALL ON SEQUENCES TO {user};
+"""

@@ -159,3 +159,22 @@ def test_cli_incremental_two_runs(spark, tmp_path):
     assert os.path.getmtime(f"{out}/events_db/psql_tables.sql") == ddl_mtime
     data_sql = open(f"{out}/events_db/psql_data.sql").read()
     assert "DROP" not in data_sql.upper()
+
+
+def test_cli_from_dump_mode(tmp_path):
+    import subprocess
+    import sys
+
+    src = tmp_path / "mysql_dump.sql"
+    src.write_text('INSERT INTO "t" ("id") VALUES (1);\n-- noise\n')
+    r = subprocess.run(
+        [sys.executable, "-m", "mysql2psql_spark.cli", "dumpdb",
+         "--source", "parquet:/nonexistent", "--out", str(tmp_path / "out"),
+         "--from-dump", str(src)],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["databases"]["dumpdb"]["insert_lines"] == 1
+    text = (tmp_path / "out" / "dumpdb" / "psql_dump.sql").read_text()
+    assert 'INSERT INTO "t" ("id") VALUES  (1);' in text

@@ -379,3 +379,52 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "score"}
     rows = {r.id: r.score for r in df.collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+def test_user_bootstrap_sql_statement_set():
+    """D9 (PsqlParser.py:288-345) + F15 ($ -> \\0024, :294)."""
+    from mysql2psql_spark.sinks.ddl import escape_password, user_bootstrap_sql
+
+    assert escape_password("a$b$c") == "a\\0024b\\0024c"
+
+    sql = user_bootstrap_sql("app_user", "p$ss", "client_acme")
+    # idempotent create-or-alter with the escaped U&'' literal
+    assert "CREATE USER app_user WITH PASSWORD U&'p\\0024ss';" in sql
+    assert "ALTER USER app_user WITH PASSWORD U&'p\\0024ss';" in sql
+    assert "IF NOT EXISTS" in sql and "pg_catalog.pg_user" in sql
+    # ownership + connect + group role
+    assert "ALTER DATABASE client_acme OWNER TO app_user;" in sql
+    assert "GRANT CONNECT ON DATABASE client_acme TO app_user;" in sql
+    assert "GRANT b7group_user TO app_user;" in sql
+    # the grant battery over BOTH schemas (v1 first, like the reference)
+    for schema in ("v1", "public"):
+        assert f"GRANT USAGE ON SCHEMA {schema} TO app_user;" in sql
+        assert f"GRANT ALL ON ALL SEQUENCES IN SCHEMA {schema} TO app_user;" in sql
+        assert f"GRANT ALL PRIVILEGES ON ALL TABLES IN SCHEMA {schema} TO app_user;" in sql
+    assert sql.index("GRANT USAGE ON SCHEMA v1") < sql.index("GRANT USAGE ON SCHEMA public")
+    # search_path + default privileges for future objects
+    assert "ALTER DATABASE client_acme SET search_path TO v1, public;" in sql
+    assert "ALTER USER app_user SET search_path TO v1, public;" in sql
+    assert "ALTER DEFAULT PRIVILEGES IN SCHEMA public GRANT ALL ON TABLES TO app_user;" in sql
+    assert "ALTER DEFAULT PRIVILEGES IN SCHEMA v1 GRANT ALL ON SEQUENCES TO app_user;" in sql
+
+    # guards (PsqlParser.py:292-293): missing / empty / root -> ""
+    assert user_bootstrap_sql(None, "x", "d") == ""
+    assert user_bootstrap_sql("u", None, "d") == ""
+    assert user_bootstrap_sql("", "x", "d") == ""
+    assert user_bootstrap_sql("root", "x", "d") == ""
+
+
+def test_cli_emits_psql_users(spark, tmp_path):
+    """The S6 credentials path drives psql_users.sql emission."""
+    from mysql2psql_spark.cli import migrate_db
+    from mysql2psql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    frames = {"region": load_table(spark, SF_DIR, "region")}
+    migrate_db(
+        spark, "acme", frames, str(tmp_path), bootstrap_creds=("app_user", "s3$ret")
+    )
+    users_sql = (tmp_path / "acme" / "psql_users.sql").read_text()
+    assert "CREATE USER app_user WITH PASSWORD U&'s3\\0024ret';" in users_sql
+    assert "ALTER DATABASE client_acme OWNER TO app_user;" in users_sql
