@@ -231,22 +231,45 @@ def _bit_mask(i: int) -> int:
 
 
 def simhash_fingerprints(
-    shingle_df: DataFrame, id_col: str = "doc_id", hash_col: str = "sh"
+    shingle_df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "sh",
+    engine: str = "arrow",
 ) -> DataFrame:
     """(id, sh: bigint) — 64-bit SimHash over the exploded pre-hashed
     feature table (operators.text.shingle_hash_table output; hashes are
     already uniform, no re-hash).
 
     Bit i of the fingerprint is set iff more than half the features have
-    hash bit i set. The per-bit majority count runs as an Arrow-batched
-    numpy unpackbits pass after an explicit repartition on the doc id
-    (so each doc's features land in one partition; partial counts
-    accumulate across the partition's batches). The equivalent JVM shape
-    — 64 sum-aggregates — is semantically identical but pays ~8 s of
-    whole-stage-codegen compilation for the 64-column aggregate, which
-    dominates the operator's wall time at any scale where compile time
-    matters, and the shuffle here (one row per feature, 16 bytes) is the
-    same either way."""
+    hash bit i set. Two row-identical execution shapes, selectable:
+
+    - ``engine="arrow"`` (default for interactive sessions): the per-bit
+      majority count runs as an Arrow-batched numpy unpackbits pass
+      after an explicit repartition on the doc id (each doc's features
+      land in one partition; partial counts accumulate across the
+      partition's batches). Zero codegen-compile cost — wins whenever
+      the job is short enough that Janino compilation of the wide
+      aggregate would dominate (measured ~8 s at sf0.1).
+    - ``engine="jvm"`` (the at-scale shape): 64 conditional sum
+      aggregates + map-side combine, fully inside whole-stage codegen —
+      no Python workers, partial aggregation before the shuffle, and
+      the one-time compile cost amortizes over any sustained (100 TB)
+      run. This is the shape a long-lived cluster job should pick.
+
+    tests/test_operators.py pins row identity between the two."""
+    if engine == "jvm":
+        sums = [
+            F.sum(F.shiftrightunsigned(F.col(hash_col), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
+            for i in range(64)
+        ]
+        agg = shingle_df.groupBy(id_col).agg(F.count("*").alias("n"), *sums)
+        fp = None
+        for i in range(64):
+            term = F.when(F.col(f"b{i}") * 2 > F.col("n"), F.lit(_bit_mask(i))).otherwise(F.lit(0))
+            fp = term if fp is None else fp + term
+        return agg.select(F.col(id_col), fp.cast("long").alias("sh"))
+    if engine != "arrow":
+        raise ValueError(f"unknown simhash engine {engine!r} (use 'arrow' or 'jvm')")
     import numpy as np
     import pandas as pd  # worker-side
 
@@ -290,6 +313,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     hash_col: str = "sh",
     max_hamming: int = 7,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -300,7 +324,7 @@ def simhash_pairs(
     doc pair lands at hamming ~7 with 3-shingle features, so the coarser
     4x16 banding, lossless only to hamming 3, under-recalls.)
     """
-    sh = simhash_fingerprints(shingle_df, id_col, hash_col)
+    sh = simhash_fingerprints(shingle_df, id_col, hash_col, engine=engine)
     chunk_structs = F.array(
         *[
             F.struct(

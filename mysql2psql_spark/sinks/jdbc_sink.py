@@ -73,9 +73,17 @@ def execute_load(
     their own connections — the table exists from the DDL phase, so
     mode='append' never lets Spark re-derive DDL from the DataFrame
     schema, and index/FK DDL runs after data so per-executor connections
-    don't weaken the deferral semantics."""
+    don't weaken the deferral semantics.
+
+    The shared connection COMMITS before every write phase: executors
+    open their own connections, which would otherwise block on the
+    uncommitted DDL locks forever (caught live by the embedded-Derby
+    integration test; the same lock wait happens on PostgreSQL).
+    Constraint deferral therefore protects the driver-side statement
+    phases — data-phase integrity comes from creating index/FK DDL
+    after the data, which is the ordering the plan encodes anyway."""
     conn = None
-    if run_sql is None:  # pragma: no cover - needs a live PostgreSQL
+    if run_sql is None:
         spark = next(iter(frames.values())).sparkSession
         jvm = spark._jvm
         conn = jvm.java.sql.DriverManager.getConnection(url, props["user"], props["password"])
@@ -87,6 +95,8 @@ def execute_load(
             if kind == "sql":
                 run_sql(payload)
             else:
+                if conn is not None:
+                    conn.commit()  # release DDL locks to the executors
                 frames[payload].write.mode("append").option("batchsize", str(batchsize)).jdbc(
                     url, payload, properties=props
                 )

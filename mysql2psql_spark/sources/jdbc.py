@@ -148,17 +148,19 @@ def read_table(
         .options(**props)
     )
     if pk is not None:
-        bounds = _jdbc_df(
+        # positional access: dialects disagree on alias case folding
+        # (Derby uppercases unquoted aliases, MySQL preserves them)
+        lo, hi = _jdbc_df(
             spark,
             url,
-            f"SELECT MIN({pk}) lo, MAX({pk}) hi FROM {db}.{table['name']}",
+            f"SELECT MIN({pk}) AS lo, MAX({pk}) AS hi FROM {db}.{table['name']}",
             props,
-        ).collect()[0]
-        if bounds["lo"] is not None:
+        ).collect()[0][:2]
+        if lo is not None:
             reader = (
                 reader.option("partitionColumn", pk)
-                .option("lowerBound", int(bounds["lo"]))
-                .option("upperBound", int(bounds["hi"]) + 1)
+                .option("lowerBound", int(lo))
+                .option("upperBound", int(hi) + 1)
                 .option("numPartitions", num_partitions)
             )
     df = reader.load()

@@ -241,3 +241,18 @@ def test_connected_components_structure(spark):
         r.doc_id: r.cluster_id for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_simhash_engines_row_identical(spark):
+    """The JVM 64-aggregate shape (the at-scale default) and the Arrow
+    numpy shape must produce bit-identical fingerprints."""
+    from mysql2psql_spark.operators.dedup import simhash_fingerprints
+    from mysql2psql_spark.operators.text import shingle_hash_table
+    from mysql2psql_spark.sources import load_table
+
+    d = load_table(spark, SF_DIR_ORACLE, "documents")
+    sh = shingle_hash_table(d)
+    arrow = {r.doc_id: r.sh for r in simhash_fingerprints(sh, engine="arrow").collect()}
+    jvm = {r.doc_id: r.sh for r in simhash_fingerprints(sh, engine="jvm").collect()}
+    assert arrow == jvm
+    assert len(arrow) == d.count()
