@@ -59,6 +59,21 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query times measure the
     # query, not session startup
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # ... and the whole-stage-codegen machinery (Janino compiler init,
+    # hash-agg + broadcast-join templates): without this the FIRST
+    # measured query absorbs ~1 s of one-time compile infrastructure
+    from pyspark.sql import functions as F
+
+    small = spark.range(1000).select((F.col("id") % 10).alias("k"), F.col("id").alias("v"))
+    dim = spark.range(10).select(F.col("id").alias("k"))
+    small.join(dim.hint("broadcast"), "k").groupBy("k").agg(F.sum("v")).collect()
+    # ... and the Python worker pool + Arrow serialization path (first
+    # mapInPandas otherwise pays ~1.5 s of one-time worker spawn)
+
+    def _ident(batches):
+        yield from batches
+
+    spark.range(64).repartition(32).mapInPandas(_ident, "id long").count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

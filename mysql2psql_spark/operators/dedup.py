@@ -72,22 +72,42 @@ def minhash_lsh_pairs(
     (operators.text.shingle_hash_table). Returns (doc_a, doc_b, jaccard)
     with jaccard >= threshold, doc_a < doc_b.
 
-    The shingle table feeds four consumers (signatures + sizes + both
-    verify sides); Spark's ReusedExchange dedupes the identical shuffle
-    subtrees, so no explicit persist (measured: persisting it costs more
-    in serialization than the reuse saves at every scale where the table
-    fits in memory, and at 100 TB the caller decides what to checkpoint).
+    The shingle pass would otherwise feed four consumers (signatures +
+    sizes + both verify sides) — a mapInPandas-produced table has no
+    shuffle boundary for ReusedExchange to dedupe, so its scan would
+    re-execute per consumer. Everything therefore derives from ONE
+    doc-keyed aggregation (`arrs`), whose exchange IS reused: signatures
+    re-explode it, and verification intersects its sorted arrays.
     """
     r = k // bands
-    sig = minhash_signatures(shingle_df, id_col, hash_col, k)
+    arrs = shingle_df.groupBy(id_col).agg(
+        F.sort_array(F.collect_set(hash_col)).alias("arr")
+    ).withColumn("n", F.size("arr"))
+    ex = arrs.select(id_col, F.explode("arr").alias(hash_col))
+    # k min-aggregates straight into per-band keys: each band key hashes
+    # its r signature columns directly (xxhash64 is variadic) — no
+    # intermediate array build + slice, which bloats the codegen'd
+    # expression tree and measurably inflates the plan's one-time Janino
+    # compile (~3 s of the cold run at sf0.1 before this shape).
+    mins = [F.min(F.xxhash64(F.lit(i), F.col(hash_col))).alias(f"h{i}") for i in range(k)]
+    sig = ex.groupBy(id_col).agg(*mins)
     # Bucket rows carry ONLY (id, band, key) — never the shingle arrays.
     # The band explode multiplies row count by `bands`, so keeping the
     # payload off these rows keeps the LSH shuffle at ~24 bytes/row
     # regardless of document size. Shingles rejoin only for the (tiny)
     # candidate set.
-    buckets = sig.select(
-        F.col(id_col), F.explode(band_keys(F.col("sig"), bands, r)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(*[F.col(f"h{j * r + i}") for i in range(r)]).alias("key"),
+            )
+            for j in range(bands)
+        ]
+    )
+    buckets = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
 
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -106,38 +126,38 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # Exact verification on the exploded table (shared with the exact
+    # Exact verification on the sorted arrays (shared with the exact
     # prefix-filter path below).
-    return exact_jaccard_verify(cand, shingle_df, id_col, hash_col, threshold)
+    return exact_jaccard_verify(cand, arrs, id_col, threshold)
 
 
 def exact_jaccard_verify(
     cand: DataFrame,
-    shingle_df: DataFrame,
+    arrs: DataFrame,
     id_col: str = "doc_id",
-    hash_col: str = "sh",
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact Jaccard over a (doc_a, doc_b) candidate set: |A ∩ B| = count
-    of shingle hashes present on both sides (two hash joins + one count
-    agg, all codegen'd; no shingle arrays are ever materialized or
-    shuffled). Returns (doc_a, doc_b, jaccard) with jaccard >= threshold."""
-    sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("n"))
-    a_sh = shingle_df.select(F.col(id_col).alias("doc_a"), F.col(hash_col).alias("sh"))
-    b_sh = shingle_df.select(F.col(id_col).alias("doc_b"), F.col(hash_col).alias("sh"))
-    inter = (
-        cand.select("doc_a", "doc_b")
-        .join(a_sh, "doc_a")
-        .join(b_sh, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    """Exact Jaccard over a (doc_a, doc_b) candidate set, given the
+    per-doc sorted-hash-array table ``arrs`` (id, arr, n). Each pair
+    joins both arrays and intersects natively (array_intersect is
+    codegen'd, no lambda): one row per pair with a |doc|-sized payload
+    instead of an exploded row per (pair, shingle) — same bytes, far
+    fewer rows. Returns (doc_a, doc_b, jaccard) with jaccard >=
+    threshold."""
+    arr_a = arrs.select(
+        F.col(id_col).alias("doc_a"), F.col("arr").alias("arr_a"), F.col("n").alias("na")
     )
-    pairs = inter.join(
-        sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na")), "doc_a"
-    ).join(sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return pairs.filter(jac >= threshold).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    arr_b = arrs.select(
+        F.col(id_col).alias("doc_b"), F.col("arr").alias("arr_b"), F.col("n").alias("nb")
+    )
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    return (
+        cand.select("doc_a", "doc_b")
+        .join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
@@ -180,14 +200,26 @@ def prefix_filter_pairs(
     from pyspark.sql.window import Window as W
 
     t = threshold
+    # Single aggregation of the shingle table: every downstream consumer
+    # (prefix ranks, sizes, verify arrays) derives from `arrs`, so the
+    # (possibly Python-computed) shingle pass executes ONCE and the one
+    # doc-keyed exchange is reused — consuming shingle_df directly from
+    # three subtrees would re-execute its scan per consumer.
+    arrs = shingle_df.groupBy(id_col).agg(
+        F.sort_array(F.collect_set(hash_col)).alias("arr")
+    ).withColumn("n", F.size("arr"))
     if order_by_frequency:
-        df_freq = shingle_df.groupBy(hash_col).agg(F.count("*").alias("df"))
-        base, order = shingle_df.join(df_freq, hash_col), [F.col("df"), F.col(hash_col)]
+        ex = arrs.select(id_col, "n", F.explode("arr").alias(hash_col))
+        df_freq = ex.groupBy(hash_col).agg(F.count("*").alias("df"))
+        ranked = ex.join(df_freq, hash_col).withColumn(
+            "pos", F.row_number().over(W.partitionBy(id_col).orderBy("df", hash_col))
+        )
     else:
-        base, order = shingle_df, [F.col(hash_col)]
-    ranked = base.withColumn("n", F.count("*").over(W.partitionBy(id_col))).withColumn(
-        "pos", F.row_number().over(W.partitionBy(id_col).orderBy(*order))
-    )
+        # hash order IS the sorted array's order: rank comes free from
+        # posexplode, no df join and no per-doc window
+        ranked = arrs.select(
+            id_col, "n", F.posexplode("arr").alias("pos0", hash_col)
+        ).withColumn("pos", F.col("pos0") + 1)
     pref = ranked.filter(
         F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
     ).select(id_col, hash_col, "n", "pos")
@@ -209,20 +241,7 @@ def prefix_filter_pairs(
     cand = first.filter(
         F.lit(1) + F.least(F.col("m.na") - F.col("m.pa"), F.col("m.nb") - F.col("m.pb")) >= req
     ).select("doc_a", "doc_b")
-
-    arrs = shingle_df.groupBy(id_col).agg(
-        F.sort_array(F.collect_set(hash_col)).alias("arr"), F.count("*").alias("n")
-    )
-    arr_a = arrs.select(F.col(id_col).alias("doc_a"), F.col("arr").alias("arr_a"), F.col("n").alias("na"))
-    arr_b = arrs.select(F.col(id_col).alias("doc_b"), F.col("arr").alias("arr_b"), F.col("n").alias("nb"))
-    inter = F.size(F.array_intersect("arr_a", "arr_b"))
-    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
-    return (
-        cand.join(arr_a, "doc_a")
-        .join(arr_b, "doc_b")
-        .filter(jac >= t)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    return exact_jaccard_verify(cand, arrs, id_col, t)
 
 
 def _bit_mask(i: int) -> int:

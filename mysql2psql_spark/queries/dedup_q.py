@@ -86,7 +86,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # set, so unigram SimHashes collide corpus-wide). portable=True uses
     # the md5-prefix hash so the oracle rebuilds identical fingerprints.
     d = load_table(spark, sf_dir, "documents")
-    pairs = simhash_pairs(shingle_hash_table(d, portable=True), max_hamming=7)
+    # the default (arrow) shingle engine always emits the portable
+    # md5-prefix hash, so the oracle rebuilds identical fingerprints
+    pairs = simhash_pairs(shingle_hash_table(d), max_hamming=7)
     return pairs.withColumn("hamming", F.col("hamming").cast("int"))
 
 

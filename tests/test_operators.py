@@ -256,3 +256,15 @@ def test_simhash_engines_row_identical(spark):
     jvm = {r.doc_id: r.sh for r in simhash_fingerprints(sh, engine="jvm").collect()}
     assert arrow == jvm
     assert len(arrow) == d.count()
+
+
+def test_shingle_engines_row_identical(spark):
+    """Arrow (shuffle-free md5) and JVM (window-lead, portable md5) paths
+    must produce the identical (doc_id, sh) set."""
+    from mysql2psql_spark.operators.text import shingle_hash_table
+    from mysql2psql_spark.sources import load_table
+
+    d = load_table(spark, SF_DIR_ORACLE, "documents")
+    arrow = {(r.doc_id, r.sh) for r in shingle_hash_table(d, engine="arrow").collect()}
+    jvm = {(r.doc_id, r.sh) for r in shingle_hash_table(d, engine="jvm", portable=True).collect()}
+    assert arrow == jvm and len(arrow) > 0
