@@ -48,6 +48,9 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "multimodal_frame_sample",
     "m1_migration_pipeline",
+    "s7_dump_rewrite",
+    "agg_approx_quantiles",
+    "text_contamination",
 ]
 
 

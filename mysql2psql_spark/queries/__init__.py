@@ -68,6 +68,8 @@ _load_all()
 _DRIVER_FIRST = [
     # round-2 additions without any prior driver row
     "s7_dump_rewrite",
+    "agg_approx_quantiles",
+    "text_contamination",
     # F-family: reference scalar semantics (SURVEY §2.8)
     "f1_concat_reference",
     "f5_interval_shift",

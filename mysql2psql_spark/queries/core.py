@@ -631,3 +631,37 @@ def w4_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(global_w), 6).alias("pct_rank"),
         F.first("c_custkey").over(seg_w).alias("segment_top_cust"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 fill: approximate quantiles (KLL/GK-style sketch), same evidence
+# pattern as agg_approx_distinct — sketches are engine-specific, so the
+# hashed columns are exact interpolated percentiles plus each engine's
+# own within-5% assertion over its sketch estimate.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_approx_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 2) AS p50_exact,
+           ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 2) AS p95_exact,
+           ABS(approx_quantile(CAST(l_extendedprice AS DOUBLE), 0.5)
+               - quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5))
+             <= 0.05 * quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    v = F.col("l_extendedprice").cast("double")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile(v, 0.5).alias("_e50"),
+        F.percentile(v, 0.95).alias("_e95"),
+        F.percentile_approx(v, 0.5, 10000).alias("_a50"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("_e50", 2).alias("p50_exact"),
+        F.round("_e95", 2).alias("p95_exact"),
+        (F.abs(F.col("_a50") - F.col("_e50")) <= 0.05 * F.col("_e50")).alias("approx_ok"),
+    )

@@ -234,3 +234,57 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     rate = F.when(F.col("lang") == "en", 50).otherwise(20)
     return d.filter(hash_sample(F.col("doc_id"), rate)).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination detection: flag corpus documents sharing many
+# shingles with a benchmark set (the decontamination pass every training
+# pipeline runs before training). The benchmark side is deterministically
+# drawn (md5-keyed, so both engines agree) and SMALL by construction —
+# the scale shape broadcasts the benchmark shingle table and streams the
+# corpus through a map-side hash join: no corpus shuffle at any scale.
+# ---------------------------------------------------------------------------
+_BENCH_PRED = (
+    "(CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100) < 5"
+)
+
+
+@query(
+    "text_contamination",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    bench AS (SELECT doc_id, sg FROM sh WHERE {_BENCH_PRED}),
+    pair_overlap AS (
+      SELECT d.doc_id, b.doc_id AS bench_id,
+             LEN(LIST_INTERSECT(d.sg, b.sg)) AS n_shared
+      FROM sh d JOIN bench b ON d.doc_id <> b.doc_id
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bench_matches,
+           CAST(MAX(n_shared) AS BIGINT) AS max_shared
+    FROM pair_overlap WHERE n_shared >= 20
+    GROUP BY doc_id
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2psql_spark.operators.text import hash_sample, shingle_hash_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_hash_table(d)
+    bench_ids = d.filter(hash_sample(F.col("doc_id"), F.lit(5))).select(
+        F.col("doc_id").alias("bench_id")
+    )
+    bench_sh = sh.join(
+        F.broadcast(bench_ids), sh.doc_id == F.col("bench_id")
+    ).select("bench_id", "sh")
+    shared = (
+        sh.join(F.broadcast(bench_sh), "sh")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 20)
+    )
+    return shared.groupBy("doc_id").agg(
+        F.count("*").alias("n_bench_matches"),
+        F.max("n_shared").alias("max_shared"),
+    )
