@@ -70,6 +70,8 @@ _DRIVER_FIRST = [
     "s7_dump_rewrite",
     "agg_approx_quantiles",
     "text_contamination",
+    "text_repetition",
+    "text_length_histogram",
     # F-family: reference scalar semantics (SURVEY §2.8)
     "f1_concat_reference",
     "f5_interval_shift",

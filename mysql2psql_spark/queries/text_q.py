@@ -288,3 +288,102 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bench_matches"),
         F.max("n_shared").alias("max_shared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality signals (the Gopher-style filters: a document whose
+# most frequent token/bigram dominates is boilerplate or spam). Token and
+# bigram counts are exploded + hash-aggregated — keyed by (doc, gram),
+# uniform, map-side combined; no arrays, no interpreted lambdas.
+# ---------------------------------------------------------------------------
+@query(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+      FROM documents
+    ),
+    uni AS (
+      SELECT doc_id, MAX(c) AS max_uni, SUM(c) AS n_tok
+      FROM (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w)
+      GROUP BY doc_id
+    ),
+    bigrams AS (
+      SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(ts), 1)),
+             i -> CONCAT_WS(' ', ts[i], ts[i+1]))) AS bg
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents)
+      WHERE LEN(ts) >= 2
+    ),
+    big AS (
+      SELECT doc_id, MAX(c) AS max_big
+      FROM (SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg)
+      GROUP BY doc_id
+    )
+    SELECT u.doc_id,
+           ROUND(CAST(u.max_uni AS DOUBLE) / u.n_tok, 6) AS top_word_frac,
+           ROUND(CAST(b.max_big AS DOUBLE) / (u.n_tok - 1), 6) AS top_bigram_frac,
+           (CAST(u.max_uni AS DOUBLE) / u.n_tok > 0.2) AS repetitive
+    FROM uni u JOIN big b ON u.doc_id = b.doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"))
+    uni = (
+        toks.groupBy("doc_id", "w")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("max_uni"), F.sum("count").alias("n_tok"))
+    )
+    bg = (
+        toks.withColumn("w2", F.lead("w", 1).over(W.partitionBy("doc_id").orderBy("pos")))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w2").alias("bg"))
+    )
+    big = (
+        bg.groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("max_big"))
+    )
+    word_frac = F.col("max_uni").cast("double") / F.col("n_tok")
+    return (
+        uni.join(big, "doc_id")
+        .select(
+            "doc_id",
+            F.round(word_frac, 6).alias("top_word_frac"),
+            F.round(F.col("max_big").cast("double") / (F.col("n_tok") - 1), 6).alias(
+                "top_bigram_frac"
+            ),
+            (word_frac > 0.2).alias("repetitive"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus length histogram: the length-distribution summary a pipeline
+# inspects before choosing truncation/packing parameters. One partial-
+# aggregated groupBy on a derived bucket — map-side combine reduces each
+# partition to |buckets| rows regardless of corpus size.
+# ---------------------------------------------------------------------------
+@query(
+    "text_length_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(LENGTH(text) / 50) * 50 AS BIGINT) AS len_bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(LENGTH(text)) AS INT) AS min_len,
+           CAST(MAX(LENGTH(text)) AS INT) AS max_len
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.floor(F.length("text") / 50) * 50).cast("bigint")
+    return d.groupBy(bucket.alias("len_bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.min(F.length("text")).cast("int").alias("min_len"),
+        F.max(F.length("text")).cast("int").alias("max_len"),
+    )
