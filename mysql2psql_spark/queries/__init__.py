@@ -72,6 +72,7 @@ _DRIVER_FIRST = [
     "text_contamination",
     "text_repetition",
     "text_length_histogram",
+    "stream_attribution_join",
     # F-family: reference scalar semantics (SURVEY §2.8)
     "f1_concat_reference",
     "f5_interval_shift",

@@ -274,3 +274,47 @@ def j5_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("last_orderkey"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_orderdate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (click -> purchase attribution): every
+# click by the same user within the hour preceding a purchase. The batch
+# twin below defines the semantics and is oracle-checked; the streaming
+# twin (streaming/events.py::attribution_join_stream) runs the identical
+# join with watermarks on both sides — the time bound is what lets Spark
+# expire join state, so state stays O(events within the interval), not
+# O(stream).
+# ---------------------------------------------------------------------------
+@query(
+    "stream_attribution_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id,
+           CAST(FLOOR(EPOCH(p.ts)) AS BIGINT)
+             - CAST(FLOOR(EPOCH(c.ts)) AS BIGINT) AS lag_seconds
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias("lag_seconds"),
+    )

@@ -115,3 +115,32 @@ def sliding_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> D
         .select(F.col("w.start").cast("long").alias("win_start"), "n_events")
         .filter(F.col("win_start") >= 0)
     )
+
+
+def attribution_join_stream(
+    purchases: DataFrame, clicks: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming twin of queries/events_q.py::stream_attribution_join —
+    a watermarked stream-stream inner join. Both sides carry watermarks
+    and the join condition bounds click age relative to the purchase, so
+    the state store can expire clicks older than (watermark + 1 hour):
+    bounded state on an unbounded stream, the property that makes
+    stream-stream joins deployable."""
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias("lag_seconds"),
+    )

@@ -187,3 +187,22 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     # the 12:00 window closed in batch 1; the late 12:02 event (value 9.0)
     # must NOT be counted in it
     assert got[noon] == (1, 1.0), got
+
+
+def test_attribution_join_stream_matches_batch(spark, events_parquet):
+    from mysql2psql_spark.streaming.events import attribution_join_stream
+
+    ev = read_event_stream(spark, events_parquet)
+    stream = attribution_join_stream(
+        ev.filter(F.col("event_type") == "purchase"),
+        read_event_stream(spark, events_parquet).filter(F.col("event_type") == "click"),
+    )
+    got = {
+        (r.purchase_id, r.click_id, r.lag_seconds)
+        for r in _run_stream_append(spark, stream, "attr_join").collect()
+    }
+    want = {
+        (r.purchase_id, r.click_id, r.lag_seconds)
+        for r in QUERIES["stream_attribution_join"](spark, SF_DIR).collect()
+    }
+    assert got == want and len(want) > 0
