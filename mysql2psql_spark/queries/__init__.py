@@ -73,6 +73,7 @@ _DRIVER_FIRST = [
     "text_repetition",
     "text_length_histogram",
     "stream_attribution_join",
+    "text_pack_sequences",
     # F-family: reference scalar semantics (SURVEY §2.8)
     "f1_concat_reference",
     "f5_interval_shift",

@@ -387,3 +387,62 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.length("text")).cast("int").alias("min_len"),
         F.max(F.length("text")).cast("int").alias("max_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: assign documents to fixed-token-budget packs (the
+# sample-assembly step before training). Greedy packing is inherently
+# sequential, so the scalable deterministic shape shards the corpus into
+# hash buckets (uniform, corpus-size-independent count per bucket only
+# grows linearly) and runs the running-token-sum pack assignment WITHIN
+# each bucket: pack_id = (bucket, floor(cumsum_before / capacity)).
+# One window per bucket — parallel across buckets, no global sort, and
+# the assignment is a pure function of (doc_id, n_tokens), reproducible
+# across engines and cluster layouts.
+# ---------------------------------------------------------------------------
+@query(
+    "text_pack_sequences",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS bucket
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens, bucket,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY n_tokens DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+      FROM sized
+    )
+    SELECT doc_id, bucket,
+           CAST(tokens_before // 2048 AS BIGINT) AS pack_in_bucket,
+           n_tokens
+    FROM packed
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+            % 8
+        ).alias("bucket"),
+    )
+    win = (
+        W.partitionBy("bucket")
+        .orderBy(F.col("n_tokens").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = sized.withColumn("tokens_before", F.coalesce(F.sum("n_tokens").over(win), F.lit(0)))
+    return packed.select(
+        "doc_id",
+        "bucket",
+        F.floor(F.col("tokens_before") / 2048).cast("bigint").alias("pack_in_bucket"),
+        "n_tokens",
+    )
