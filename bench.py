@@ -51,6 +51,7 @@ HEADLINE = [
     "s7_dump_rewrite",
     "agg_approx_quantiles",
     "text_contamination",
+    "multimodal_wav_features",
 ]
 
 

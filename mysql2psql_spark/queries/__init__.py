@@ -74,6 +74,7 @@ _DRIVER_FIRST = [
     "text_length_histogram",
     "stream_attribution_join",
     "text_pack_sequences",
+    "multimodal_wav_features",
     # F-family: reference scalar semantics (SURVEY §2.8)
     "f1_concat_reference",
     "f5_interval_shift",

@@ -166,3 +166,56 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql2psql_spark.operators.dedup import connected_components
 
     return connected_components(dedup_ngram_jaccard(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode: deterministic PCM16 WAV payloads are synthesized
+# per document (valid RIFF containers), then decoded by the actual
+# chunk-walking parser (operators/multimodal.py::decode_wav_pcm16) and
+# reduced to integer-exact features. The oracle computes the same
+# features from the generating formula — if the RIFF parse, PCM decode,
+# or feature math were wrong anywhere, the hashes would diverge.
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_wav_features",
+    oracle="""
+    WITH samp AS (
+      SELECT doc_id, i, ((doc_id * 31 + i * 7) % 2048) - 1024 AS s
+      FROM (SELECT doc_id, UNNEST(RANGE(0, 400 + doc_id % 97)) AS i
+            FROM documents)
+    ),
+    lagged AS (
+      SELECT doc_id, i, s,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM samp
+    )
+    SELECT doc_id,
+           8000 AS sample_rate,
+           CAST(MAX(i) + 1 AS INT) AS n_samples,
+           CAST(MAX(ABS(s)) AS INT) AS peak_abs,
+           CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS sum_sq,
+           CAST(COALESCE(SUM(CASE WHEN CAST(s AS BIGINT) * prev < 0
+                                  THEN 1 ELSE 0 END), 0) AS INT) AS n_zero_cross
+    FROM lagged GROUP BY doc_id
+    """,
+)
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from mysql2psql_spark.operators.multimodal import encode_wav_pcm16, wav_features
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                n = 400 + int(doc_id) % 97
+                i = np.arange(n, dtype=np.int64)
+                s = (int(doc_id) * 31 + i * 7) % 2048 - 1024
+                rows.append((int(doc_id), encode_wav_pcm16(s)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = d.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    return wav_features(payloads)

@@ -268,3 +268,27 @@ def test_shingle_engines_row_identical(spark):
     arrow = {(r.doc_id, r.sh) for r in shingle_hash_table(d, engine="arrow").collect()}
     jvm = {(r.doc_id, r.sh) for r in shingle_hash_table(d, engine="jvm", portable=True).collect()}
     assert arrow == jvm and len(arrow) > 0
+
+
+def test_wav_codec_roundtrip_and_validation():
+    """The RIFF/PCM16 codec is real: byte-exact roundtrip, correct
+    header fields, and malformed payloads rejected (not silently
+    mis-decoded)."""
+    import numpy as np
+    import pytest
+
+    from mysql2psql_spark.operators.multimodal import decode_wav_pcm16, encode_wav_pcm16
+
+    s = np.array([0, 1000, -1000, 32767, -32768, 7], dtype=np.int16)
+    payload = encode_wav_pcm16(s, sample_rate=16000)
+    sr, back = decode_wav_pcm16(payload)
+    assert sr == 16000
+    assert np.array_equal(back, s)
+
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(b"JUNK" + payload[4:])
+    # stereo fmt chunk must be rejected
+    bad = bytearray(payload)
+    bad[22] = 2  # channels field
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(bytes(bad))
