@@ -52,6 +52,7 @@ HEADLINE = [
     "agg_approx_quantiles",
     "text_contamination",
     "multimodal_wav_features",
+    "multimodal_image_resize",
 ]
 
 

@@ -5,12 +5,15 @@ metadata struct alongside. Decode / feature-extract runs as Arrow-batched
 ``mapInPandas`` — the Spark-side contract (schema, batch shape, partition
 behavior) is real and tested.
 
-Codec status: AUDIO decode is REAL — ``decode_wav_pcm16`` below is an
-actual RIFF/PCM16 chunk-walking parser in pure numpy+struct (no external
-libraries needed), oracle-verified end-to-end. Image/video decode stays
-stubbed behind ``decode_stub`` because no image codec library exists in
-this container (clearly marked; swap for PIL/ffmpeg in a real
-deployment — the Spark plumbing does not change).
+Codec status: AUDIO decode is REAL (``decode_wav_pcm16``: an actual
+RIFF/PCM16 chunk-walking parser) and IMAGE decode+resize is REAL for
+uncompressed bitmaps (``decode_bmp24`` + ``resize_nearest``: header
+validation, bottom-up padded BGR rows, integer-grid nearest-neighbor) —
+both pure numpy+struct, both oracle-verified end-to-end. Only
+COMPRESSED formats (JPEG/PNG/MP4) remain behind the clearly-marked
+``decode_stub``, because no compression codec library exists in this
+container (swap for PIL/ffmpeg in a real deployment — the Spark
+plumbing does not change).
 """
 
 from __future__ import annotations
@@ -228,3 +231,96 @@ def wav_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payl
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=WAV_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL codec: BMP (BITMAPINFOHEADER, 24-bit BI_RGB). Like the WAV codec,
+# a genuine parser in pure numpy+struct: file/info header validation,
+# bottom-up padded BGR row decode — plus a real nearest-neighbor resize.
+# With both, image decode-resize-extract runs for real end-to-end; only
+# compressed formats (JPEG/PNG) remain out of scope in this container.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp24(pixels) -> bytes:
+    """Minimal valid 24bpp BMP writer. ``pixels`` is (h, w, 3) uint8 in
+    RGB order, row 0 = top (stored bottom-up per the format)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img = np.zeros((h, row_bytes), dtype=np.uint8)
+    img[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = img.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return file_hdr + info + data
+
+
+def decode_bmp24(payload: bytes):
+    """Parse a 24bpp BI_RGB BMP: returns (h, w, 3) uint8 RGB, row 0 =
+    top. Validates the 'BM' magic, header sizes, bit depth and
+    compression; raises ValueError on anything else — corrupt or
+    unsupported payloads surface as errors, not garbage pixels."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off_bits = struct.unpack("<I", payload[10:14])[0]
+    (
+        bi_size, w, h, planes, bits, compression, _size_img,
+        _xppm, _yppm, _clr_used, _clr_imp,
+    ) = struct.unpack("<IiiHHIIiiII", payload[14:54])
+    if bi_size != 40 or planes != 1 or bits != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant {(bi_size, planes, bits, compression)}")
+    if h <= 0 or w <= 0:
+        raise ValueError("top-down/degenerate BMP not supported")
+    row_bytes = (w * 3 + 3) & ~3
+    img = np.frombuffer(payload, dtype=np.uint8, count=h * row_bytes, offset=off_bits)
+    rows = img.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    return rows[::-1, :, ::-1]  # back to top-down RGB
+
+
+def resize_nearest(pixels, out_h: int, out_w: int):
+    """Real nearest-neighbor resize: source index = (dst * src) // dst_n
+    (pure integer math, so any engine reproduces the sampling grid)."""
+    import numpy as np
+
+    px = np.asarray(pixels)
+    h, w, _ = px.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return px[ys][:, xs]
+
+
+IMAGE_FEATURES_SCHEMA = (
+    "doc_id bigint, width int, height int, sum_r bigint, sum_g bigint, sum_b bigint"
+)
+
+
+def image_resize_features(
+    df: DataFrame, out_h: int = 8, out_w: int = 8,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """decode -> nearest-neighbor resize -> integer channel sums, all
+    real, Arrow-batched and partition-local (no shuffle). Integer sums
+    (not float means) so the result hash-compares across engines."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                px = resize_nearest(decode_bmp24(bytes(payload)), out_h, out_w)
+                s = px.astype(np.int64).sum(axis=(0, 1))
+                rows.append((int(i), out_w, out_h, int(s[0]), int(s[1]), int(s[2])))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)

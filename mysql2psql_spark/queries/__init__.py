@@ -75,6 +75,7 @@ _DRIVER_FIRST = [
     "stream_attribution_join",
     "text_pack_sequences",
     "multimodal_wav_features",
+    "multimodal_image_resize",
     # F-family: reference scalar semantics (SURVEY §2.8)
     "f1_concat_reference",
     "f5_interval_shift",

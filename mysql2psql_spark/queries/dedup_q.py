@@ -219,3 +219,58 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payloads = d.mapInPandas(synth, schema="doc_id bigint, payload binary")
     return wav_features(payloads)
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode + resize: deterministic 24bpp BMPs are synthesized
+# per document (valid containers, size varying per doc), decoded by the
+# actual header-validating parser, nearest-neighbor-resized on the real
+# integer sampling grid, and reduced to integer channel sums. The oracle
+# recomputes the sums from the pixel formula over the same grid — a
+# wrong header parse, row-padding slip, BGR mixup, or resize-grid
+# off-by-one all diverge the hashes.
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_image_resize",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 12 + doc_id % 5 AS w, 10 + doc_id % 7 AS h
+      FROM documents
+    ),
+    grid AS (
+      SELECT doc_id,
+             (i * h) // 8 AS sy, (j * w) // 8 AS sx
+      FROM dims, RANGE(0, 8) t1(i), RANGE(0, 8) t2(j)
+    )
+    SELECT doc_id, 8 AS width, 8 AS height,
+           CAST(SUM((doc_id * 13 + sx * 7 + sy * 3) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id * 13 + sx * 7 + sy * 3 + 85) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id * 13 + sx * 7 + sy * 3 + 170) % 256) AS BIGINT) AS sum_b
+    FROM grid GROUP BY doc_id
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from mysql2psql_spark.operators.multimodal import encode_bmp24, image_resize_features
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                w, h = 12 + k % 5, 10 + k % 7
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                base = k * 13 + x * 7 + y * 3
+                px = np.stack(
+                    [base % 256, (base + 85) % 256, (base + 170) % 256], axis=2
+                ).astype(np.uint8)
+                rows.append((k, encode_bmp24(px)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = d.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    return image_resize_features(payloads, out_h=8, out_w=8)

@@ -292,3 +292,36 @@ def test_wav_codec_roundtrip_and_validation():
     bad[22] = 2  # channels field
     with pytest.raises(ValueError):
         decode_wav_pcm16(bytes(bad))
+
+
+def test_bmp_codec_roundtrip_and_validation():
+    """BMP codec is real: byte-exact pixel roundtrip through the padded
+    bottom-up BGR layout, resize grid correct, malformed input rejected."""
+    import numpy as np
+    import pytest
+
+    from mysql2psql_spark.operators.multimodal import (
+        decode_bmp24,
+        encode_bmp24,
+        resize_nearest,
+    )
+
+    rng_px = (np.arange(5 * 3 * 3, dtype=np.int64).reshape(5, 3, 3) * 37 % 256).astype(
+        np.uint8
+    )  # w=3 -> 9-byte rows, exercises the 4-byte pad
+    payload = encode_bmp24(rng_px)
+    back = decode_bmp24(payload)
+    assert np.array_equal(back, rng_px)
+
+    small = resize_nearest(rng_px, 2, 2)
+    assert small.shape == (2, 2, 3)
+    # integer grid: src row (i*5)//2, src col (j*3)//2
+    assert np.array_equal(small[0, 0], rng_px[0, 0])
+    assert np.array_equal(small[1, 1], rng_px[2, 1])
+
+    with pytest.raises(ValueError):
+        decode_bmp24(b"XX" + payload[2:])
+    bad = bytearray(payload)
+    bad[28] = 8  # bit depth -> 8bpp unsupported
+    with pytest.raises(ValueError):
+        decode_bmp24(bytes(bad))
