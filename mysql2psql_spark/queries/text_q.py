@@ -174,10 +174,11 @@ _SHINGLE_SQL = """
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Work on 64-bit shingle hashes, not strings (collisions ~0; the
+    # Work on 60-bit shingle hashes, not strings (collisions ~0; the
     # oracle intersects raw shingle sets). Candidates via prefix
-    # filtering, verification via the exploded-intersection join — no
-    # shingle arrays, no interpreted array_intersect per pair.
+    # filtering + positional prune, verification via native
+    # array_intersect over per-doc sorted hash arrays (codegen'd, no
+    # lambda HOF, one row per candidate pair).
     from mysql2psql_spark.operators.dedup import prefix_filter_pairs
     from mysql2psql_spark.operators.text import shingle_hash_table
 
