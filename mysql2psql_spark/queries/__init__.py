@@ -76,6 +76,7 @@ _DRIVER_FIRST = [
     "text_pack_sequences",
     "multimodal_wav_features",
     "multimodal_image_resize",
+    "events_funnel",
     # F-family: reference scalar semantics (SURVEY §2.8)
     "f1_concat_reference",
     "f5_interval_shift",

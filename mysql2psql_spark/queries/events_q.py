@@ -318,3 +318,66 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias("lag_seconds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: per user, the earliest ordered view -> click ->
+# purchase chain (the conversion-sequence query of product analytics).
+# Three stage aggregates, each keyed by user_id (uniform hash shuffles,
+# map-side combined); every stage's frame shrinks to |users who reached
+# the stage|, so the joins get cheaper monotonically — no window over
+# the full event stream, no per-user sort.
+# ---------------------------------------------------------------------------
+@query(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, v.t_view, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id, v.t_view
+    ),
+    p AS (
+      SELECT e.user_id, c.t_view, c.t_click, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id, c.t_view, c.t_click
+    )
+    SELECT user_id,
+           CAST(FLOOR(EPOCH(t_view)) AS BIGINT) AS view_epoch,
+           CAST(FLOOR(EPOCH(t_click)) AS BIGINT) AS click_epoch,
+           CAST(FLOOR(EPOCH(t_purchase)) AS BIGINT) AS purchase_epoch
+    FROM p
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return p.select(
+        "user_id",
+        F.col("t_view").cast("long").alias("view_epoch"),
+        F.col("t_click").cast("long").alias("click_epoch"),
+        F.col("t_purchase").cast("long").alias("purchase_epoch"),
+    )
