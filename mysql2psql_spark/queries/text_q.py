@@ -271,7 +271,12 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql2psql_spark.operators.text import hash_sample, shingle_hash_table
 
     d = load_table(spark, sf_dir, "documents")
-    sh = shingle_hash_table(d)
+    # single doc-keyed aggregation of the (Python-produced) shingle
+    # table: both join sides re-explode from its REUSED exchange, so the
+    # Arrow shingle pass executes once (a mapInPandas stage has no
+    # exchange of its own for ReusedExchange to dedupe)
+    arrs = shingle_hash_table(d).groupBy("doc_id").agg(F.collect_set("sh").alias("arr"))
+    sh = arrs.select("doc_id", F.explode("arr").alias("sh"))
     bench_ids = d.filter(hash_sample(F.col("doc_id"), F.lit(5))).select(
         F.col("doc_id").alias("bench_id")
     )
