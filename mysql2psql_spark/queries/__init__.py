@@ -77,6 +77,7 @@ _DRIVER_FIRST = [
     "multimodal_wav_features",
     "multimodal_image_resize",
     "events_funnel",
+    "events_retention_cohorts",
     # F-family: reference scalar semantics (SURVEY §2.8)
     "f1_concat_reference",
     "f5_interval_shift",

@@ -381,3 +381,48 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t_click").cast("long").alias("click_epoch"),
         F.col("t_purchase").cast("long").alias("purchase_epoch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-seen day, counted per
+# days-since-cohort offset (the retention matrix behind every growth
+# dashboard). Two aggregates keyed by user_id, then one by (cohort,
+# offset) — all uniform hash shuffles with map-side combine; the matrix
+# output is |cohorts| x |offsets| rows regardless of event volume.
+# ---------------------------------------------------------------------------
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             (CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) // 86400) * 86400 AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             (CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) // 86400) * 86400 AS active_day
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day,
+           CAST((active_day - cohort_day) // 86400 AS BIGINT) AS day_offset,
+           COUNT(*) AS n_active_users
+    FROM activity
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = (F.floor(F.col("ts").cast("long") / 86400) * 86400).cast("long")
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts")).select(
+        "user_id",
+        (F.floor(F.col("first_ts").cast("long") / 86400) * 86400).cast("long").alias("cohort_day"),
+    )
+    activity = (
+        e.select("user_id", day.alias("active_day"))
+        .distinct()
+        .join(firsts, "user_id")
+    )
+    return activity.groupBy(
+        "cohort_day",
+        ((F.col("active_day") - F.col("cohort_day")) / 86400).cast("bigint").alias("day_offset"),
+    ).agg(F.count("*").alias("n_active_users"))
