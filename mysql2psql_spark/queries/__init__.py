@@ -56,69 +56,56 @@ def _load_all() -> None:
 _load_all()
 
 # ---------------------------------------------------------------------------
-# Driver presentation order. The correctness driver walks ``queries()`` in
-# dict order under a bounded budget (round 1 stopped after exactly 50
-# entries), so registration order decides which operators get a driver row.
-# Front-load the queries that had NO row in CORRECTNESS_r01.json — the whole
-# F-family (the reference's value-conversion semantics,
-# /root/reference/dumperAuxFuncs.py:8-41), the m1 lifecycle pipeline, and the
-# sim/stream/embedding extension surface — then the previously-verified set
-# (all 50 were green in r01) in registration order.
+# Driver presentation order — staleness rotation. The correctness driver
+# walks ``queries()`` in dict order under a bounded budget (50 entries per
+# round), so presentation order decides which operators get a driver row.
+# Instead of a hand-curated list (which round 2 showed can forget queries —
+# dedup_minhash_lsh/dedup_simhash/agg_approx_distinct never earned a driver
+# row because they sat past position 50 both rounds), derive the order from
+# the committed CORRECTNESS_r*.json history: queries with the OLDEST latest
+# green row come first (never-green queries, including brand-new ones, sort
+# before everything). With an N-round window of 50 checks each, every query
+# is re-verified at least once per ceil(len(registry)/50)+ rounds and nothing
+# can silently go stale.
 # ---------------------------------------------------------------------------
-_DRIVER_FIRST = [
-    # round-2 additions without any prior driver row
-    "s7_dump_rewrite",
-    "agg_approx_quantiles",
-    "text_contamination",
-    "text_repetition",
-    "text_length_histogram",
-    "stream_attribution_join",
-    "text_pack_sequences",
-    "multimodal_wav_features",
-    "multimodal_image_resize",
-    "events_funnel",
-    "events_retention_cohorts",
-    # F-family: reference scalar semantics (SURVEY §2.8)
-    "f1_concat_reference",
-    "f5_interval_shift",
-    "f6_boolean_coercion",
-    "f7_zero_date_handling",
-    "f8_zero_datetime_handling",
-    "f9_fk_zero_to_null",
-    "f10_blob_empty",
-    "f11_time_guard",
-    "f_json_extract",
-    "f_json_typed_struct",
-    # M1: the whole §3.1 migration lifecycle as one query
-    "m1_migration_pipeline",
-    # joins+/quality extension ops without r01 rows
-    "j5_asof_last_order",
-    "quality_quarantine",
-    # streaming twins (batch shape; true readStream twins pinned in tests)
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_sessionize",
-    "stream_dedup_first",
-    # similarity / embedding family
-    "sim_cosine_scores",
-    "sim_cosine_topk",
-    "sim_multi_probe_topk",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "sim_ann_lsh_topk",
-    "sim_ann_ivf_topk",
-    # dedup/text extensions
-    "dedup_clusters",
-    "text_bpe_token_count",
-    "text_stratified_sample",
-]
+import json as _json
+import re as _re
+from pathlib import Path as _Path
+
+
+def _last_green_rounds() -> dict[str, int]:
+    """Map query name -> most recent round with a fully-green driver row
+    (rows+schema+hash all true). Queries absent from every file — or never
+    green — are simply absent. Reads CORRECTNESS_r*.json from the repo root
+    (two levels above this package); silent empty dict if none exist yet."""
+    root = _Path(__file__).resolve().parents[2]
+    last: dict[str, int] = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = _json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def driver_ordered(mapping: dict[str, object]) -> dict:
-    """Return ``mapping`` reordered: evidence-gap queries first, then the
-    rest in registration order. Names in ``_DRIVER_FIRST`` that are absent
-    from ``mapping`` (e.g. rows-only queries absent from ORACLE) are skipped.
-    """
-    ordered = {n: mapping[n] for n in _DRIVER_FIRST if n in mapping}
-    ordered.update((n, v) for n, v in mapping.items() if n not in ordered)
-    return ordered
+    """Return ``mapping`` reordered stalest-first: queries whose latest
+    fully-green driver row is oldest (never-green = round 0) come first;
+    ties keep registration order. Applied identically to QUERIES and ORACLE
+    so the driver's 50-query budget always lands on the same names."""
+    last = _last_green_rounds()
+    names = list(mapping)
+    order = sorted(range(len(names)), key=lambda i: (last.get(names[i], 0), i))
+    return {names[i]: mapping[names[i]] for i in order}
