@@ -27,8 +27,24 @@ of r rows fires on a pair with prob 1 - (1 - J^r)^b (threshold ~
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _t_frac(threshold: float) -> tuple[int, int]:
+    """Exact rational (numerator, denominator) for a user-given threshold.
+
+    All pruning bounds (prefix length, size window, positional filter,
+    final Jaccard compare) are evaluated in INTEGER arithmetic against
+    this fraction, never in binary floating point: e.g. with t=0.3,
+    floor(na/t) computed as floats gives floor(9.999...)=9 for na=3 and
+    silently prunes |B|=10 pairs whose Jaccard is exactly 0.3.
+    ``limit_denominator`` recovers the decimal the caller typed (0.3 ->
+    3/10) from its float image."""
+    fr = Fraction(threshold).limit_denominator(1_000_000)
+    return fr.numerator, fr.denominator
 
 
 def minhash_signatures(
@@ -144,6 +160,7 @@ def exact_jaccard_verify(
     instead of an exploded row per (pair, shingle) — same bytes, far
     fewer rows. Returns (doc_a, doc_b, jaccard) with jaccard >=
     threshold."""
+    t_num, t_den = _t_frac(threshold)
     arr_a = arrs.select(
         F.col(id_col).alias("doc_a"), F.col("arr").alias("arr_a"), F.col("n").alias("na")
     )
@@ -151,12 +168,15 @@ def exact_jaccard_verify(
         F.col(id_col).alias("doc_b"), F.col("arr").alias("arr_b"), F.col("n").alias("nb")
     )
     inter = F.size(F.array_intersect("arr_a", "arr_b"))
-    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    union = F.col("na") + F.col("nb") - inter
+    jac = inter.cast("double") / union
+    # inter/union >= t evaluated as integers: exact at the boundary where
+    # the float quotient can land on either side of t's double image.
     return (
         cand.select("doc_a", "doc_b")
         .join(arr_a, "doc_a")
         .join(arr_b, "doc_b")
-        .filter(jac >= threshold)
+        .filter(inter * F.lit(t_den) >= F.lit(t_num) * union)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -192,56 +212,92 @@ def prefix_filter_pairs(
       at most 1 + min(|A| - pos_a, |B| - pos_b); prune when that upper
       bound < ceil(t/(1+t) * (|A|+|B|)), the overlap J >= t requires.
 
+    Every threshold bound is evaluated in exact integer arithmetic
+    against the rational form of ``threshold`` (see ``_t_frac``) — the
+    float forms mis-round at exact-threshold boundaries for non-dyadic t
+    (e.g. t=0.3 pruning a J=0.3 pair).
+
     Verification joins each surviving pair with per-doc sorted hash
     arrays and intersects natively (array_intersect is codegen'd, no
     lambda): one row per pair with an |doc|-sized payload instead of an
     exploded row per (pair, shingle) — same bytes, far fewer rows.
-    """
-    from pyspark.sql.window import Window as W
 
-    t = threshold
+    Execution shape of the df-ordered path (no per-row window): df is
+    one hash-keyed count agg; a single doc-keyed aggregation then
+    collects each doc's (df, hash) pairs and sorts them IN-ARRAY
+    (``sort_array`` inside the agg — per-doc quicksort, bounded by doc
+    length, instead of a row_number window's full shuffle-and-sort over
+    every (doc, shingle) row). Prefix rows come from ``slice`` +
+    ``posexplode`` of that array, so only prefix tokens (~(1-t)|doc|)
+    ever become rows again; the verify arrays derive from the SAME
+    aggregation, so its exchange is reused across both subtrees.
+    """
+    t_num, t_den = _t_frac(threshold)
     # Single aggregation of the shingle table: every downstream consumer
-    # (prefix ranks, sizes, verify arrays) derives from `arrs`, so the
-    # (possibly Python-computed) shingle pass executes ONCE and the one
-    # doc-keyed exchange is reused — consuming shingle_df directly from
-    # three subtrees would re-execute its scan per consumer.
+    # (df counts, prefix ranks, verify arrays) derives from `arrs`, so
+    # the (possibly Python-computed) shingle pass executes ONCE and the
+    # one doc-keyed exchange is reused — consuming shingle_df directly
+    # from two subtrees would re-execute its scan per consumer (it has
+    # no shuffle boundary of its own to dedupe on).
     arrs = shingle_df.groupBy(id_col).agg(
         F.sort_array(F.collect_set(hash_col)).alias("arr")
     ).withColumn("n", F.size("arr"))
+    # prefix length = n - ceil(t*n) + 1, ceil done with integer div
+    prefix_len = f"n - ((({t_num} * n) + {t_den - 1}) div {t_den}) + 1"
     if order_by_frequency:
-        ex = arrs.select(id_col, "n", F.explode("arr").alias(hash_col))
+        ex = arrs.select(id_col, F.explode("arr").alias(hash_col))
         df_freq = ex.groupBy(hash_col).agg(F.count("*").alias("df"))
-        ranked = ex.join(df_freq, hash_col).withColumn(
-            "pos", F.row_number().over(W.partitionBy(id_col).orderBy("df", hash_col))
+        ordered = (
+            ex.join(df_freq, hash_col)
+            .groupBy(id_col)
+            .agg(
+                F.sort_array(F.collect_list(F.struct(F.col("df"), F.col(hash_col)))).alias(
+                    "oarr"
+                )
+            )
+            .withColumn("n", F.size("oarr"))
+        )
+        pref = (
+            ordered.select(id_col, "n", F.expr(f"slice(oarr, 1, {prefix_len})").alias("pfx"))
+            .select(id_col, "n", F.posexplode("pfx").alias("p0", "pe"))
+            .select(
+                id_col,
+                F.col("pe")[hash_col].alias(hash_col),
+                "n",
+                (F.col("p0") + 1).alias("pos"),
+            )
         )
     else:
-        # hash order IS the sorted array's order: rank comes free from
-        # posexplode, no df join and no per-doc window
-        ranked = arrs.select(
-            id_col, "n", F.posexplode("arr").alias("pos0", hash_col)
-        ).withColumn("pos", F.col("pos0") + 1)
-    pref = ranked.filter(
-        F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
-    ).select(id_col, hash_col, "n", "pos")
+        # hash order IS the sorted array's order: prefix comes free from
+        # slice + posexplode, no df pass at all
+        pref = (
+            arrs.select(id_col, "n", F.expr(f"slice(arr, 1, {prefix_len})").alias("pfx"))
+            .select(id_col, "n", F.posexplode("pfx").alias("p0", hash_col))
+            .select(id_col, hash_col, "n", (F.col("p0") + 1).alias("pos"))
+        )
     a = pref.select(
         F.col(id_col).alias("doc_a"), hash_col, F.col("n").alias("na"), F.col("pos").alias("pa")
     )
     b = pref.select(
         F.col(id_col).alias("doc_b"), hash_col, F.col("n").alias("nb"), F.col("pos").alias("pb")
     )
+    # size window, exact: nb >= t*na  <=>  t_den*nb >= t_num*na;
+    #                     nb <= na/t  <=>  t_num*nb <= t_den*na
     matches = a.join(b, hash_col).filter(
         (F.col("doc_a") < F.col("doc_b"))
-        & (F.col("nb") >= F.ceil(F.col("na") * t))
-        & (F.col("nb") <= F.floor(F.col("na") / t))
+        & (F.lit(t_den) * F.col("nb") >= F.lit(t_num) * F.col("na"))
+        & (F.lit(t_num) * F.col("nb") <= F.lit(t_den) * F.col("na"))
     )
     # the min (pos_a, pos_b) struct IS the first shared token: prefix
     # orderings restricted to shared tokens agree (same global order)
     first = matches.groupBy("doc_a", "doc_b").agg(F.min(F.struct("pa", "pb", "na", "nb")).alias("m"))
-    req = F.ceil((F.col("m.na") + F.col("m.nb")) * (t / (1 + t)))
+    # overlap upper bound >= ceil((na+nb) * t/(1+t))
+    #   <=>  (na+nb)*t_num <= ub*(t_num+t_den)
+    ub = F.lit(1) + F.least(F.col("m.na") - F.col("m.pa"), F.col("m.nb") - F.col("m.pb"))
     cand = first.filter(
-        F.lit(1) + F.least(F.col("m.na") - F.col("m.pa"), F.col("m.nb") - F.col("m.pb")) >= req
+        (F.col("m.na") + F.col("m.nb")) * F.lit(t_num) <= ub * F.lit(t_num + t_den)
     ).select("doc_a", "doc_b")
-    return exact_jaccard_verify(cand, arrs, id_col, t)
+    return exact_jaccard_verify(cand, arrs, id_col, threshold)
 
 
 def _bit_mask(i: int) -> int:

@@ -47,7 +47,7 @@ def quality_score(text: Column) -> Column:
 
 def shingle_hash_table(
     docs, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
-    portable: bool = False, engine: str = "arrow",
+    portable: bool = True, engine: str = "arrow",
 ):
     """(id, sh): DISTINCT k-word-shingle hashes, one row per
     (doc, shingle) — the exploded twin of ``shingles`` and the input shape
@@ -74,18 +74,35 @@ def shingle_hash_table(
       (transform + F.get) evaluates interpreted and measured ~5 s just
       to build the sf0.1 shingle arrays — never use it.
 
+    Both engines default to the SAME hash family (portable md5 prefix),
+    so flipping ``engine`` never silently changes downstream MinHash /
+    SimHash fingerprints. The arrow path has no xxhash64 variant: asking
+    for ``portable=False`` with it raises instead of being ignored.
+
     Docs with < k tokens contribute no rows (same as their empty
     shingle array).
     """
     # The shingle fan-out (~1000x values) is the CPU-heavy step; a small
     # input (few parquet splits) would run it almost serially, so widen
-    # to the cluster's parallelism first. At scale the input already has
-    # >= parallelism splits and this is a no-op.
+    # to the cluster's parallelism first. Probe via inputFiles() — a
+    # metadata-only check (df.rdd.getNumPartitions() would force a full
+    # physical-planning pass per query build); file-scan inputs with
+    # fewer files than cores are the only case that needs widening. At
+    # scale the input has >= parallelism splits and this is a no-op.
     para = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < para:
+    try:
+        n_files = len(docs.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < para:
         docs = docs.repartition(para)
 
     if engine == "arrow":
+        if not portable:
+            raise ValueError(
+                "engine='arrow' only implements the portable md5-prefix hash; "
+                "use engine='jvm' for the xxhash64 (portable=False) variant"
+            )
         import hashlib
 
         import pandas as pd  # worker-side

@@ -46,6 +46,16 @@ _JACCARD = """CAST(LEN(LIST_INTERSECT(a.sg, b.sg)) AS DOUBLE)
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL PREMISE of the exact oracle: the oracle is the all-pairs
+    J >= 0.5 answer, which equals the LSH output only because (a) the
+    fixture corpus has no pairs with true Jaccard in [0.5, ~0.89) — its
+    planted near-dups all sit >= 0.89, far above the 8x4 banding
+    threshold (~0.59) — and (b) banding recall at J >= 0.89 is
+    ~1 - 4e-4 per pair under the fixed xxhash64 seeds. A different
+    corpus, seed set, or banding geometry can make a CORRECT
+    implementation miss a borderline pair and fail this oracle; the
+    premise itself is pinned in
+    tests/test_operators.py::test_minhash_agrees_with_exact."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(shingle_hash_table(d), threshold=0.5)
 

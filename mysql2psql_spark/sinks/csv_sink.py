@@ -10,11 +10,28 @@ coalesce(1) away when a sink really needs it)."""
 
 from __future__ import annotations
 
-from pathlib import Path
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _list_part_files(df: DataFrame, path: str) -> list[str]:
+    """Part files inside a Spark output directory, via the Hadoop
+    FileSystem API — so remote filesystems (HDFS, S3A, ...) list the
+    same way the local one does; ``pathlib`` would silently see nothing
+    there. ``file:`` URIs come back as bare paths (what psql \\copy
+    expects); other schemes keep their URI."""
+    sc = df.sparkSession.sparkContext
+    jvm = sc._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    out = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if name.startswith("part-") and name.endswith(".csv"):
+            uri = status.getPath().toUri()
+            out.append(uri.getPath() if uri.getScheme() in (None, "file") else str(uri))
+    return sorted(out)
 
 
 def write_reference_csv(df: DataFrame, path: str, single_file: bool = False) -> str:
@@ -50,11 +67,22 @@ def write_reference_csv(df: DataFrame, path: str, single_file: bool = False) -> 
     # files are written as tables/<t>.sql (reference naming); the \copy
     # targets the bare table name
     table = path.rstrip("/").rsplit("/", 1)[-1].removesuffix(".sql")
-    parts = sorted(
-        str(p) for p in Path(path).glob("part-*.csv")
-    ) or [path]  # non-local filesystems: fall back to the directory URI
-    return "\n".join(
+    try:
+        parts = _list_part_files(out, path)
+    except Exception:
+        parts = []
+    manifest = "\n".join(
         f"\\copy \"{table}\" ({cols}) FROM '{p}' "
         "WITH (FORMAT CSV, QUOTE '''', DELIMITER ',', NULL 'NULL');"
         for p in parts
     )
+    if not parts:
+        # \copy reads files, never directories — a manifest that points
+        # at the directory would fail silently downstream, so say so.
+        manifest = (
+            f"-- WARNING: no part files listed under {path}; \\copy needs "
+            "file paths — list the directory and load each part.\n"
+            f"-- \\copy \"{table}\" ({cols}) FROM '<part-file>' "
+            "WITH (FORMAT CSV, QUOTE '''', DELIMITER ',', NULL 'NULL');"
+        )
+    return manifest

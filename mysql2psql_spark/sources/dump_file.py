@@ -70,9 +70,16 @@ def rewrite_insert_lines(
     if skipped:
         df = df.filter(~F.col("t").isin(skipped))
 
-    # rename dispatch: WHEN chains keyed on the ORIGINAL table name
+    # rename dispatch: WHEN chains keyed on the ORIGINAL table name.
+    # Column renames map each EXTRACTED token through the rename dict
+    # exactly once (transform + per-element WHEN chain), mirroring the
+    # reference's single-pass per-column mapping (PsqlParser.py:241-246)
+    # — sequential literal replaces over the raw column string would
+    # cascade (a->b then b->c turns a into c) and double-rename an old
+    # name that equals another column's new name.
+    col_list = F.regexp_extract_all(F.col("cols_part"), F.lit('"([^"]*)"'), 1)
     new_table: Column = F.col("t")
-    new_cols: Column = F.col("cols_part")
+    new_cols_list: Column = col_list
     for tname, trule in changes.items():
         if not isinstance(trule, dict):
             continue
@@ -82,18 +89,28 @@ def rewrite_insert_lines(
             if isinstance(crule, dict) and "name" in crule
         ]
         if renames:
-            renamed = F.col("cols_part")
-            for old, new in renames:
-                renamed = F.replace(renamed, F.lit(f'"{old}"'), F.lit(f'"{new}"'))
-            new_cols = F.when(F.col("t") == tname, renamed).otherwise(new_cols)
+
+            def _token_mapper(renames: list[tuple[str, str]]):
+                # single-arg lambda (transform treats a 2nd param as the
+                # element index), renames bound via the factory
+                def _map(c: Column) -> Column:
+                    expr = F.when(c == renames[0][0], F.lit(renames[0][1]))
+                    for old, new in renames[1:]:
+                        expr = expr.when(c == old, F.lit(new))
+                    return expr.otherwise(c)
+
+                return _map
+
+            new_cols_list = F.when(
+                F.col("t") == tname, F.transform(col_list, _token_mapper(renames))
+            ).otherwise(new_cols_list)
         if "name" in trule:
             new_table = F.when(F.col("t") == tname, F.lit(trule["name"])).otherwise(new_table)
 
     # re-normalized column list: '("' + '", "'.join(cols) + '")', then
     # the reference's exact 'INSERT INTO "%s" %s VALUES %s;' rebuild
     # (group 3 keeps its leading whitespace, like the reference's %s)
-    col_list = F.regexp_extract_all(new_cols, F.lit('"([^"]*)"'), 1)
-    column_str = F.concat(F.lit('("'), F.array_join(col_list, '", "'), F.lit('")'))
+    column_str = F.concat(F.lit('("'), F.array_join(new_cols_list, '", "'), F.lit('")'))
     insert_sql = F.concat(
         F.lit('INSERT INTO "'),
         new_table,

@@ -56,6 +56,23 @@ def test_insert_rewrite_golden(spark):
     assert sorted(got) == sorted(GOLDEN)
 
 
+def test_insert_rewrite_renames_no_cascade(spark):
+    """Renames map each extracted token exactly once (the reference's
+    single-pass per-column mapping, PsqlParser.py:241-246): a->b and
+    b->c on the same table must NOT turn a into c, and an old name equal
+    to another column's new name must not double-rename."""
+    changes = {
+        "tables": {
+            "t": {"columns": {"a": {"name": "b"}, "b": {"name": "c"}}},
+        }
+    }
+    lines = spark.createDataFrame(
+        [('INSERT INTO "t" ("a", "b", "z") VALUES (1, 2, 3);',)], ["value"]
+    )
+    got = [(r["table"], r.insert_sql) for r in rewrite_insert_lines(lines, changes).collect()]
+    assert got == [("t", 'INSERT INTO "t" ("b", "c", "z") VALUES  (1, 2, 3);')]
+
+
 def test_convert_dump_file_artifact(spark, tmp_path):
     src = tmp_path / "mysql_dump.sql"
     src.write_text("\n".join(DUMP_LINES) + "\n")

@@ -28,6 +28,44 @@ def test_minhash_agrees_with_exact(spark):
     assert high <= set(lsh), f"LSH missed high-sim pairs: {high - set(lsh)}"
 
 
+def test_prefix_filter_exact_at_nondyadic_thresholds(spark):
+    """Exact-threshold pairs must survive at non-dyadic t: the float forms
+    of the pruning bounds mis-round (floor(3/0.3)=9 prunes |B|=10 at J
+    exactly 0.3; ceil((na+nb)*0.2000..01) over-requires overlap at
+    t=0.25). The integer-arithmetic bounds must keep them."""
+    from mysql2psql_spark.operators.dedup import prefix_filter_pairs
+
+    # t=0.3: A={1,2,3} subset of B={1..10} -> J = 3/10 exactly, with
+    # na=3, nb=10 sitting exactly on the size-window upper bound na/t.
+    rows = [(1, s) for s in range(1, 4)] + [(2, s) for s in range(1, 11)]
+    # and a pair strictly below threshold that must NOT appear:
+    # C={1,2} vs D={1,30,31,32,33,34} -> J = 1/7 < 0.3
+    rows += [(3, s) for s in (1, 2)] + [(4, s) for s in (1, 30, 31, 32, 33, 34)]
+    sh = spark.createDataFrame(rows, "doc_id bigint, sh bigint")
+    for order_by_frequency in (True, False):
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in prefix_filter_pairs(
+                sh, threshold=0.3, order_by_frequency=order_by_frequency
+            ).collect()
+        }
+        assert got.get((1, 2)) == 0.3, got
+        assert (3, 4) not in got and (1, 4) not in got
+
+    # t=0.25: A={1,2}, B={1,3,4} -> J = 1/4 exactly (na+nb=5 exercises
+    # the positional-filter ceil boundary: required overlap = exactly 1).
+    rows = [(1, 1), (1, 2), (2, 1), (2, 3), (2, 4)]
+    sh = spark.createDataFrame(rows, "doc_id bigint, sh bigint")
+    for order_by_frequency in (True, False):
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in prefix_filter_pairs(
+                sh, threshold=0.25, order_by_frequency=order_by_frequency
+            ).collect()
+        }
+        assert got.get((1, 2)) == 0.25, got
+
+
 def test_simhash_finds_known_dups(spark):
     exact_high = {
         (r.doc_a, r.doc_b)
