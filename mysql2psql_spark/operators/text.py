@@ -166,6 +166,60 @@ def shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(F.transform(idx, make))
 
 
+def pack_sequences(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 2048,
+    tokens_per_bucket: int = 1_048_576,
+    min_buckets: int = 8,
+):
+    """Deterministic sequence packing: (id, bucket, pack_in_bucket,
+    n_tokens) assigning documents to fixed-token-budget packs.
+
+    Greedy packing is inherently sequential, so the scalable shape
+    shards the corpus into md5 hash buckets and runs the running-token-
+    sum pack assignment WITHIN each bucket — one window per bucket,
+    parallel across buckets, no global sort.
+
+    The bucket count SCALES WITH THE CORPUS: n_buckets =
+    max(min_buckets, ceil(total_tokens / tokens_per_bucket)), sized by a
+    cheap column-pruned pre-scan (a production deployment would read
+    total_tokens from table statistics instead). A fixed bucket count
+    would cap the packing window's parallelism and grow per-partition
+    sorts without bound as the corpus grows; with ~1M tokens (~512
+    capacity-2048 packs) per bucket, partitions stay executor-sized at
+    any corpus size. Assignment remains a pure function of
+    (doc_id, n_tokens, n_buckets) — reproducible across engines,
+    cluster layouts, and reruns."""
+    from pyspark.sql.window import Window as W
+
+    sized = docs.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    total = sized.agg(F.sum("n_tokens")).first()[0] or 0
+    n_buckets = max(min_buckets, (int(total) + tokens_per_bucket - 1) // tokens_per_bucket)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    ).alias("bucket")
+    win = (
+        W.partitionBy("bucket")
+        .orderBy(F.col("n_tokens").desc(), id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = sized.select(id_col, "n_tokens", bucket).withColumn(
+        "tokens_before", F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+    )
+    return packed.select(
+        id_col,
+        "bucket",
+        F.floor(F.col("tokens_before") / capacity).cast("bigint").alias("pack_in_bucket"),
+        "n_tokens",
+    )
+
+
 def hash_sample(key: Column, rate_percent: Column) -> Column:
     """Deterministic sampling predicate: keep iff the first 8 hex chars of
     md5(key) land under the rate. Unlike rng-based sample(), membership is

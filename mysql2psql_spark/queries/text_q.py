@@ -397,22 +397,27 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Sequence packing: assign documents to fixed-token-budget packs (the
-# sample-assembly step before training). Greedy packing is inherently
-# sequential, so the scalable deterministic shape shards the corpus into
-# hash buckets (uniform, corpus-size-independent count per bucket only
-# grows linearly) and runs the running-token-sum pack assignment WITHIN
-# each bucket: pack_id = (bucket, floor(cumsum_before / capacity)).
-# One window per bucket — parallel across buckets, no global sort, and
-# the assignment is a pure function of (doc_id, n_tokens), reproducible
-# across engines and cluster layouts.
+# sample-assembly step before training) — operators/text.py::
+# pack_sequences. The bucket count scales with corpus token count
+# (ceil(total_tokens / 2^20), floor 8), so the packing window's
+# parallelism grows with the data instead of capping at a fixed shard
+# count; the oracle computes the identical count as a scalar subquery
+# with the same integer arithmetic. On the test fixtures total tokens
+# are far below 8 * 2^20, so the draw stays md5 % 8 — byte-identical to
+# the fixed-bucket output.
 # ---------------------------------------------------------------------------
 @query(
     "text_pack_sequences",
     oracle="""
-    WITH sized AS (
+    WITH nb AS (
+      SELECT GREATEST(8, (SUM(LEN(STRING_SPLIT(text, ' '))) + 1048575) // 1048576) AS n
+      FROM documents
+    ),
+    sized AS (
       SELECT doc_id,
              LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
-             CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS bucket
+             CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % (SELECT n FROM nb) AS bucket
       FROM documents
     ),
     packed AS (
@@ -429,26 +434,7 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from mysql2psql_spark.operators.text import pack_sequences
 
     d = load_table(spark, sf_dir, "documents")
-    sized = d.select(
-        "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
-        (
-            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
-            % 8
-        ).alias("bucket"),
-    )
-    win = (
-        W.partitionBy("bucket")
-        .orderBy(F.col("n_tokens").desc(), "doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    packed = sized.withColumn("tokens_before", F.coalesce(F.sum("n_tokens").over(win), F.lit(0)))
-    return packed.select(
-        "doc_id",
-        "bucket",
-        F.floor(F.col("tokens_before") / 2048).cast("bigint").alias("pack_in_bucket"),
-        "n_tokens",
-    )
+    return pack_sequences(d, capacity=2048, tokens_per_bucket=1_048_576, min_buckets=8)

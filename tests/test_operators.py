@@ -308,6 +308,32 @@ def test_shingle_engines_row_identical(spark):
     assert arrow == jvm and len(arrow) > 0
 
 
+def test_pack_sequences_bucket_count_scales_with_corpus(spark):
+    """The packing shard count must grow with corpus token count
+    (parallelism at 100x), while small corpora keep the min_buckets
+    floor (fixture-output-preserving)."""
+    from mysql2psql_spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 10)) for i in range(40)], "doc_id bigint, text string"
+    )
+    # 400 tokens, 50-token buckets -> ceil(400/50) = 8 > min_buckets=2
+    packed = pack_sequences(docs, tokens_per_bucket=50, min_buckets=2)
+    buckets = {r.bucket for r in packed.collect()}
+    assert buckets <= set(range(8)) and len(buckets) > 2
+    # same corpus, huge buckets -> the floor applies
+    packed_floor = pack_sequences(docs, tokens_per_bucket=10**9, min_buckets=2)
+    assert {r.bucket for r in packed_floor.collect()} <= {0, 1}
+    # 2x the corpus -> 2x the shards (16), and every pack stays within
+    # one bucket's own running sum
+    docs2 = spark.createDataFrame(
+        [(i, " ".join(["w"] * 10)) for i in range(80)], "doc_id bigint, text string"
+    )
+    packed2 = pack_sequences(docs2, tokens_per_bucket=50, min_buckets=2)
+    assert {r.bucket for r in packed2.collect()} <= set(range(16))
+    assert max(r.bucket for r in packed2.collect()) >= 8
+
+
 def test_wav_codec_roundtrip_and_validation():
     """The RIFF/PCM16 codec is real: byte-exact roundtrip, correct
     header fields, and malformed payloads rejected (not silently
