@@ -233,6 +233,53 @@ def wav_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payl
     return df.select(id_col, payload_col).mapInPandas(run, schema=WAV_FEATURES_SCHEMA)
 
 
+AUDIO_FRAME_SCHEMA = "doc_id bigint, frame_idx int, n_frame_samples int, frame_energy bigint"
+
+
+def audio_frame_energies(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_samples: int = 160,
+) -> DataFrame:
+    """Decode WAV payloads through the real PCM16 parser and frame the
+    sample stream into fixed-length windows (the spectrogram / VAD
+    precursor): one output row per frame with its integer-exact energy
+    (sum of squared samples). The trailing partial frame is kept with
+    its true length — silently dropping it would bias energy statistics
+    at segment boundaries.
+
+    mapInPandas, 1 -> n_frames rows, partition-local: fan-out is bounded
+    by payload length, so at scale the parallelism unit stays the input
+    split and downstream sees a normal exploded table — the same shape
+    contract as ``sample_frames``, but over DECODED samples, not raw
+    bytes."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, energies = [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                _, s = decode_wav_pcm16(bytes(payload))
+                s64 = s.astype(np.int64)
+                for j in range(0, max(len(s64), 1), frame_samples):
+                    frame = s64[j : j + frame_samples]
+                    ids.append(int(i))
+                    idxs.append(j // frame_samples)
+                    lens.append(len(frame))
+                    energies.append(int(np.sum(frame * frame)))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": idxs,
+                    "n_frame_samples": lens,
+                    "frame_energy": energies,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=AUDIO_FRAME_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # REAL codec: BMP (BITMAPINFOHEADER, 24-bit BI_RGB). Like the WAV codec,
 # a genuine parser in pure numpy+struct: file/info header validation,

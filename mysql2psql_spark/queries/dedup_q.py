@@ -179,6 +179,50 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Canonical-survivor materialization: the step a dedup pipeline actually
+# ships — drop every near-dup cluster member except the canonical (min
+# doc id) representative, keep everything unclustered. The pair graph is
+# tiny relative to the corpus (near-dups are rare), so the anti-join
+# broadcasts the duplicate list; the corpus itself never shuffles.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_keep_canonical",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE e.dst != r.src
+    ),
+    dupes AS (
+      SELECT src AS doc_id FROM reach
+      GROUP BY src HAVING LEAST(src, MIN(dst)) != src
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dupes)
+    """,
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2psql_spark.operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    cc = connected_components(dedup_ngram_jaccard(spark, sf_dir))
+    dupes = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    # the duplicate list is pair-graph-sized (tiny); broadcast it so the
+    # corpus-side anti-join is map-side — no corpus shuffle
+    return d.join(F.broadcast(dupes), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
+# ---------------------------------------------------------------------------
 # REAL audio decode: deterministic PCM16 WAV payloads are synthesized
 # per document (valid RIFF containers), then decoded by the actual
 # chunk-walking parser (operators/multimodal.py::decode_wav_pcm16) and
@@ -229,6 +273,53 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payloads = d.mapInPandas(synth, schema="doc_id bigint, payload binary")
     return wav_features(payloads)
+
+
+# ---------------------------------------------------------------------------
+# Audio framing over REAL-decoded PCM: the spectrogram/VAD precursor —
+# fixed 160-sample windows over the decoded stream, one row per frame
+# with integer-exact energy, trailing partial frame kept at true length.
+# Same deterministic WAV synthesis as multimodal_wav_features, so the
+# oracle recomputes every frame energy from the generating formula: a
+# wrong chunk walk, sample decode, frame boundary, or tail handling all
+# diverge the hashes.
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_audio_frames",
+    oracle="""
+    WITH samp AS (
+      SELECT doc_id, i, ((doc_id * 31 + i * 7) % 2048) - 1024 AS s
+      FROM (SELECT doc_id, UNNEST(RANGE(0, 400 + doc_id % 97)) AS i
+            FROM documents)
+    )
+    SELECT doc_id,
+           CAST(i // 160 AS INT) AS frame_idx,
+           CAST(COUNT(*) AS INT) AS n_frame_samples,
+           CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS frame_energy
+    FROM samp
+    GROUP BY doc_id, i // 160
+    """,
+)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from mysql2psql_spark.operators.multimodal import audio_frame_energies, encode_wav_pcm16
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                n = 400 + int(doc_id) % 97
+                i = np.arange(n, dtype=np.int64)
+                s = (int(doc_id) * 31 + i * 7) % 2048 - 1024
+                rows.append((int(doc_id), encode_wav_pcm16(s)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = d.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    return audio_frame_energies(payloads, frame_samples=160)
 
 
 # ---------------------------------------------------------------------------

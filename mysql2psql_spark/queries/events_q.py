@@ -427,3 +427,91 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_day",
         ((F.col("active_day") - F.col("cohort_day")) / 86400).cast("bigint").alias("day_offset"),
     ).agg(F.count("*").alias("n_active_users"))
+
+
+# ---------------------------------------------------------------------------
+# Session-length distribution: the observability rollup over the
+# sessionization output (how long are sessions, how many events) that
+# sizes streaming state stores and session_window gap choices. Output is
+# histogram-sized (distinct n_events values), independent of event
+# volume; durations stay integer seconds so the rollup is exact.
+# ---------------------------------------------------------------------------
+@query(
+    "events_session_stats",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                          - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_seq
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, session_seq,
+             COUNT(*) AS n_events,
+             CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT)
+               - CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS duration_s
+      FROM sessions GROUP BY user_id, session_seq
+    )
+    SELECT n_events,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(duration_s) AS BIGINT) AS total_duration_s,
+           CAST(MAX(duration_s) AS BIGINT) AS max_duration_s
+    FROM per_session GROUP BY n_events
+    """,
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull() | ((F.col("ts").cast("long") - prev_ts.cast("long")) > 1800),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    per_session = (
+        e.withColumn("session_seq", F.sum(new_session).over(wsum))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max("ts").cast("long") - F.min("ts").cast("long")).alias("duration_s"),
+        )
+    )
+    return per_session.groupBy("n_events").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("duration_s").alias("total_duration_s"),
+        F.max("duration_s").alias("max_duration_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heavy-hitter profiling: exact top-k keys by row count — the skew probe
+# that decides whether a join needs salting (operators/skew.py) and what
+# the salt factor should be. Scale shape: hash-agg with map-side combine
+# (one shuffle of partial counts), then TakeOrderedAndProject for the
+# top-k — the per-key counts are never globally sorted.
+# ---------------------------------------------------------------------------
+@query(
+    "profile_heavy_hitters",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY n_events DESC, user_id
+    LIMIT 20
+    """,
+)
+def profile_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(20)
+    )

@@ -438,3 +438,100 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return pack_sequences(d, capacity=2048, tokens_per_bucket=1_048_576, min_buckets=8)
+
+
+# ---------------------------------------------------------------------------
+# Token-rarity scoring: per-document corpus-frequency statistics — the
+# integer-exact core of a unigram-LM quality filter (documents dominated
+# by hapax tokens are OCR noise / gibberish; documents with only
+# ubiquitous tokens are boilerplate). Execution shape: the df table is
+# vocabulary-sized (sublinear in the corpus) — auto-broadcast at
+# moderate scale, sort-merge beyond; the token stream is consumed by
+# both the df aggregation and the rejoin, costing a second column-pruned
+# scan of (doc_id, text) — the deliberate trade against caching the
+# exploded token table (an explicit repartition boundary was measured:
+# AQE does not dedupe it here and it adds a full token shuffle).
+# ---------------------------------------------------------------------------
+@query(
+    "text_token_rarity",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, w
+      FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+    ),
+    dfreq AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY w)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(SUM(d.df) AS BIGINT) AS sum_df,
+           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           ROUND(CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS hapax_ratio
+    FROM tok t JOIN dfreq d USING (w)
+    GROUP BY t.doc_id
+    """,
+)
+def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w")
+    )
+    dfreq = tok.groupBy("w").agg(F.count("*").alias("df"))
+    joined = tok.join(dfreq, "w")
+    hapax = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_distinct_tokens"),
+        F.sum("df").alias("sum_df"),
+        hapax.alias("n_hapax"),
+        F.round(hapax.cast("double") / F.count("*"), 6).alias("hapax_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: the compliance pass a training pipeline runs before
+# anything else. Deterministic PII (one email + one phone, derived from
+# doc_id) is woven into each document so the fixture actually exercises
+# the match paths; the oracle re-runs the identical regexes and hashes
+# the redacted text — a wrong pattern, missed occurrence, or replacement
+# off-by-one diverges the fingerprint. Patterns stay in the common
+# Java-regex/RE2 subset so both engines compile them identically.
+# ---------------------------------------------------------------------------
+_EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+_PHONE_RE = "555-[0-9]{4}"
+
+
+@query(
+    "text_pii_redaction",
+    oracle=f"""
+    WITH pii AS (
+      SELECT doc_id,
+             CONCAT('contact u', CAST(doc_id AS VARCHAR), '@mail.example or call 555-',
+                    LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' re: ', text) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(raw, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(LEN(regexp_extract_all(raw, '{_PHONE_RE}')) AS INT) AS n_phones,
+           MD5(regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
+    FROM pii
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" re: "),
+        F.col("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
