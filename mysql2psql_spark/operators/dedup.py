@@ -92,21 +92,26 @@ def minhash_lsh_pairs(
     sizes + both verify sides) — a mapInPandas-produced table has no
     shuffle boundary for ReusedExchange to dedupe, so its scan would
     re-execute per consumer. Everything therefore derives from ONE
-    doc-keyed aggregation (`arrs`), whose exchange IS reused: signatures
-    re-explode it, and verification intersects its sorted arrays.
+    doc-keyed aggregation (`arrs`) computing BOTH the sorted verify
+    array and all k MinHash min-aggregates in the same pass: the k mins
+    are plain codegen'd aggregates with map-side combine (each partition
+    pre-reduces to one k-vector per local doc before the exchange), so
+    folding them here costs nothing extra on the shuffle and removes the
+    re-explode + second doc-keyed aggregation a separate signature pass
+    would need. The one exchange is reused by the bucket and verify
+    subtrees.
     """
     r = k // bands
     arrs = shingle_df.groupBy(id_col).agg(
-        F.sort_array(F.collect_set(hash_col)).alias("arr")
+        F.sort_array(F.collect_set(hash_col)).alias("arr"),
+        # k min-aggregates computed alongside the array collection;
+        # per-band keys hash their r signature columns directly
+        # (xxhash64 is variadic) — no intermediate array build + slice,
+        # which bloats the codegen'd expression tree and measurably
+        # inflates the plan's one-time Janino compile (~3 s of the cold
+        # run at sf0.1 before this shape).
+        *[F.min(F.xxhash64(F.lit(i), F.col(hash_col))).alias(f"h{i}") for i in range(k)],
     ).withColumn("n", F.size("arr"))
-    ex = arrs.select(id_col, F.explode("arr").alias(hash_col))
-    # k min-aggregates straight into per-band keys: each band key hashes
-    # its r signature columns directly (xxhash64 is variadic) — no
-    # intermediate array build + slice, which bloats the codegen'd
-    # expression tree and measurably inflates the plan's one-time Janino
-    # compile (~3 s of the cold run at sf0.1 before this shape).
-    mins = [F.min(F.xxhash64(F.lit(i), F.col(hash_col))).alias(f"h{i}") for i in range(k)]
-    sig = ex.groupBy(id_col).agg(*mins)
     # Bucket rows carry ONLY (id, band, key) — never the shingle arrays.
     # The band explode multiplies row count by `bands`, so keeping the
     # payload off these rows keeps the LSH shuffle at ~24 bytes/row
@@ -121,7 +126,7 @@ def minhash_lsh_pairs(
             for j in range(bands)
         ]
     )
-    buckets = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+    buckets = arrs.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
 
