@@ -56,6 +56,7 @@ def _packed_keys_df(
     r: int,
     id_col: str,
     vec_col: str,
+    carry_vec: bool = False,
 ) -> DataFrame:
     """(id, keys: array<bigint>[tables]) — key of table t = the r
     sign-bits of planes [t*r, (t+1)*r) packed into an integer.
@@ -84,11 +85,15 @@ def _packed_keys_df(
             keys = [
                 (bits[:, t * r : (t + 1) * r] * shifts).sum(axis=1) for t in range(tables)
             ]
-            yield pd.DataFrame({id_col: pdf[id_col], "keys": list(np.stack(keys, axis=1))})
+            out = {id_col: pdf[id_col], "keys": list(np.stack(keys, axis=1))}
+            if carry_vec:
+                out[vec_col] = pdf[vec_col]
+            yield pd.DataFrame(out)
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        run, schema=f"{id_col} bigint, keys array<bigint>"
-    )
+    schema = f"{id_col} bigint, keys array<bigint>"
+    if carry_vec:
+        schema += f", {vec_col} array<float>"
+    return emb.select(id_col, vec_col).mapInPandas(run, schema=schema)
 
 
 def signature_df(
@@ -166,9 +171,18 @@ def lsh_cosine_pairs(
     Candidate rows carry only (id, table, key) — the vectors rejoin just
     for the candidate set, so the bucket-join shuffle is ~24 bytes/row
     regardless of embedding width (same shape as dedup.minhash_lsh_pairs).
+
+    The explicit repartition on the join key is the shared shuffle
+    boundary BOTH sides of the self-join consume: without it the
+    mapInPandas matmul has no exchange for the runtime stage cache to
+    dedupe on, and the whole signature pass executes once per join side
+    (accumulator-verified; the exchange itself costs nothing extra — the
+    join needed that distribution anyway).
     """
     planes = planes or hyperplanes(tables * r)
-    buckets = table_keys_df(emb, planes, tables, r, id_col, vec_col)
+    buckets = table_keys_df(emb, planes, tables, r, id_col, vec_col).repartition(
+        "table", "key"
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
@@ -281,27 +295,37 @@ def ann_topk_lsh(
     """Approximate top-k by cosine: prune to signatures within
     `max_hamming` of the probe's, exact-score the survivors.
 
-    The probe row (1 row) broadcasts; the corpus side is a scan + cheap
-    bit-count filter, so the scored set shrinks by the bucket selectivity
-    (~sum_{i<=h} C(B,i)/2^B of the corpus for random data, much sharper
-    for clustered data). No shuffle on the corpus side; final top-k is
+    The probe's vector and signature are resolved DRIVER-SIDE (a bounded
+    1-row collect, like ann_topk_ivf's centroid read) and enter the plan
+    as literals; the corpus side is ONE Arrow matmul pass that carries
+    the vector through alongside the signature — no corpus self-join, no
+    shuffle, and the signature pass executes exactly once (the previous
+    shape consumed the mapInPandas output from two filter subtrees,
+    which re-executes the matmul per consumer — there is no exchange for
+    the runtime stage cache to dedupe on). The scored set shrinks by the
+    bucket selectivity (~sum_{i<=h} C(B,i)/2^B of the corpus for random
+    data, much sharper for clustered data); final top-k is
     TakeOrderedAndProject.
     """
     planes = planes or hyperplanes()
-    sig = signature_df(emb, planes, id_col, vec_col).join(
-        emb.select(id_col, vec_col), id_col
-    )
-    probe = sig.filter(F.col(id_col) == probe_id).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), F.col("sig").alias("q_sig")
-    )
-    hamming = F.bit_count(F.col("sig").bitwiseXOR(F.col("q_sig")))
+    probe_row = emb.filter(F.col(id_col) == probe_id).select(vec_col).head()
+    # identical arithmetic to _packed_keys_df: (rows x dim) @ (dim x B)
+    q = np.asarray([np.asarray(probe_row[0], dtype=np.float64)])
+    w = np.array(planes, dtype=np.float64).T
+    q_bits = (q @ w) > 0
+    shifts = np.array([1 << j for j in range(len(planes))], dtype=np.int64)
+    q_sig = int((q_bits[0] * shifts).sum())
+
+    sig = _packed_keys_df(
+        emb, planes, tables=1, r=len(planes), id_col=id_col, vec_col=vec_col, carry_vec=True
+    ).select(F.col(id_col), F.get("keys", 0).alias("sig"), F.col(vec_col))
+    hamming = F.bit_count(F.col("sig").bitwiseXOR(F.lit(q_sig)))
+    q_vec = F.array(*[F.lit(float(x)) for x in probe_row[0]])
     return (
-        sig.filter(F.col(id_col) != probe_id)
-        .join(F.broadcast(probe))
-        .filter(hamming <= max_hamming)
+        sig.filter((F.col(id_col) != probe_id) & (hamming <= max_hamming))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
+            F.round(cosine(F.col(vec_col), q_vec), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
