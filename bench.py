@@ -53,6 +53,12 @@ HEADLINE = [
     "text_contamination",
     "multimodal_wav_features",
     "multimodal_image_resize",
+    # round-3 surface
+    "text_token_rarity",
+    "text_pii_redaction",
+    "text_global_ordinals",
+    "profile_heavy_hitters",
+    "multimodal_audio_frames",
 ]
 
 

@@ -487,6 +487,57 @@ def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Global ordinal assignment: contiguous 0-based export indices over the
+# whole corpus (operators/text.py::global_ordinals) — bucket-parallel
+# ranks + broadcast offsets, never a single-task global sort.
+# ---------------------------------------------------------------------------
+@query(
+    "text_global_ordinals",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_id % 64, doc_id) - 1 AS BIGINT) AS ordinal
+    FROM documents
+    """,
+)
+def text_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2psql_spark.operators.text import global_ordinals
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return global_ordinals(d, ["doc_id"], n_buckets=64).select("doc_id", "ordinal")
+
+
+# ---------------------------------------------------------------------------
+# Exact k-per-stratum sampling: fixed quota per group (the per-language
+# caps of a corpus mixture), membership decided by md5 order so the draw
+# is a pure function of the keys — reproducible across engines, reruns,
+# and cluster layouts, unlike rng-state sampling. One window per stratum;
+# stratum count bounds the key space, rows per stratum bound the sort.
+# ---------------------------------------------------------------------------
+@query(
+    "text_sample_k_per_stratum",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 40
+    """,
+)
+def text_sample_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII redaction: the compliance pass a training pipeline runs before
 # anything else. Deterministic PII (one email + one phone, derived from
 # doc_id) is woven into each document so the fixture actually exercises

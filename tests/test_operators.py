@@ -334,6 +334,21 @@ def test_pack_sequences_bucket_count_scales_with_corpus(spark):
     assert max(r.bucket for r in packed2.collect()) >= 8
 
 
+def test_global_ordinals_contiguous_and_order_stable(spark):
+    """Ordinals must be exactly 0..n-1 (no gaps/dupes) and follow the
+    documented (bucket, order_cols) total order, independent of input
+    partitioning."""
+    from mysql2psql_spark.operators.text import global_ordinals
+
+    df = spark.createDataFrame([(i,) for i in range(137)], "doc_id bigint").repartition(7)
+    out = global_ordinals(df, ["doc_id"], n_buckets=8).collect()
+    ords = sorted(r.ordinal for r in out)
+    assert ords == list(range(137))
+    got = {r.doc_id: r.ordinal for r in out}
+    want_order = sorted(range(137), key=lambda i: (i % 8, i))
+    assert got == {doc: pos for pos, doc in enumerate(want_order)}
+
+
 def test_wav_codec_roundtrip_and_validation():
     """The RIFF/PCM16 codec is real: byte-exact roundtrip, correct
     header fields, and malformed payloads rejected (not silently
