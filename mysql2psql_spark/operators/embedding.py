@@ -206,10 +206,13 @@ def ivf_assign(
     seeds: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_cos: bool = False,
 ) -> DataFrame:
-    """(id, cluster): IVF coarse quantization — each vector assigned to
-    the seed centroid with the highest (rounded) cosine; ties break to the
-    lowest seed id. One Arrow-batched matmul per batch, no shuffle.
+    """(id, cluster[, cos]): IVF coarse quantization — each vector assigned
+    to the seed centroid with the highest (rounded) cosine; ties break to
+    the lowest seed id. One Arrow-batched matmul per batch, no shuffle.
+    ``with_cos=True`` additionally emits the winning rounded cosine (the
+    assignment quality signal k-means refinement aggregates).
 
     Seeds are a small driver-side list by definition (the centroid table);
     at scale they come from a sampled k-means — here they are the first C
@@ -227,10 +230,128 @@ def ivf_assign(
             v = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
             v_norm = np.sqrt((v * v).sum(axis=1))
             cos = np.round((v @ s.T) / np.outer(v_norm, s_norm), 6)
-            yield pd.DataFrame({id_col: pdf[id_col], "cluster": cos.argmax(axis=1)})
+            out = {id_col: pdf[id_col], "cluster": cos.argmax(axis=1)}
+            if with_cos:
+                out["cos"] = cos.max(axis=1)
+            yield pd.DataFrame(out)
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        run, schema=f"{id_col} bigint, cluster int"
+    schema = f"{id_col} bigint, cluster int"
+    if with_cos:
+        schema += ", cos double"
+    return emb.select(id_col, vec_col).mapInPandas(run, schema=schema)
+
+
+def _collect_seeds(
+    emb: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> list[tuple[int, list[float]]]:
+    """The deterministic centroid table: the first `n_centroids` vectors
+    by id — a bounded driver-side read (n_centroids rows by construction)."""
+    rows = (
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    return [(r[0], [float(x) for x in r[1]]) for r in rows]
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the
+    corpus, then mark within-cluster pairs with cosine >= threshold as
+    semantic duplicates; each duplicate keeps its lowest-id cluster-mate.
+    Returns (drop_id, keep_id, n_dup_neighbors, max_cos).
+
+    The scale shape is the paper's: the quadratic compare runs per
+    CLUSTER, never across the corpus — candidate pairs are bounded by
+    cluster sizes, and with ~sqrt(N) clusters each compare is executor-
+    local after one cluster-keyed shuffle. The explicit repartition on
+    the cluster key is the shared exchange BOTH self-join sides reuse, so
+    the Arrow assignment matmul executes once (same pattern as
+    lsh_cosine_pairs)."""
+    seeds = _collect_seeds(emb, n_centroids, id_col, vec_col)
+    clustered = (
+        ivf_assign(emb, seeds, id_col, vec_col)
+        .join(emb.select(id_col, vec_col), id_col)
+        .repartition("cluster")
+    )
+    a, b = clustered.alias("a"), clustered.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col(f"a.{vec_col}").alias("v_a"),
+        F.col(f"b.{vec_col}").alias("v_b"),
+    )
+    dup = cosine_pairs_df(pairs).filter(F.col("cos_sim") >= threshold)
+    return dup.groupBy(F.col("id_a").alias("drop_id")).agg(
+        F.min("id_b").alias("keep_id"),
+        F.count("*").alias("n_dup_neighbors"),
+        F.round(F.max("cos_sim"), 6).alias("max_cos"),
+    )
+
+
+def kmeans_refine_step(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd iteration from the deterministic seed centroids:
+    assign every vector to its nearest seed by cosine, then report the
+    per-cluster refinement statistics (cluster, n_members, centroid_norm,
+    mean_cos) where centroid_norm is the L2 norm of the recomputed mean
+    vector. This is the convergence signal of the distributed k-means a
+    pipeline runs to build IVF lists / SemDeDup clusters.
+
+    Execution: one Arrow matmul assignment pass (no shuffle), a
+    dimension-exploded partial aggregation — (cluster, dim) keys make the
+    centroid recompute a uniform hash agg with map-side combine, 64*C
+    result rows regardless of corpus size — and a C-row broadcast-joined
+    stats table. No window, no collect beyond the seed table."""
+    seeds = _collect_seeds(emb, n_centroids, id_col, vec_col)
+    # the explicit cluster-keyed exchange is what BOTH aggregation
+    # consumers (centroid recompute + member stats) read from, so the
+    # Arrow assignment pass and the vector rejoin execute exactly once
+    assigned = (
+        ivf_assign(emb, seeds, id_col, vec_col, with_cos=True)
+        .join(emb.select(id_col, vec_col), id_col)
+        .repartition("cluster")
+    )
+    dims = assigned.select("cluster", F.posexplode(vec_col).alias("dim", "x"))
+    cent = dims.groupBy("cluster", "dim").agg(F.avg("x").alias("m"))
+    norm = cent.groupBy("cluster").agg(
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm")
+    )
+    # the per-member cosines are exact multiples of 1e-6 (rounded in the
+    # assignment), so their MEAN lands exactly on .5e-6 boundaries where a
+    # 1-ulp cross-engine difference in the double SUM flips the final
+    # rounding — aggregate them as exact micro-integers instead, so both
+    # engines round the identical quotient of identical integers
+    stats = assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.round(
+            (
+                F.sum(F.round(F.col("cos") * 1e6).cast("long")).cast("double")
+                / F.count("*")
+            )
+            / F.lit(1e6),
+            6,
+        ).alias("mean_cos"),
+    )
+    return stats.join(norm, "cluster").select(
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "n_members",
+        "centroid_norm",
+        "mean_cos",
     )
 
 

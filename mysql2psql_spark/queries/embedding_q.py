@@ -21,7 +21,9 @@ from mysql2psql_spark.operators.embedding import (
     ann_topk_lsh,
     exact_cosine_pairs,
     hyperplanes,
+    kmeans_refine_step,
     lsh_cosine_pairs,
+    semantic_dedup,
     signature_sql,
     table_keys_sql,
 )
@@ -134,3 +136,82 @@ _ORACLE_IVF = """
 def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_topk_ivf(emb, probe_id=0, k=10, n_centroids=16, n_probe=4)
+
+
+# SemDeDup (Abbas et al. 2023): semantic dedup = within-cluster cosine
+# over IVF coarse clusters. The oracle restates cluster assignment
+# (identical to the IVF CTE) + the within-cluster pair compare; the
+# corpus-wide quadratic never happens in either engine. Threshold 0.4 on
+# the near-isotropic fixture (max pairwise ~0.51) exercises real output;
+# production corpora use ~0.95+ on clustered embeddings.
+_ORACLE_SEMDEDUP = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 16),
+    assign AS (
+      SELECT e.vec_id, e.v, s.sid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(LIST_COSINE_SIMILARITY(e.v, s.sv), 6) DESC, s.sid
+             ) AS rn
+      FROM e CROSS JOIN seeds s
+    ),
+    clus AS (SELECT vec_id, v, sid FROM assign WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS drop_id, b.vec_id AS keep_cand,
+             ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 6) AS cos
+      FROM clus a JOIN clus b ON a.sid = b.sid AND b.vec_id < a.vec_id
+      WHERE ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 6) >= 0.4
+    )
+    SELECT drop_id, MIN(keep_cand) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_neighbors,
+           ROUND(MAX(cos), 6) AS max_cos
+    FROM pairs GROUP BY drop_id
+"""
+
+
+@query("dedup_semantic", oracle=_ORACLE_SEMDEDUP)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.4, n_centroids=16)
+
+
+# One Lloyd iteration of distributed k-means (the refinement loop that
+# builds IVF lists / SemDeDup clusters): assign by cosine to the seed
+# centroids, recompute the mean vector per cluster, report per-cluster
+# stats. The oracle recomputes the centroid norm via a lateral unnest of
+# the vector dimensions — (cluster, dim) keyed AVG, then SUM of squares.
+_ORACLE_KMEANS = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 16),
+    assign AS (
+      SELECT e.vec_id, e.v, s.sid,
+             ROUND(LIST_COSINE_SIMILARITY(e.v, s.sv), 6) AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(LIST_COSINE_SIMILARITY(e.v, s.sv), 6) DESC, s.sid
+             ) AS rn
+      FROM e CROSS JOIN seeds s
+    ),
+    clus AS (SELECT vec_id, v, sid, cos FROM assign WHERE rn = 1),
+    dims AS (
+      SELECT sid, t.i AS dim, v[t.i] AS x
+      FROM clus, UNNEST(RANGE(1, 65)) AS t(i)
+    ),
+    cent AS (SELECT sid, dim, AVG(x) AS m FROM dims GROUP BY sid, dim)
+    SELECT c.sid AS cluster,
+           n.n_members,
+           ROUND(SQRT(SUM(c.m * c.m)), 6) AS centroid_norm,
+           n.mean_cos
+    FROM cent c
+    JOIN (SELECT sid, CAST(COUNT(*) AS BIGINT) AS n_members,
+                 ROUND((CAST(SUM(CAST(ROUND(cos * 1000000) AS BIGINT)) AS DOUBLE)
+                        / COUNT(*)) / 1000000.0, 6) AS mean_cos
+          FROM clus GROUP BY sid) n ON c.sid = n.sid
+    GROUP BY c.sid, n.n_members, n.mean_cos
+"""
+
+
+@query("sim_kmeans_step", oracle=_ORACLE_KMEANS)
+def sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_refine_step(emb, n_centroids=16)

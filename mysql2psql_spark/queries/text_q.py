@@ -586,3 +586,146 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(raw, F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
         F.md5(redacted).alias("redacted_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-span detection: per document, the fraction of
+# its 3-gram shingles that occur in ANY other document (the exact
+# substring-dedup signal of RefinedWeb/Gopher-style pipelines — a high
+# dup_frac means the document is mostly boilerplate shared across the
+# corpus). Integer-exact; the shingle df table is shingle-vocab sized
+# (sublinear in the corpus) and the rejoin is hash-keyed and uniform.
+# Both consumers (df build + rejoin) derive from the single doc-keyed
+# aggregation, so the Arrow shingle pass executes once.
+# ---------------------------------------------------------------------------
+@query(
+    "text_duplicate_spans",
+    oracle=f"""
+    WITH shex AS (SELECT doc_id, UNNEST(sg) AS s FROM ({_SHINGLE_SQL})),
+    dfreq AS (SELECT s, COUNT(*) AS df FROM shex GROUP BY s)
+    SELECT shex.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+           ROUND(CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_frac
+    FROM shex JOIN dfreq d USING (s)
+    GROUP BY shex.doc_id
+    """,
+)
+def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2psql_spark.operators.text import shingle_hash_table
+
+    d = load_table(spark, sf_dir, "documents")
+    arrs = shingle_hash_table(d).groupBy("doc_id").agg(F.collect_set("sh").alias("arr"))
+    shex = arrs.select("doc_id", F.explode("arr").alias("sh"))
+    dfreq = shex.groupBy("sh").agg(F.count("*").alias("df"))
+    dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+    return (
+        shex.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            dup.alias("n_dup_shingles"),
+            F.round(dup.cast("double") / F.count("*"), 6).alias("dup_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal scoring: mean negative log-likelihood of each
+# document under the corpus's own unigram model (the cheap perplexity
+# filter of CCNet-style pipelines — gibberish scores high, boilerplate
+# scores low). mean_nll = ln(T) - sum(ln tf_w)/n, computed as one
+# token-keyed join against the vocabulary-sized term-frequency table plus
+# a 1-row broadcast of the corpus total. The token stream is scanned
+# twice (tf build + rejoin) — the same deliberate trade as
+# text_token_rarity, cheaper than materializing the exploded stream.
+# ---------------------------------------------------------------------------
+@query(
+    "text_unigram_surprisal",
+    oracle="""
+    WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+    tf AS (SELECT w, COUNT(*) AS tf FROM toks GROUP BY w),
+    tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS t FROM tf)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND((COUNT(*) * LN((SELECT t FROM tot)) - SUM(LN(CAST(tf AS DOUBLE))))
+                 / COUNT(*), 6) AS mean_nll
+    FROM toks JOIN tf USING (w)
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    tf = toks.groupBy("w").agg(F.count("*").alias("tf"))
+    tot = tf.agg(F.sum("tf").cast("double").alias("t"))
+    per_doc = (
+        toks.join(tf, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.log(F.col("tf").cast("double"))).alias("sum_ln_tf"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            (F.col("n_tokens") * F.log(F.col("t")) - F.col("sum_ln_tf"))
+            / F.col("n_tokens"),
+            6,
+        ).alias("mean_nll"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction: top-3 tokens per document by tf * ln(N/df)
+# (the topic-signal columns a curation pipeline adds before mixing).
+# The df table aggregates from the (doc, token) tf table — both the df
+# build and the rejoin consume the SAME tf aggregation exchange, so the
+# token explode runs once; the per-doc top-3 window sorts tf-rows (bounded
+# by distinct tokens per doc), never the corpus.
+# ---------------------------------------------------------------------------
+@query(
+    "text_tfidf_keywords",
+    oracle="""
+    WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+    dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w,
+             ROUND(tf.tf * LN((SELECT n_docs FROM n) / d.df), 6) AS tfidf
+      FROM tf JOIN dfreq d USING (w)
+    )
+    SELECT doc_id, w AS keyword, CAST(rnk AS INT) AS rnk, tfidf
+    FROM (SELECT doc_id, w, tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "w",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    win = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "w")
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", F.col("w").alias("keyword"), F.col("rnk").cast("int").alias("rnk"), "tfidf")
+    )
