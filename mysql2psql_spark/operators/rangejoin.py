@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mysql2psql_spark.operators.timeutil import epoch_of
+
 
 def binned_range_join(
     points: DataFrame,
@@ -28,14 +30,16 @@ def binned_range_join(
     start <= point < end. Timestamps bin at `bin_seconds` granularity;
     choose it near the typical interval span (too small -> wide interval
     explode; too large -> fat bins, weak pruning)."""
-    def _epoch(c: str):
-        # NTZ timestamps have no direct long cast; the bin only needs a
-        # consistent monotonic epoch, so route through TIMESTAMP
-        return F.col(c).cast("timestamp").cast("long")
+    # dtype-aware epoch (NTZ-safe, session-tz-independent) so point and
+    # interval bins stay aligned even when the two frames resolved the
+    # timestamp family differently
+    ep_p = epoch_of(points, point_col)
+    ep_lo = epoch_of(intervals, start_col)
+    ep_hi = epoch_of(intervals, end_col)
 
-    p_bin = F.floor(_epoch(point_col) / bin_seconds)
-    i_lo = F.floor(_epoch(start_col) / bin_seconds)
-    i_hi = F.floor((_epoch(end_col) - 1) / bin_seconds)
+    p_bin = F.floor(ep_p(point_col) / bin_seconds)
+    i_lo = F.floor(ep_lo(start_col) / bin_seconds)
+    i_hi = F.floor((ep_hi(end_col) - 1) / bin_seconds)
     exploded = intervals.withColumn("_bin", F.explode(F.sequence(i_lo, i_hi)))
     joined = points.withColumn("_bin", p_bin).join(exploded, "_bin", how)
     return joined.filter(

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from mysql2psql_spark.operators.timeutil import epoch_of
 from mysql2psql_spark.queries import query
 from mysql2psql_spark.sources import load_table
 
@@ -40,6 +41,7 @@ def _dec(c: str) -> F.Column:
 )
 def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    ep = epoch_of(e)
     return (
         e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(
@@ -47,7 +49,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(_dec("value")), 2).cast("double").alias("sum_value"),
         )
         .select(
-            F.col("w.start").cast("long").alias("bucket_start"),
+            ep("w.start").alias("bucket_start"),
             "event_type",
             "n_events",
             "sum_value",
@@ -75,6 +77,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    ep = epoch_of(e)
     return (
         e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
@@ -82,7 +85,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(_dec("value")), 2).cast("double").alias("sum_value"),
         )
         .select(
-            F.col("w.start").cast("long").alias("win_start"),
+            ep("w.start").alias("win_start"),
             "n_events",
             "sum_value",
         )
@@ -122,18 +125,19 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    ep = epoch_of(e)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     prev_ts = F.lag("ts").over(w)
     new_session = F.when(
-        prev_ts.isNull() | ((F.col("ts").cast("long") - prev_ts.cast("long")) > 1800),
+        prev_ts.isNull() | ((ep(F.col("ts")) - ep(prev_ts)) > 1800),
         F.lit(1),
     ).otherwise(F.lit(0))
     return (
         e.withColumn("session_seq", F.sum(new_session).over(wsum))
         .groupBy("user_id", "session_seq")
         .agg(
-            F.min("ts").cast("long").alias("session_start"),
+            ep(F.min("ts")).alias("session_start"),
             F.count("*").alias("n_events"),
         )
     )
@@ -160,7 +164,8 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    bucket = (F.floor(F.col("ts").cast("long") / 60) * 60).alias("minute_bucket")
+    ep = epoch_of(e)
+    bucket = (F.floor(ep("ts") / 60) * 60).alias("minute_bucket")
     w = W.partitionBy("user_id", "event_type", "minute_bucket").orderBy("ts", "event_id")
     return (
         e.select("user_id", "event_type", bucket, "event_id", "ts")
@@ -301,6 +306,7 @@ def j5_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    ep = epoch_of(e)
     p = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
     )
@@ -317,7 +323,7 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         "click_id",
         "user_id",
-        (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias("lag_seconds"),
+        (ep("p_ts") - ep("c_ts")).alias("lag_seconds"),
     )
 
 
@@ -357,6 +363,7 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    ep = epoch_of(e)
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -378,9 +385,9 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return p.select(
         "user_id",
-        F.col("t_view").cast("long").alias("view_epoch"),
-        F.col("t_click").cast("long").alias("click_epoch"),
-        F.col("t_purchase").cast("long").alias("purchase_epoch"),
+        ep("t_view").alias("view_epoch"),
+        ep("t_click").alias("click_epoch"),
+        ep("t_purchase").alias("purchase_epoch"),
     )
 
 
@@ -413,10 +420,11 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    day = (F.floor(F.col("ts").cast("long") / 86400) * 86400).cast("long")
+    ep = epoch_of(e)
+    day = (F.floor(ep("ts") / 86400) * 86400).cast("long")
     firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts")).select(
         "user_id",
-        (F.floor(F.col("first_ts").cast("long") / 86400) * 86400).cast("long").alias("cohort_day"),
+        (F.floor(ep("first_ts") / 86400) * 86400).cast("long").alias("cohort_day"),
     )
     activity = (
         e.select("user_id", day.alias("active_day"))
@@ -469,11 +477,12 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    ep = epoch_of(e)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     prev_ts = F.lag("ts").over(w)
     new_session = F.when(
-        prev_ts.isNull() | ((F.col("ts").cast("long") - prev_ts.cast("long")) > 1800),
+        prev_ts.isNull() | ((ep(F.col("ts")) - ep(prev_ts)) > 1800),
         F.lit(1),
     ).otherwise(F.lit(0))
     per_session = (
@@ -481,7 +490,7 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_seq")
         .agg(
             F.count("*").alias("n_events"),
-            (F.max("ts").cast("long") - F.min("ts").cast("long")).alias("duration_s"),
+            (ep(F.max("ts")) - ep(F.min("ts"))).alias("duration_s"),
         )
     )
     return per_session.groupBy("n_events").agg(

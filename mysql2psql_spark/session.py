@@ -43,6 +43,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Pin the Spark-4.x default explicitly: parquet timestamps with
+        # isAdjustedToUTC=false resolve as TIMESTAMP_NTZ. Query code must
+        # NOT rely on this (the correctness driver runs its own session) —
+        # operators/timeutil.py::epoch_of branches on the resolved dtype —
+        # but pinning keeps CLI runs deterministic across Spark upgrades.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mysql2psql_spark.operators.timeutil import epoch_of
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -39,24 +41,26 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
 
 def tumbling_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming twin of queries/events_q.py::stream_tumbling_window."""
+    ep = epoch_of(events)
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
-        .select(F.col("w.start").cast("long").alias("bucket_start"), "event_type", "n_events", "sum_value")
+        .select(ep("w.start").alias("bucket_start"), "event_type", "n_events", "sum_value")
     )
 
 
 def sessionized_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """session_window: the built-in stateful twin of the batch lag+cumsum
     sessionizer."""
+    ep = epoch_of(events)
     return (
         events.withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(
             "user_id",
-            F.col("w.start").cast("long").alias("session_start"),
+            ep("w.start").alias("session_start"),
             "n_events",
         )
     )
@@ -108,11 +112,12 @@ def sliding_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> D
     """Streaming twin of queries/events_q.py::stream_sliding_window:
     10-minute windows sliding every 5 — each event lands in 2 window
     states; state size is O(active windows)."""
+    ep = epoch_of(events)
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(F.count("*").alias("n_events"))
-        .select(F.col("w.start").cast("long").alias("win_start"), "n_events")
+        .select(ep("w.start").alias("win_start"), "n_events")
         .filter(F.col("win_start") >= 0)
     )
 
@@ -126,6 +131,8 @@ def attribution_join_stream(
     the state store can expire clicks older than (watermark + 1 hour):
     bounded state on an unbounded stream, the property that makes
     stream-stream joins deployable."""
+    ep_p = epoch_of(purchases)
+    ep_c = epoch_of(clicks)
     p = purchases.withWatermark("ts", watermark).select(
         F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
     )
@@ -142,5 +149,5 @@ def attribution_join_stream(
         "purchase_id",
         "click_id",
         "user_id",
-        (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias("lag_seconds"),
+        (ep_p("p_ts") - ep_c("c_ts")).alias("lag_seconds"),
     )
