@@ -47,6 +47,23 @@ def _t_frac(threshold: float) -> tuple[int, int]:
     return fr.numerator, fr.denominator
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Compute a multiply-consumed frame ONCE (lazy localCheckpoint).
+
+    The self-join shapes below consume the per-doc aggregation from 3-4
+    subtrees. Spark's ReusedExchange only dedupes work BELOW an
+    exchange boundary; the collect_set/min aggregation sits ABOVE the
+    last exchange, so without materialization the whole shingle pass +
+    aggregation re-executes per consumer (measured: 4 FileScans and 4
+    md5-transform Generates in the sf0.1 ngram plan). A lazy local
+    checkpoint persists the aggregation's output (memory-and-disk, per
+    executor — no driver traffic, corpus-partitioned) at first use and
+    truncates lineage; every other consumer reads the materialized
+    partitions. At 100 TB the checkpoint is ~|docs| array rows — the
+    alternative is re-scanning the corpus per consumer."""
+    return df.localCheckpoint(eager=False)
+
+
 def minhash_signatures(
     shingle_df: DataFrame, id_col: str = "doc_id", hash_col: str = "sh", k: int = 32
 ) -> DataFrame:
@@ -102,7 +119,7 @@ def minhash_lsh_pairs(
     subtrees.
     """
     r = k // bands
-    arrs = shingle_df.groupBy(id_col).agg(
+    arrs = _materialize(shingle_df.groupBy(id_col).agg(
         F.sort_array(F.collect_set(hash_col)).alias("arr"),
         # k min-aggregates computed alongside the array collection;
         # per-band keys hash their r signature columns directly
@@ -111,7 +128,7 @@ def minhash_lsh_pairs(
         # inflates the plan's one-time Janino compile (~3 s of the cold
         # run at sf0.1 before this shape).
         *[F.min(F.xxhash64(F.lit(i), F.col(hash_col))).alias(f"h{i}") for i in range(k)],
-    ).withColumn("n", F.size("arr"))
+    ).withColumn("n", F.size("arr")))
     # Bucket rows carry ONLY (id, band, key) — never the shingle arrays.
     # The band explode multiplies row count by `bands`, so keeping the
     # payload off these rows keeps the LSH shuffle at ~24 bytes/row
@@ -244,9 +261,11 @@ def prefix_filter_pairs(
     # one doc-keyed exchange is reused — consuming shingle_df directly
     # from two subtrees would re-execute its scan per consumer (it has
     # no shuffle boundary of its own to dedupe on).
-    arrs = shingle_df.groupBy(id_col).agg(
-        F.sort_array(F.collect_set(hash_col)).alias("arr")
-    ).withColumn("n", F.size("arr"))
+    arrs = _materialize(
+        shingle_df.groupBy(id_col)
+        .agg(F.sort_array(F.collect_set(hash_col)).alias("arr"))
+        .withColumn("n", F.size("arr"))
+    )
     # prefix length = n - ceil(t*n) + 1, ceil done with integer div
     prefix_len = f"n - ((({t_num} * n) + {t_den - 1}) div {t_den}) + 1"
     if order_by_frequency:

@@ -25,11 +25,22 @@ def binned_range_join(
     end_col: str,
     bin_seconds: int = 7 * 86400,
     how: str = "inner",
+    broadcast_intervals: bool = True,
 ) -> DataFrame:
     """Join rows of `points` to every interval with
     start <= point < end. Timestamps bin at `bin_seconds` granularity;
     choose it near the typical interval span (too small -> wide interval
-    explode; too large -> fat bins, weak pruning)."""
+    explode; too large -> fat bins, weak pruning).
+
+    ``broadcast_intervals`` (default True) pins the build side to the
+    exploded interval table. Without the hint Spark's size estimate for
+    a Generate-over-local-relation is unreliable and it can choose to
+    broadcast the POINTS side instead (observed at sf0.1: BuildLeft over
+    600k lineitem rows) — harmless locally, an executor OOM when points
+    is the 100 TB fact table. Pass False only when the interval table
+    itself is too large to broadcast; the join then falls back to a
+    shuffle hash/merge join on bin_id, which is the operator's whole
+    reason to exist."""
     # dtype-aware epoch (NTZ-safe, session-tz-independent) so point and
     # interval bins stay aligned even when the two frames resolved the
     # timestamp family differently
@@ -41,6 +52,8 @@ def binned_range_join(
     i_lo = F.floor(ep_lo(start_col) / bin_seconds)
     i_hi = F.floor((ep_hi(end_col) - 1) / bin_seconds)
     exploded = intervals.withColumn("_bin", F.explode(F.sequence(i_lo, i_hi)))
+    if broadcast_intervals:
+        exploded = F.broadcast(exploded)
     joined = points.withColumn("_bin", p_bin).join(exploded, "_bin", how)
     return joined.filter(
         (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
