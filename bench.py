@@ -59,6 +59,12 @@ HEADLINE = [
     "text_global_ordinals",
     "profile_heavy_hitters",
     "multimodal_audio_frames",
+    # round-4 surface
+    "text_chunk_windows",
+    "text_bm25",
+    "dedup_incremental",
+    "sim_quantize_int8",
+    "m2_incremental_upsert",
 ]
 
 

@@ -375,3 +375,38 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payloads = d.mapInPandas(synth, schema="doc_id bigint, payload binary")
     return image_resize_features(payloads, out_h=8, out_w=8)
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-run) dedup: flag each NEW-batch document whose
+# content fingerprint already exists in the standing corpus — the gate a
+# continuously-ingesting training pipeline runs on every batch instead
+# of re-deduping the whole corpus. Corpus membership is a 16-byte md5
+# per doc; the join is hash-keyed (uniform) and the batch side is the
+# small one, so at 100 TB the batch fingerprints broadcast and the
+# corpus streams through untouched. The 80/20 corpus/batch split is
+# deterministic (doc_id % 10) so the oracle states the identical split.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH fps AS (SELECT doc_id, MD5(text) AS fp FROM documents),
+    corpus AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 < 8)
+    SELECT f.doc_id, f.fp, (c.fp IS NOT NULL) AS dup_of_corpus
+    FROM fps f LEFT JOIN corpus c USING (fp)
+    WHERE f.doc_id % 10 >= 8
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fps = d.select("doc_id", F.md5("text").alias("fp"))
+    corpus = (
+        fps.filter(F.col("doc_id") % 10 < 8)
+        .select("fp")
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    batch = fps.filter(F.col("doc_id") % 10 >= 8)
+    return batch.join(corpus, "fp", "left").select(
+        "doc_id", "fp", F.coalesce(F.col("_hit"), F.lit(False)).alias("dup_of_corpus")
+    )

@@ -215,3 +215,47 @@ _ORACLE_KMEANS = """
 def sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_refine_step(emb, n_centroids=16)
+
+
+# ---------------------------------------------------------------------------
+# Scalar int8 quantization of the embedding corpus (per-dimension
+# min/max): the compression step before shipping vectors into an ANN
+# index — 4 bytes/dim -> 1 byte/dim. Two passes: a dimension-keyed
+# min/max aggregate (64 rows out, map-side combined) broadcast back over
+# the exploded corpus. Integer codes, so the oracle equality is exact —
+# every arithmetic step is the same IEEE double op in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "sim_quantize_int8",
+    oracle="""
+    WITH ex AS (SELECT vec_id,
+                       generate_subscripts(embedding, 1) - 1 AS dim,
+                       CAST(UNNEST(embedding) AS DOUBLE) AS v
+                FROM embeddings),
+    st AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY dim)
+    SELECT e.vec_id, CAST(e.dim AS INT) AS dim,
+           CAST(CASE WHEN st.mx > st.mn
+                     THEN FLOOR((e.v - st.mn) * 255 / (st.mx - st.mn) + 0.5)
+                     ELSE 0 END AS INT) AS code
+    FROM ex e JOIN st USING (dim)
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    st = ex.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    code = (
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.floor((F.col("v") - F.col("mn")) * 255 / (F.col("mx") - F.col("mn")) + 0.5),
+        )
+        .otherwise(0)
+        .cast("int")
+    )
+    return ex.join(F.broadcast(st), "dim").select(
+        "vec_id", F.col("dim").cast("int").alias("dim"), code.alias("code")
+    )

@@ -96,3 +96,54 @@ def m1_migration_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parents = {"reservation": spark.createDataFrame(_RESERVATIONS, "id int")}
     return migrate_table(reminders, plan, "reservation_reminder", parents)
+
+
+# ---------------------------------------------------------------------------
+# Incremental upsert (the migrator's continuous-load extension): merge a
+# deterministic change batch into the customer snapshot, latest version
+# per key winning — MERGE INTO semantics as one union + max_by hash
+# aggregate. No window: max_by keeps the whole merge a single map-side-
+# combinable shuffle on the key, and the change batch unions in without
+# ever being collected. (The reference migrates one frozen snapshot;
+# plans/incremental.py adds append-only loads; this is the update path.)
+# ---------------------------------------------------------------------------
+@query(
+    "m2_incremental_upsert",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, 1 AS version
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, 0.0, 1
+      FROM customer WHERE c_custkey % 97 = 0
+    ),
+    all_rows AS (
+      SELECT c_custkey, c_acctbal, 0 AS version FROM customer
+      UNION ALL SELECT * FROM changes
+    )
+    SELECT c_custkey,
+           ARG_MAX(c_acctbal, version) AS c_acctbal_cur,
+           CAST(MAX(version) AS INT) AS version
+    FROM all_rows GROUP BY c_custkey
+    """,
+)
+def m2_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from mysql2psql_spark.sources import load_table
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    updates = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 100.0).alias("c_acctbal"), F.lit(1).alias("version")
+    )
+    inserts = c.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit(1).alias("version"),
+    )
+    snapshot = c.withColumn("version", F.lit(0))
+    merged = snapshot.unionByName(updates).unionByName(inserts)
+    return merged.groupBy("c_custkey").agg(
+        F.max_by("c_acctbal", "version").alias("c_acctbal_cur"),
+        F.max("version").cast("int").alias("version"),
+    )

@@ -729,3 +729,105 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", F.col("w").alias("keyword"), F.col("rnk").cast("int").alias("rnk"), "tfidf")
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking: split every document into overlapping
+# fixed-token windows (64 tokens, stride 48) — the chunking step in
+# front of embedding / context-window packing in a training pipeline.
+# Row-local array work (split once, slice per chunk, one explode); no
+# shuffle at all, so it scales with scan bandwidth. Chunk identity is an
+# md5 fingerprint so the result is value-checkable without shipping the
+# chunk text.
+# ---------------------------------------------------------------------------
+_CHUNK_W, _CHUNK_S = 64, 48
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+    s AS (SELECT doc_id, ws,
+                 UNNEST(generate_series(0, LEN(ws) - 1, {_CHUNK_S})) AS st
+          FROM t)
+    SELECT doc_id,
+           CAST(st // {_CHUNK_S} AS BIGINT) AS chunk_idx,
+           CAST(st AS BIGINT) AS start_token,
+           CAST(LEAST({_CHUNK_W}, LEN(ws) - st) AS BIGINT) AS n_chunk_tokens,
+           MD5(ARRAY_TO_STRING(ws[st + 1: st + {_CHUNK_W}], ' ')) AS chunk_fp
+    FROM s
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+    starts = F.sequence(F.lit(0), n - 1, F.lit(_CHUNK_S))
+    return (
+        d.select("doc_id", ws.alias("ws"), F.explode(starts).alias("st"))
+        .select(
+            "doc_id",
+            (F.col("st") / _CHUNK_S).cast("long").alias("chunk_idx"),
+            F.col("st").cast("long").alias("start_token"),
+            F.least(F.lit(_CHUNK_W), F.size("ws") - F.col("st")).cast("long").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", F.slice("ws", F.col("st") + 1, F.lit(_CHUNK_W)))).alias("chunk_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring for a fixed query-term set — the retrieval
+# scorer of a search/RAG pipeline, run corpus-wide. All statistics are
+# aggregates the engine already shuffles for (per-doc length, per-term
+# document frequency, corpus averages); the per-(doc, term) score join
+# touches only docs containing a query term. df and the (N, avgdl)
+# scalars are vocabulary-/1-row-sized — broadcast, never shuffled wide.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("join", "scan", "merge")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "text_bm25",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+           WHERE w IN {_BM25_TERMS!r} GROUP BY doc_id, w),
+    dfreq AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY w)
+    SELECT tf.doc_id,
+           ROUND(SUM(
+             LN(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * ({_BM25_K1} + 1)
+             / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (w) CROSS JOIN stats
+    GROUP BY tf.doc_id
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(F.lit(1) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * (_BM25_K1 + 1) / denom
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+    )

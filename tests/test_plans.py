@@ -90,3 +90,29 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
     assert joined.count() == li.join(o, li.l_orderkey == o.o_orderkey).count()
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_range_join_broadcasts_interval_side(spark):
+    """binned_range_join must build (broadcast) the exploded INTERVAL
+    side, never the points/fact side: Spark's size estimate for a
+    Generate-over-local-relation once flipped the build side and
+    broadcast 600k lineitem rows (an executor OOM at real scale)."""
+    plan = _plan(QUERIES["r1_range_join_promo"](spark, SF_DIR_ORACLE))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in body, body[:2000]
+    # the build side must be the side containing the interval explode
+    # (Generate over the local promo relation), i.e. BuildRight with the
+    # fact scan on the left — a BuildLeft over the parquet scan is the
+    # regression
+    m = re.search(r"BuildLeft", body)
+    assert m is None, body[:2000]
+
+
+def test_prefix_filter_materializes_shingle_agg_once(spark):
+    """The ngram-Jaccard plan must NOT re-execute the corpus shingle
+    pass per self-join consumer: after the localCheckpoint fix the
+    executed plan reads the materialized per-doc aggregation (scans of
+    the raw documents parquet appear at most once)."""
+    df = QUERIES["dedup_ngram_jaccard"](spark, SF_DIR_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") <= 1, plan[:3000]
