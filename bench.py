@@ -60,6 +60,8 @@ HEADLINE = [
     "profile_heavy_hitters",
     "multimodal_audio_frames",
     # round-4 surface
+    "j6_salted_skew_join",
+    "stream_late_data_policy",
     "text_chunk_windows",
     "text_bm25",
     "dedup_incremental",

@@ -524,3 +524,74 @@ def profile_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_events").desc(), "user_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join (SURVEY §7 "100 TB posture", end-to-end): events are
+# heavily skewed by user_id (see profile_heavy_hitters); joining them to
+# a per-user dimension with operators/skew.py::salted_join spreads each
+# hot key over 8 reducers. Results are row-identical to the plain join —
+# which is exactly what the oracle states, so the driver hash-checks
+# that the salting machinery is a pure execution-shape change.
+# ---------------------------------------------------------------------------
+@query(
+    "j6_salted_skew_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def j6_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2psql_spark.operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return salted_join(e, c, on="user_id", salts=8).select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark late-data policy, batch-checkable: each event "arrives"
+# event_id % 900 seconds after it happened (deterministic synthetic
+# transport delay); a 5-minute tumbling aggregation with a 10-minute
+# watermark KEEPS an event iff it arrives before its window's close +
+# watermark — the exact row Structured Streaming would still fold into
+# the window state. The oracle states the same predicate, so the
+# driver checks the engine's late-data semantics, not just its happy
+# path. (The streaming twin is tumbling_counts_stream; watermark
+# behavior there is pinned in test_streaming.)
+# ---------------------------------------------------------------------------
+@query(
+    "stream_late_data_policy",
+    oracle="""
+    WITH arr AS (
+      SELECT event_id,
+             (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 300) * 300 AS win_start,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) + (event_id % 900) AS arrival_epoch
+      FROM events
+    )
+    SELECT win_start,
+           COUNT(*) FILTER (WHERE arrival_epoch <= win_start + 300 + 600) AS n_kept,
+           COUNT(*) FILTER (WHERE arrival_epoch >  win_start + 300 + 600) AS n_dropped_late
+    FROM arr GROUP BY win_start
+    """,
+)
+def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ep = epoch_of(e)
+    win_start = (F.floor(ep("ts") / 300) * 300).cast("long")
+    arrival = ep("ts") + (F.col("event_id") % 900)
+    kept = F.sum(
+        F.when(F.col("arrival_epoch") <= F.col("win_start") + 300 + 600, 1).otherwise(0)
+    )
+    return (
+        e.select(win_start.alias("win_start"), arrival.alias("arrival_epoch"))
+        .groupBy("win_start")
+        .agg(
+            kept.alias("n_kept"),
+            (F.count("*") - kept).alias("n_dropped_late"),
+        )
+    )
