@@ -153,19 +153,6 @@ def shingle_hash_table(
     raise ValueError(f"unknown shingle engine {engine!r} (use 'jvm' or 'arrow')")
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles (the dedup unit for MinHash / n-gram
-    Jaccard). Built-in array functions only; docs with < k tokens yield an
-    empty set. F.get is 0-based and OOB-safe (no ANSI element_at throw)."""
-    toks = tokens(text)
-    n = F.size(toks)
-    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
-        F.array().cast("array<int>")
-    )
-    make = lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(k)])  # noqa: E731
-    return F.array_distinct(F.transform(idx, make))
-
-
 def pack_sequences(
     docs,
     id_col: str = "doc_id",
