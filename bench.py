@@ -67,6 +67,8 @@ HEADLINE = [
     "dedup_incremental",
     "sim_quantize_int8",
     "m2_incremental_upsert",
+    "agg_pivot_event_types",
+    "p7_unpivot_metrics",
 ]
 
 

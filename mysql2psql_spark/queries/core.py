@@ -670,3 +670,63 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("_e95") * 100) / 100).alias("p95_exact"),
         (F.abs(F.col("_a50") - F.col("_e50")) <= 0.05 * F.col("_e50")).alias("approx_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT (§2.4 fill): long-to-wide with an EXPLICIT value list —
+# groupBy().pivot(col, values) compiles to one hash aggregate with a
+# conditional-count per pivot value (no second shuffle, no distinct-scan
+# to discover values — passing the list keeps the plan static and the
+# output schema deterministic, both required at 100 TB and by the
+# oracle's fixed column set).
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+@query(
+    "agg_pivot_event_types",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt (§2.4 fill, the inverse): wide-to-long via the built-in
+# unpivot (STACK) — row-local, zero shuffles; the metric name becomes a
+# key column a downstream groupBy can aggregate uniformly.
+# ---------------------------------------------------------------------------
+@query(
+    "p7_unpivot_metrics",
+    oracle="""
+    SELECT c_custkey, metric, val FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    )
+    """,
+)
+def p7_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
