@@ -69,6 +69,7 @@ HEADLINE = [
     "m2_incremental_upsert",
     "agg_pivot_event_types",
     "p7_unpivot_metrics",
+    "a4_statistical_moments",
 ]
 
 

@@ -730,3 +730,35 @@ def p7_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").alias("acctbal"),
         F.col("c_nationkey").cast("double").alias("nationkey"),
     ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates (§2.4 fill): per-group corr / covariance /
+# stddev — the profiling moments a pipeline computes before feature
+# normalization. One hash aggregate with map-side combine (Spark's
+# single-pass co-moment merge), output rows = |groups|. Results are
+# rounded to 6 places: both engines merge co-moments in different
+# orders, identical to ~1e-12 relative on this data.
+# ---------------------------------------------------------------------------
+@query(
+    "a4_statistical_moments",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(value), 6) AS mean_value,
+           ROUND(STDDEV_SAMP(value), 6) AS sd_value,
+           ROUND(CORR(value, CAST(user_id AS DOUBLE)), 6) AS corr_value_user,
+           ROUND(COVAR_SAMP(value, CAST(user_id AS DOUBLE)), 6) AS covar_value_user
+    FROM events GROUP BY event_type
+    """,
+)
+def a4_statistical_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.round(F.corr(F.col("value"), u), 6).alias("corr_value_user"),
+        F.round(F.covar_samp(F.col("value"), u), 6).alias("covar_value_user"),
+    )
