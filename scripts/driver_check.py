@@ -1,0 +1,85 @@
+"""Simulate the grading driver's correctness gate exactly.
+
+Unlike tests/test_oracle.py (which uses the engine's tuned session) and
+scripts/probe_all.py (which only checks that queries run), this runs the
+REAL gate conditions: a vanilla SparkSession (no UTC pin, no NTZ conf,
+default shuffle partitions — the environment that exposed the round-3
+TIMESTAMP_NTZ regression), every query from `__spark_entry__.queries()`,
+and an exact order-insensitive compare against `oracle_sql()` in DuckDB.
+
+Usage:
+    python scripts/driver_check.py [--sf-dir /root/testdata/sf0.01] [--only name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", nargs="*", help="check only these query names")
+    args = ap.parse_args()
+
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import SparkSession
+
+    # deliberately vanilla: the driver does NOT use session.get_spark
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as m
+
+    qs, osql = m.queries(), m.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+
+    names = args.only or list(qs)
+    failures: list[str] = []
+    for i, name in enumerate(names, 1):
+        try:
+            got = qs[name](spark, args.sf_dir).toPandas()
+            if name not in osql:
+                print(f"[{i:3d}/{len(names)}] {name}: rows-only {len(got)}")
+                continue
+            want = con.execute(osql[name]).df()
+            got = got[sorted(got.columns)].sort_values(
+                by=sorted(got.columns)
+            ).reset_index(drop=True)
+            want = want[sorted(want.columns)].sort_values(
+                by=sorted(want.columns)
+            ).reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+            print(f"[{i:3d}/{len(names)}] {name}: OK {len(got)} rows")
+        except Exception:
+            failures.append(name)
+            print(f"[{i:3d}/{len(names)}] {name}: FAIL\n{traceback.format_exc(limit=2)}")
+
+    if failures:
+        print(f"\n{len(failures)} FAILED: {failures}", file=sys.stderr)
+        return 1
+    print(f"\nall {len(names)} queries match the oracle under a vanilla session")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
