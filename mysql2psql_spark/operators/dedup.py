@@ -433,16 +433,16 @@ def simhash_pairs(
             for j in range(8)
         ]
     )
-    # The repartition on the join key is the shared shuffle boundary both
-    # self-join sides consume — without it the fingerprint pass (Arrow
-    # mapInPandas in the default engine) has no exchange for the runtime
-    # stage cache to dedupe on and executes once per side; the join
-    # needed this distribution anyway.
-    chunks = sh.select(
-        id_col, "sh", F.explode(chunk_structs).alias("ck")
-    ).select(
-        id_col, "sh", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val")
-    ).repartition("chunk", "val")
+    # Materialize the chunk table once: both self-join sides consume it,
+    # and the executed plan otherwise runs the whole fingerprint pass
+    # (shingle scan + Arrow majority count) once PER SIDE — the exchange
+    # below it is not reliably deduped by ReusedExchange (measured: 2
+    # mapInPandas nodes in the sf0.1 plan). 8 rows x 24 B per doc.
+    chunks = _materialize(
+        sh.select(id_col, "sh", F.explode(chunk_structs).alias("ck")).select(
+            id_col, "sh", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val")
+        )
+    )
 
     a = chunks.alias("a")
     b = chunks.alias("b")

@@ -274,11 +274,17 @@ def semantic_dedup(
     the cluster key is the shared exchange BOTH self-join sides reuse, so
     the Arrow assignment matmul executes once (same pattern as
     lsh_cosine_pairs)."""
+    from mysql2psql_spark.operators.dedup import _materialize
+
     seeds = _collect_seeds(emb, n_centroids, id_col, vec_col)
-    clustered = (
-        ivf_assign(emb, seeds, id_col, vec_col)
-        .join(emb.select(id_col, vec_col), id_col)
-        .repartition("cluster")
+    # materialized once: both self-join sides consume it, and the bare
+    # cluster-keyed repartition was neither ReusedExchange-deduped (the
+    # Arrow assignment pass executed per side) nor safe from AQE
+    # coalescing on small shuffles
+    clustered = _materialize(
+        ivf_assign(emb, seeds, id_col, vec_col).join(
+            emb.select(id_col, vec_col), id_col
+        )
     )
     a, b = clustered.alias("a"), clustered.alias("b")
     pairs = a.join(
@@ -317,14 +323,16 @@ def kmeans_refine_step(
     centroid recompute a uniform hash agg with map-side combine, 64*C
     result rows regardless of corpus size — and a C-row broadcast-joined
     stats table. No window, no collect beyond the seed table."""
+    from mysql2psql_spark.operators.dedup import _materialize
+
     seeds = _collect_seeds(emb, n_centroids, id_col, vec_col)
-    # the explicit cluster-keyed exchange is what BOTH aggregation
-    # consumers (centroid recompute + member stats) read from, so the
-    # Arrow assignment pass and the vector rejoin execute exactly once
-    assigned = (
-        ivf_assign(emb, seeds, id_col, vec_col, with_cos=True)
-        .join(emb.select(id_col, vec_col), id_col)
-        .repartition("cluster")
+    # materialized once so BOTH aggregation consumers (centroid
+    # recompute + member stats) read the assignment output instead of
+    # re-running the Arrow matmul pass
+    assigned = _materialize(
+        ivf_assign(emb, seeds, id_col, vec_col, with_cos=True).join(
+            emb.select(id_col, vec_col), id_col
+        )
     )
     dims = assigned.select("cluster", F.posexplode(vec_col).alias("dim", "x"))
     cent = dims.groupBy("cluster", "dim").agg(F.avg("x").alias("m"))
