@@ -172,17 +172,16 @@ def lsh_cosine_pairs(
     for the candidate set, so the bucket-join shuffle is ~24 bytes/row
     regardless of embedding width (same shape as dedup.minhash_lsh_pairs).
 
-    The explicit repartition on the join key is the shared shuffle
-    boundary BOTH sides of the self-join consume: without it the
-    mapInPandas matmul has no exchange for the runtime stage cache to
-    dedupe on, and the whole signature pass executes once per join side
-    (accumulator-verified; the exchange itself costs nothing extra — the
-    join needed that distribution anyway).
+    The bucket table is materialized once (lazy localCheckpoint): both
+    self-join sides consume it, and a bare keyed repartition is neither
+    reliably deduped by ReusedExchange nor safe from AQE coalescing
+    (measured: the mapInPandas signature matmul ran once per join side,
+    4 FileScans in the sf0.1 plan).
     """
+    from mysql2psql_spark.operators.dedup import _materialize
+
     planes = planes or hyperplanes(tables * r)
-    buckets = table_keys_df(emb, planes, tables, r, id_col, vec_col).repartition(
-        "table", "key"
-    )
+    buckets = _materialize(table_keys_df(emb, planes, tables, r, id_col, vec_col))
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
