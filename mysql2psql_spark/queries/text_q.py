@@ -410,14 +410,15 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_pack_sequences",
     oracle="""
     WITH nb AS (
-      SELECT GREATEST(8, (SUM(LEN(STRING_SPLIT(text, ' '))) + 1048575) // 1048576) AS n
+      SELECT CAST(GREATEST(8, (SUM(LEN(STRING_SPLIT(text, ' '))) + 1048575) // 1048576)
+                  AS BIGINT) AS n
       FROM documents
     ),
     sized AS (
       SELECT doc_id,
              LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
-             CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-               % (SELECT n FROM nb) AS bucket
+             CAST(CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % (SELECT n FROM nb) AS BIGINT) AS bucket
       FROM documents
     ),
     packed AS (

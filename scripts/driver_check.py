@@ -26,6 +26,21 @@ TABLES = (
 )
 
 
+def value_hash(df) -> str:
+    """Hash the frame through its RENDERED values, like the driver does.
+
+    ``assert_frame_equal(check_dtype=False)`` treats int64 ``3`` and
+    float64 ``3.0`` as equal, but the driver's hash compares rendered
+    values, so a DuckDB HUGEINT column (pandas float64) diverges from a
+    Spark BIGINT even when every value is numerically identical — the
+    exact class that went red in r2/r3/r4.  Hashing ``to_csv`` output
+    reproduces that sensitivity: ``3`` vs ``3.0`` hash differently.
+    """
+    import hashlib
+
+    return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -69,7 +84,19 @@ def main() -> int:
                 by=sorted(want.columns)
             ).reset_index(drop=True)
             pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
-            print(f"[{i:3d}/{len(names)}] {name}: OK {len(got)} rows")
+            gh, wh = value_hash(got), value_hash(want)
+            if gh != wh:
+                # values are equal but the rendering differs (dtype
+                # artifact, e.g. HUGEINT->float) — the driver's hash gate
+                # WILL fail this even though the engine values are right
+                failures.append(name)
+                print(
+                    f"[{i:3d}/{len(names)}] {name}: RENDER-DIFF "
+                    f"(values equal, rendered hash {gh[:8]} != {wh[:8]}) — "
+                    "fix the oracle's column types"
+                )
+                continue
+            print(f"[{i:3d}/{len(names)}] {name}: OK {len(got)} rows hash {gh[:8]}")
         except Exception:
             failures.append(name)
             print(f"[{i:3d}/{len(names)}] {name}: FAIL\n{traceback.format_exc(limit=2)}")
