@@ -11,10 +11,10 @@ through one shuffle — linear, skew-bounded by bin width.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mysql2psql_spark.operators.timeutil import epoch_of
+from mysql2psql_spark.operators.timeutil import epoch_seconds, ts_family
 
 
 def binned_range_join(
@@ -40,21 +40,44 @@ def binned_range_join(
     is the 100 TB fact table. Pass False only when the interval table
     itself is too large to broadcast; the join then falls back to a
     shuffle hash/merge join on bin_id, which is the operator's whole
-    reason to exist."""
-    # dtype-aware epoch (NTZ-safe, session-tz-independent) so point and
-    # interval bins stay aligned even when the two frames resolved the
-    # timestamp family differently
-    ep_p = epoch_of(points, point_col)
-    ep_lo = epoch_of(intervals, start_col)
-    ep_hi = epoch_of(intervals, end_col)
+    reason to exist.
 
-    p_bin = F.floor(ep_p(point_col) / bin_seconds)
-    i_lo = F.floor(ep_lo(start_col) / bin_seconds)
-    i_hi = F.floor((ep_hi(end_col) - 1) / bin_seconds)
+    Timestamp families are ALIGNED before anything is computed: when
+    exactly one side is an absolute instant (TIMESTAMP/LTZ) and the
+    other is wall-clock (TIMESTAMP_NTZ or DATE), the instant side is
+    cast to ``timestamp_ntz`` so the bin epochs AND the containment
+    comparison all live in one (wall-clock) space. Without this, a
+    non-UTC session computes point bins in naive space but interval
+    bins in absolute space while Spark coerces the final comparison in
+    session-local space — bin pruning and the filter then disagree by
+    the timezone offset and silently drop matches near bin boundaries.
+    """
+    if ts_family(intervals, start_col) != ts_family(intervals, end_col):
+        raise ValueError(
+            f"interval bounds disagree on timestamp family: "
+            f"{start_col} is {ts_family(intervals, start_col)}, "
+            f"{end_col} is {ts_family(intervals, end_col)}"
+        )
+    p_fam = ts_family(points, point_col)
+    i_fam = ts_family(intervals, start_col)
+    # common comparison space: wall-clock unless BOTH sides are instants
+    naive = p_fam == "naive" or i_fam == "naive"
+
+    def _norm(c: Column) -> Column:
+        return c.cast("timestamp_ntz") if naive else c
+
+    points = points.withColumn("_rj_p", _norm(F.col(point_col)))
+    intervals = intervals.withColumn("_rj_lo", _norm(F.col(start_col))).withColumn(
+        "_rj_hi", _norm(F.col(end_col))
+    )
+
+    p_bin = F.floor(epoch_seconds("_rj_p", ntz=naive) / bin_seconds)
+    i_lo = F.floor(epoch_seconds("_rj_lo", ntz=naive) / bin_seconds)
+    i_hi = F.floor((epoch_seconds("_rj_hi", ntz=naive) - 1) / bin_seconds)
     exploded = intervals.withColumn("_bin", F.explode(F.sequence(i_lo, i_hi)))
     if broadcast_intervals:
         exploded = F.broadcast(exploded)
     joined = points.withColumn("_bin", p_bin).join(exploded, "_bin", how)
     return joined.filter(
-        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
-    ).drop("_bin")
+        (F.col("_rj_p") >= F.col("_rj_lo")) & (F.col("_rj_p") < F.col("_rj_hi"))
+    ).drop("_bin", "_rj_p", "_rj_lo", "_rj_hi")

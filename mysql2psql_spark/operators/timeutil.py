@@ -51,6 +51,19 @@ def is_ntz(df: DataFrame, colname: str) -> bool:
     return isinstance(df.schema[colname].dataType, TimestampNTZType)
 
 
+def ts_family(df: DataFrame, colname: str) -> str:
+    """``"naive"`` for TIMESTAMP_NTZ / DATE (wall-clock values, no zone),
+    ``"instant"`` for TIMESTAMP (LTZ, an absolute point in time).
+
+    Operators that combine two timestamp columns (range joins, as-of
+    joins) must not mix the families: epoch arithmetic on a naive column
+    is wall-clock math while on an instant column it is absolute-time
+    math, and the two disagree by the session-timezone offset under any
+    non-UTC session. Callers align families first (cast the lone instant
+    side to ``timestamp_ntz``) or assert they already match."""
+    return "naive" if isinstance(df.schema[colname].dataType, (TimestampNTZType, DateType)) else "instant"
+
+
 def epoch_seconds(col: Column | str, *, ntz: bool) -> Column:
     """Epoch seconds (BIGINT, floored) for a timestamp column whose
     NTZ-ness is already known. Prefer :func:`epoch_of` which derives

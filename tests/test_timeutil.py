@@ -147,3 +147,58 @@ def test_event_queries_run_under_both_timestamp_families(spark, qname):
         ltz_rows = sorted(map(tuple, fn(spark, sf_dir).collect()))
     assert ntz_rows == ltz_rows
     assert len(ntz_rows) > 0
+
+
+def test_ts_family_classification(spark, ts_fixture):
+    from mysql2psql_spark.operators.timeutil import ts_family
+
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 1), dt.datetime(2024, 1, 1))], "d date, t timestamp"
+    )
+    assert ts_family(df, "d") == "naive"
+    assert ts_family(df, "t") == "instant"
+    with _conf(spark, NTZ_CONF, "true"):
+        assert ts_family(spark.read.parquet(ts_fixture), "ts") == "naive"
+
+
+def test_range_join_mixed_family_non_utc_session(spark):
+    """DATE points vs TIMESTAMP (LTZ) intervals under a non-UTC session:
+    the pre-fix operator computed point bins in naive space but interval
+    bins in absolute-instant space, so an interval whose end crossed a
+    bin boundary under the tz offset (here 03:00 under +05:30) silently
+    dropped the matching boundary date. The operator must agree with
+    Spark's own inequality-join coercion under ANY session timezone."""
+    from mysql2psql_spark.operators.rangejoin import binned_range_join
+
+    with _conf(spark, TZ_CONF, "Asia/Kolkata"):
+        points = spark.createDataFrame(
+            [(dt.date(1997, 1, d),) for d in range(1, 11)], "p date"
+        )
+        iv = spark.createDataFrame(
+            [("w1", "1997-01-01 00:00:00", "1997-01-08 03:00:00")],
+            "wid string, s string, e string",
+        ).select("wid", F.to_timestamp("s").alias("s"), F.to_timestamp("e").alias("e"))
+        got = sorted(
+            r["p"] for r in binned_range_join(
+                points, iv, "p", "s", "e", bin_seconds=86400
+            ).collect()
+        )
+        want = sorted(
+            r["p"]
+            for r in points.join(iv, (points.p >= iv.s) & (points.p < iv.e)).collect()
+        )
+    assert got == want
+    # Jan 8 is the boundary date the pre-fix binning dropped
+    assert dt.date(1997, 1, 8) in got
+    assert len(got) == 8
+
+
+def test_range_join_rejects_mixed_interval_bounds(spark):
+    from mysql2psql_spark.operators.rangejoin import binned_range_join
+
+    points = spark.createDataFrame([(dt.date(1997, 1, 1),)], "p date")
+    iv = spark.createDataFrame(
+        [(dt.datetime(1997, 1, 1), dt.date(1997, 1, 8))], "s timestamp, e date"
+    )
+    with pytest.raises(ValueError, match="family"):
+        binned_range_join(points, iv, "p", "s", "e")
