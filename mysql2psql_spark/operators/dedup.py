@@ -32,6 +32,8 @@ from fractions import Fraction
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mysql2psql_spark.operators.materialize import materialize
+
 
 def _t_frac(threshold: float) -> tuple[int, int]:
     """Exact rational (numerator, denominator) for a user-given threshold.
@@ -47,21 +49,11 @@ def _t_frac(threshold: float) -> tuple[int, int]:
     return fr.numerator, fr.denominator
 
 
-def _materialize(df: DataFrame) -> DataFrame:
-    """Compute a multiply-consumed frame ONCE (lazy localCheckpoint).
-
-    The self-join shapes below consume the per-doc aggregation from 3-4
-    subtrees. Spark's ReusedExchange only dedupes work BELOW an
-    exchange boundary; the collect_set/min aggregation sits ABOVE the
-    last exchange, so without materialization the whole shingle pass +
-    aggregation re-executes per consumer (measured: 4 FileScans and 4
-    md5-transform Generates in the sf0.1 ngram plan). A lazy local
-    checkpoint persists the aggregation's output (memory-and-disk, per
-    executor — no driver traffic, corpus-partitioned) at first use and
-    truncates lineage; every other consumer reads the materialized
-    partitions. At 100 TB the checkpoint is ~|docs| array rows — the
-    alternative is re-scanning the corpus per consumer."""
-    return df.localCheckpoint(eager=False)
+# The self-join shapes below consume the per-doc aggregation from 3-4
+# subtrees; materialize computes it once (see operators/materialize.py
+# for the mechanism, the dynamic-allocation caveat, and the release
+# helper). `_materialize` stays as an alias for backward compatibility.
+_materialize = materialize
 
 
 def minhash_signatures(
@@ -209,6 +201,7 @@ def prefix_filter_pairs(
     hash_col: str = "sh",
     threshold: float = 0.5,
     order_by_frequency: bool = True,
+    carry_arrays: bool = False,
 ) -> DataFrame:
     """EXACT Jaccard >= threshold pairs via prefix filtering (the
     AllPairs/PPJoin principle) — the deterministic, zero-false-negative
@@ -243,6 +236,19 @@ def prefix_filter_pairs(
     arrays and intersects natively (array_intersect is codegen'd, no
     lambda): one row per pair with an |doc|-sized payload instead of an
     exploded row per (pair, shingle) — same bytes, far fewer rows.
+
+    ``carry_arrays`` (hash-order path only) attaches each doc's full
+    sorted hash array to its prefix rows, so verification happens inline
+    after the pair-grouping aggregation — removing BOTH verify joins and
+    their exchanges (~30% wall and one fewer measured stage-compile at
+    sf0.1). The trade is shuffle bytes: every prefix row carries
+    ``8·|doc|`` array bytes, so per-doc shuffle cost is
+    ``8(1-t)·|doc|²`` — quadratic in document shingle count. Safe when
+    shingle counts are bounded and small (measured ~52/doc on the target
+    corpus; fine up to a few hundred); for long documents keep the
+    default False: prefix rows then stay 24 B and arrays are only ever
+    shipped for pairs that survive ALL pruning (candidate-proportional,
+    not corpus-proportional).
 
     Execution shape of the df-ordered path (no per-row window): df is
     one hash-keyed count agg; a single doc-keyed aggregation then
@@ -294,16 +300,26 @@ def prefix_filter_pairs(
     else:
         # hash order IS the sorted array's order: prefix comes free from
         # slice + posexplode, no df pass at all
+        carry = ["arr"] if carry_arrays else []
         pref = (
-            arrs.select(id_col, "n", F.expr(f"slice(arr, 1, {prefix_len})").alias("pfx"))
-            .select(id_col, "n", F.posexplode("pfx").alias("p0", hash_col))
-            .select(id_col, hash_col, "n", (F.col("p0") + 1).alias("pos"))
+            arrs.select(id_col, "n", *carry, F.expr(f"slice(arr, 1, {prefix_len})").alias("pfx"))
+            .select(id_col, "n", *carry, F.posexplode("pfx").alias("p0", hash_col))
+            .select(id_col, hash_col, "n", *carry, (F.col("p0") + 1).alias("pos"))
         )
+    carry = carry_arrays and not order_by_frequency
     a = pref.select(
-        F.col(id_col).alias("doc_a"), hash_col, F.col("n").alias("na"), F.col("pos").alias("pa")
+        F.col(id_col).alias("doc_a"),
+        hash_col,
+        F.col("n").alias("na"),
+        F.col("pos").alias("pa"),
+        *([F.col("arr").alias("arr_a")] if carry else []),
     )
     b = pref.select(
-        F.col(id_col).alias("doc_b"), hash_col, F.col("n").alias("nb"), F.col("pos").alias("pb")
+        F.col(id_col).alias("doc_b"),
+        hash_col,
+        F.col("n").alias("nb"),
+        F.col("pos").alias("pb"),
+        *([F.col("arr").alias("arr_b")] if carry else []),
     )
     # size window, exact: nb >= t*na  <=>  t_den*nb >= t_num*na;
     #                     nb <= na/t  <=>  t_num*nb <= t_den*na
@@ -314,14 +330,26 @@ def prefix_filter_pairs(
     )
     # the min (pos_a, pos_b) struct IS the first shared token: prefix
     # orderings restricted to shared tokens agree (same global order)
-    first = matches.groupBy("doc_a", "doc_b").agg(F.min(F.struct("pa", "pb", "na", "nb")).alias("m"))
+    first = matches.groupBy("doc_a", "doc_b").agg(
+        F.min(F.struct("pa", "pb", "na", "nb")).alias("m"),
+        *([F.first("arr_a").alias("arr_a"), F.first("arr_b").alias("arr_b")] if carry else []),
+    )
     # overlap upper bound >= ceil((na+nb) * t/(1+t))
     #   <=>  (na+nb)*t_num <= ub*(t_num+t_den)
     ub = F.lit(1) + F.least(F.col("m.na") - F.col("m.pa"), F.col("m.nb") - F.col("m.pb"))
     cand = first.filter(
         (F.col("m.na") + F.col("m.nb")) * F.lit(t_num) <= ub * F.lit(t_num + t_den)
-    ).select("doc_a", "doc_b")
-    return exact_jaccard_verify(cand, arrs, id_col, threshold)
+    )
+    if not carry:
+        return exact_jaccard_verify(cand.select("doc_a", "doc_b"), arrs, id_col, threshold)
+    # inline verification on the carried arrays (same integer-exact
+    # bound as exact_jaccard_verify, zero extra joins)
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    union = F.col("m.na") + F.col("m.nb") - inter
+    jac = inter.cast("double") / union
+    return cand.filter(inter * F.lit(t_den) >= F.lit(t_num) * union).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
 
 
 def _bit_mask(i: int) -> int:

@@ -178,7 +178,7 @@ def lsh_cosine_pairs(
     (measured: the mapInPandas signature matmul ran once per join side,
     4 FileScans in the sf0.1 plan).
     """
-    from mysql2psql_spark.operators.dedup import _materialize
+    from mysql2psql_spark.operators.materialize import materialize as _materialize
 
     planes = planes or hyperplanes(tables * r)
     buckets = _materialize(table_keys_df(emb, planes, tables, r, id_col, vec_col))
@@ -273,7 +273,7 @@ def semantic_dedup(
     the cluster key is the shared exchange BOTH self-join sides reuse, so
     the Arrow assignment matmul executes once (same pattern as
     lsh_cosine_pairs)."""
-    from mysql2psql_spark.operators.dedup import _materialize
+    from mysql2psql_spark.operators.materialize import materialize as _materialize
 
     seeds = _collect_seeds(emb, n_centroids, id_col, vec_col)
     # materialized once: both self-join sides consume it, and the bare
@@ -322,7 +322,7 @@ def kmeans_refine_step(
     centroid recompute a uniform hash agg with map-side combine, 64*C
     result rows regardless of corpus size — and a C-row broadcast-joined
     stats table. No window, no collect beyond the seed table."""
-    from mysql2psql_spark.operators.dedup import _materialize
+    from mysql2psql_spark.operators.materialize import materialize as _materialize
 
     seeds = _collect_seeds(emb, n_centroids, id_col, vec_col)
     # materialized once so BOTH aggregation consumers (centroid

@@ -186,8 +186,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-order prefixes: the synthetic corpus's shingle distribution
     # is uniform (measured df <= 15 at sf0.1), so rarest-first ordering
     # buys no candidate reduction and costs a df join + per-doc window;
-    # a Zipfian real corpus should keep order_by_frequency=True
-    return prefix_filter_pairs(shingle_hash_table(d), threshold=0.5, order_by_frequency=False)
+    # a Zipfian real corpus should keep order_by_frequency=True.
+    # carry_arrays: docs here are ~52 shingles (measured sf0.1 mean), so
+    # carrying the 8*52 B array through the prefix shuffle is cheaper
+    # than the two verify joins it replaces (measured ~30% wall); for
+    # long documents (hundreds+ of shingles) keep the default False —
+    # the carried-bytes cost grows with |doc|^2 (operators/dedup.py).
+    return prefix_filter_pairs(
+        shingle_hash_table(d), threshold=0.5, order_by_frequency=False, carry_arrays=True
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mysql2psql_spark.queries import QUERIES
-from tests.conftest import SF_DIR_ORACLE
+from tests.conftest import SF_DIR, SF_DIR_ORACLE
 
 
 def test_minhash_agrees_with_exact(spark):
@@ -42,11 +42,12 @@ def test_prefix_filter_exact_at_nondyadic_thresholds(spark):
     # C={1,2} vs D={1,30,31,32,33,34} -> J = 1/7 < 0.3
     rows += [(3, s) for s in (1, 2)] + [(4, s) for s in (1, 30, 31, 32, 33, 34)]
     sh = spark.createDataFrame(rows, "doc_id bigint, sh bigint")
-    for order_by_frequency in (True, False):
+    for order_by_frequency, carry in ((True, False), (False, False), (False, True)):
         got = {
             (r.doc_a, r.doc_b): r.jaccard
             for r in prefix_filter_pairs(
-                sh, threshold=0.3, order_by_frequency=order_by_frequency
+                sh, threshold=0.3, order_by_frequency=order_by_frequency,
+                carry_arrays=carry,
             ).collect()
         }
         assert got.get((1, 2)) == 0.3, got
@@ -56,14 +57,40 @@ def test_prefix_filter_exact_at_nondyadic_thresholds(spark):
     # the positional-filter ceil boundary: required overlap = exactly 1).
     rows = [(1, 1), (1, 2), (2, 1), (2, 3), (2, 4)]
     sh = spark.createDataFrame(rows, "doc_id bigint, sh bigint")
-    for order_by_frequency in (True, False):
+    for order_by_frequency, carry in ((True, False), (False, False), (False, True)):
         got = {
             (r.doc_a, r.doc_b): r.jaccard
             for r in prefix_filter_pairs(
-                sh, threshold=0.25, order_by_frequency=order_by_frequency
+                sh, threshold=0.25, order_by_frequency=order_by_frequency,
+                carry_arrays=carry,
             ).collect()
         }
         assert got.get((1, 2)) == 0.25, got
+
+
+def test_prefix_filter_carry_arrays_matches_join_verify(spark):
+    """carry_arrays=True (inline verify, no verify joins) must emit the
+    exact same pair set + jaccards as the default join-verify path on a
+    real corpus slice."""
+    from mysql2psql_spark.operators.dedup import prefix_filter_pairs
+    from mysql2psql_spark.operators.text import shingle_hash_table
+    from mysql2psql_spark.sources import load_table
+
+    sh = shingle_hash_table(load_table(spark, SF_DIR, "documents"))
+    base = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filter_pairs(
+            sh, threshold=0.5, order_by_frequency=False
+        ).collect()
+    }
+    carried = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filter_pairs(
+            sh, threshold=0.5, order_by_frequency=False, carry_arrays=True
+        ).collect()
+    }
+    assert base == carried
+    assert len(base) > 0
 
 
 def test_simhash_finds_known_dups(spark):
