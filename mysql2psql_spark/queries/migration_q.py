@@ -111,7 +111,7 @@ def m1_migration_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "m2_incremental_upsert",
     oracle="""
     WITH changes AS (
-      SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, 1 AS version
+      SELECT c_custkey, ROUND(c_acctbal + 100.0, 2) AS c_acctbal, 1 AS version
       FROM customer WHERE c_custkey % 7 = 0
       UNION ALL
       SELECT c_custkey + 10000000, 0.0, 1
@@ -134,7 +134,13 @@ def m2_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     updates = c.filter(F.col("c_custkey") % 7 == 0).select(
-        "c_custkey", (F.col("c_acctbal") + 100.0).alias("c_acctbal"), F.lit(1).alias("version")
+        "c_custkey",
+        # round the updated balance to its 2-decimal money grain on BOTH
+        # sides: fl(fl(x)+100) can differ from the oracle's evaluation
+        # order by 1 ulp, and the driver's hash compare is exact — the
+        # round snaps both engines to the same double.
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        F.lit(1).alias("version"),
     )
     inserts = c.filter(F.col("c_custkey") % 97 == 0).select(
         (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
