@@ -70,6 +70,25 @@ HEADLINE = [
     "agg_pivot_event_types",
     "p7_unpivot_metrics",
     "a4_statistical_moments",
+    # round-5 surface: cover every major family so perf rot can't hide
+    # outside the headline set
+    "dedup_clusters",
+    "dedup_keep_canonical",
+    "dedup_semantic",
+    "sim_multi_probe_topk",
+    "sim_kmeans_step",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_session_stats",
+    "stream_sliding_window",
+    "stream_attribution_join",
+    "text_pack_sequences",
+    "text_tfidf_keywords",
+    "text_lang_id",
+    "agg_grouping_sets",
+    "q04_order_priority",
+    "f_json_extract",
+    "multimodal_features",
 ]
 
 
@@ -114,11 +133,26 @@ def main() -> None:
                 except Exception as exc:  # warmup must never fail the bench
                     print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
+    def _release_persisted_rdds() -> None:
+        """Free localCheckpoint storage left by the previous query.
+
+        The dedup/embedding operators materialize multiply-consumed
+        aggregations via lazy localCheckpoint; those RDDs stay persisted
+        for the session (operators/materialize.py documents why). With
+        68 queries in one session the leftovers accumulate executor
+        memory and their eviction/GC churn bleeds into LATER queries'
+        measurements — each measured query should start from the same
+        storage state."""
+        jsc = spark.sparkContext._jsc
+        for rdd in jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
+        _release_persisted_rdds()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()

@@ -513,10 +513,15 @@ def connected_components(
     # source, and the label lineage would grow by one join per round.
     # Edges persist once; labels localCheckpoint each round to truncate
     # lineage (executor-local materialization, no driver collect).
+    #
+    # No distinct() on edges: the dedup operators emit each pair once
+    # with doc_a < doc_b, so the two directed copies are already unique
+    # — a distinct here is a pure extra shuffle. Duplicate INPUT pairs
+    # would only duplicate join rows under the min-aggregate (same
+    # result, wasted work), never change the labels.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
