@@ -89,6 +89,8 @@ HEADLINE = [
     "q04_order_priority",
     "f_json_extract",
     "multimodal_features",
+    "text_mixture_weights",
+    "sim_cluster_stats",
 ]
 
 

@@ -259,3 +259,71 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.join(F.broadcast(st), "dim").select(
         "vec_id", F.col("dim").cast("int").alias("dim"), code.alias("code")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF index health: per-cluster population and assignment-quality stats
+# over the same deterministic 16-seed coarse quantizer the ANN path
+# probes. This is the monitoring query a vector pipeline runs after
+# (re)building an index — skewed cluster sizes mean hot probe lists and
+# degraded recall/latency at scale. One Arrow-batched assignment pass
+# (no shuffle), a 16-row hash agg, and a broadcast 1-row total.
+#
+# Determinism: min/max are order-insensitive on doubles; the mean is
+# computed as an EXACT decimal sum of the (rounded-to-6dp) cosines and
+# divided once, so both engines divide identical numbers (raw double
+# SUM would be accumulation-order-dependent); share divides two bigints.
+# ---------------------------------------------------------------------------
+_ORACLE_CLUSTER_STATS = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 16),
+    assign AS (
+      SELECT e.vec_id, s.sid,
+             ROUND(LIST_COSINE_SIMILARITY(e.v, s.sv), 6) AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(LIST_COSINE_SIMILARITY(e.v, s.sv), 6) DESC, s.sid
+             ) AS rn
+      FROM e CROSS JOIN seeds s
+    ),
+    clus AS (SELECT vec_id, sid, cos FROM assign WHERE rn = 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM clus)
+    SELECT CAST(sid AS INT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(COUNT(*) / tot, 6) AS share,
+           MIN(cos) AS min_cos,
+           MAX(cos) AS max_cos,
+           ROUND(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_cos
+    FROM clus CROSS JOIN tot
+    GROUP BY sid, tot
+"""
+
+
+@query("sim_cluster_stats", oracle=_ORACLE_CLUSTER_STATS)
+def sim_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from mysql2psql_spark.operators.embedding import _collect_seeds, ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = _collect_seeds(emb, 16, "vec_id", "embedding")
+    asg = ivf_assign(emb, seeds, with_cos=True)
+    tot = asg.agg(F.count("*").alias("tot"))
+    return (
+        asg.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min("cos").alias("min_cos"),
+            F.max("cos").alias("max_cos"),
+            F.sum(F.col("cos").cast("decimal(18,6)")).alias("_sum_cos"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster",
+            "n_vecs",
+            F.round(F.col("n_vecs") / F.col("tot"), 6).alias("share"),
+            "min_cos",
+            "max_cos",
+            F.round(F.col("_sum_cos").cast("double") / F.col("n_vecs"), 6).alias("mean_cos"),
+        )
+    )

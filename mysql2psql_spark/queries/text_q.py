@@ -847,3 +847,64 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(term_score), 6).alias("bm25"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture sampling weights: given target language proportions for
+# the training mix, compute each language's current token share and the
+# per-doc sampling weight (target/current) that rebalances the corpus —
+# the mixing step (cf. data-mixture tuning in LLM pipelines) between
+# filtering and packing. One tiny hash agg (|langs| rows) + a broadcast
+# 1-row total; the corpus is scanned once, projection-only (token count
+# is size(split(...)), never an explode).
+#
+# Determinism contract with the oracle: shares and weights divide the
+# SAME bigint pair on both engines (IEEE double division is exact-equal
+# for equal inputs), the target literal is cast to DOUBLE on the DuckDB
+# side (a raw CASE of decimal literals would type DECIMAL and render
+# 0.50 vs 0.5), and the token sum is CAST AS BIGINT to retire HUGEINT.
+# ---------------------------------------------------------------------------
+_MIX_TARGETS = {"en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.1, "zh": 0.1}
+_MIX_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_TARGETS.items())
+    + " ELSE 0.0 END"
+)
+
+
+@query(
+    "text_mixture_weights",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per)
+    SELECT lang, n_docs, n_tokens,
+           ROUND(n_tokens / tot, 6) AS token_share,
+           CAST({_MIX_CASE} AS DOUBLE) AS target_share,
+           ROUND(CAST({_MIX_CASE} AS DOUBLE) / (n_tokens / tot), 6) AS weight
+    FROM per CROSS JOIN tot
+    """,
+)
+def text_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("tot"))
+    target = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _MIX_TARGETS.items()],
+        F.lit(0.0),
+    )
+    raw_share = F.col("n_tokens") / F.col("tot")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(raw_share, 6).alias("token_share"),
+        target.alias("target_share"),
+        F.round(target / raw_share, 6).alias("weight"),
+    )
