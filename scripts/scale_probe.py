@@ -1,0 +1,97 @@
+"""5-10x scale probe: replicate the sf0.1 corpus and rerun the heavy
+operators to check the wall-time growth curve (the README table).
+
+Replication scheme (matches the round-3/4 probes):
+- documents x DOC_REPS: replica k offsets doc_id by k * 10_000_000 and
+  keeps text identical, so every original near-dup pair fans out to
+  DOC_REPS^2 cross-replica pairs — output grows ~200x while input grows
+  5x, stressing candidate generation far harder than a fresh corpus
+  would.
+- embeddings x VEC_REPS: replica k scales every vector by (1 + k/10)
+  and offsets vec_id by k * 10_000_000. Scaling preserves cosine
+  exactly, so each vector gains VEC_REPS-1 exact-cosine duplicates.
+
+Usage: python scripts/scale_probe.py  [--doc-reps 5] [--vec-reps 10]
+Writes replicas under /tmp/scale_probe/ and prints one line per op.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mysql2psql_spark.queries import QUERIES
+from mysql2psql_spark.session import get_spark
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = "/tmp/scale_probe"
+
+PROBED = [
+    "dedup_embedding_lsh",
+    "sim_ann_lsh_topk",
+    "sim_ann_ivf_topk",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "text_contamination",
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--doc-reps", type=int, default=5)
+    ap.add_argument("--vec-reps", type=int, default=10)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(DST)
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    reps = None
+    for k in range(args.doc_reps):
+        r = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * 10_000_000))
+        reps = r if reps is None else reps.unionByName(r)
+    reps.write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    reps = None
+    for k in range(args.vec_reps):
+        r = emb.select(
+            (F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
+            F.transform("embedding", lambda x: x * (1.0 + k / 10.0)).alias("embedding"),
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+        )
+        reps = r if reps is None else reps.unionByName(r)
+    reps.write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+
+    for name in PROBED:
+        fn = QUERIES[name]
+        # warm the plan shape at base scale, like bench.py does
+        fn(spark, SRC).count()
+        t0 = time.perf_counter()
+        base_n = fn(spark, SRC).count()
+        t_base = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        big_n = fn(spark, DST).count()
+        t_big = time.perf_counter() - t0
+        print(
+            f"{name}: base {t_base:.2f}s ({base_n} rows) -> "
+            f"replicated {t_big:.2f}s ({big_n} rows), wall x{t_big / t_base:.1f}",
+            flush=True,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
