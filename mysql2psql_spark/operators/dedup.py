@@ -240,15 +240,17 @@ def prefix_filter_pairs(
     ``carry_arrays`` (hash-order path only) attaches each doc's full
     sorted hash array to its prefix rows, so verification happens inline
     after the pair-grouping aggregation — removing BOTH verify joins and
-    their exchanges (~30% wall and one fewer measured stage-compile at
-    sf0.1). The trade is shuffle bytes: every prefix row carries
-    ``8·|doc|`` array bytes, so per-doc shuffle cost is
-    ``8(1-t)·|doc|²`` — quadratic in document shingle count. Safe when
-    shingle counts are bounded and small (measured ~52/doc on the target
-    corpus; fine up to a few hundred); for long documents keep the
-    default False: prefix rows then stay 24 B and arrays are only ever
-    shipped for pairs that survive ALL pruning (candidate-proportional,
-    not corpus-proportional).
+    their exchanges (~30% wall at sf0.1's sparse duplicate rate). The
+    trade is shuffle bytes on two axes, and BOTH must be small:
+    per-doc prefix bytes grow as ``8(1-t)·|doc|²`` (quadratic in
+    shingle count), and every MATCH row — before the positional filter
+    and pair dedup — carries both docs' arrays, so the cost also grows
+    quadratically with duplicate density. The r5 scale probe measured
+    the failure mode: on a 5x replica with ~200x the near-dup pairs,
+    carry took 67.8 s vs 6.0 s for the default join-verify, which
+    ships arrays only for candidates that survive ALL pruning. Enable
+    only for corpora known to be BOTH short-document and dup-sparse;
+    the default False is the 100 TB shape.
 
     Execution shape of the df-ordered path (no per-row window): df is
     one hash-keyed count agg; a single doc-keyed aggregation then

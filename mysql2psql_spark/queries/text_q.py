@@ -187,14 +187,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is uniform (measured df <= 15 at sf0.1), so rarest-first ordering
     # buys no candidate reduction and costs a df join + per-doc window;
     # a Zipfian real corpus should keep order_by_frequency=True.
-    # carry_arrays: docs here are ~52 shingles (measured sf0.1 mean), so
-    # carrying the 8*52 B array through the prefix shuffle is cheaper
-    # than the two verify joins it replaces (measured ~30% wall); for
-    # long documents (hundreds+ of shingles) keep the default False —
-    # the carried-bytes cost grows with |doc|^2 (operators/dedup.py).
-    return prefix_filter_pairs(
-        shingle_hash_table(d), threshold=0.5, order_by_frequency=False, carry_arrays=True
-    )
+    # carry_arrays stays False: it wins ~30% at sf0.1's sparse dup rate
+    # but the r5 scale probe measured 67.8 s vs 6.0 s on the 5x
+    # duplicate-dense replica — carried array bytes scale with MATCH
+    # rows (pre-pruning), and match rows grow quadratically with dup
+    # density. The join-verify default ships arrays only for surviving
+    # candidates, which is the shape that holds at 100 TB.
+    return prefix_filter_pairs(shingle_hash_table(d), threshold=0.5, order_by_frequency=False)
 
 
 # ---------------------------------------------------------------------------
