@@ -307,8 +307,14 @@ def sim_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     seeds = _collect_seeds(emb, 16, "vec_id", "embedding")
+    from pyspark.sql.window import Window
+
     asg = ivf_assign(emb, seeds, with_cos=True)
-    tot = asg.agg(F.count("*").alias("tot"))
+    # corpus total via an unpartitioned window over the 16-row cluster
+    # aggregate — a separate total agg + crossJoin would re-run the
+    # Arrow assignment pass (mapInPandas has no exchange for
+    # ReusedExchange to dedupe on)
+    tot = F.sum("n_vecs").over(Window.partitionBy())
     return (
         asg.groupBy("cluster")
         .agg(
@@ -317,11 +323,10 @@ def sim_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cos").alias("max_cos"),
             F.sum(F.col("cos").cast("decimal(18,6)")).alias("_sum_cos"),
         )
-        .crossJoin(F.broadcast(tot))
         .select(
             "cluster",
             "n_vecs",
-            F.round(F.col("n_vecs") / F.col("tot"), 6).alias("share"),
+            F.round(F.col("n_vecs") / tot, 6).alias("share"),
             "min_cos",
             "max_cos",
             F.round(F.col("_sum_cos").cast("double") / F.col("n_vecs"), 6).alias("mean_cos"),

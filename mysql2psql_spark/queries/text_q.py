@@ -889,17 +889,22 @@ _MIX_CASE = (
 )
 def text_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
     per = d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
     )
-    tot = per.agg(F.sum("n_tokens").alias("tot"))
+    # corpus total via an unpartitioned window over the AGGREGATED frame
+    # (|langs| rows, one task) — not a second corpus scan: a separate
+    # total agg + crossJoin re-reads documents per consumer
+    tot = F.sum("n_tokens").over(Window.partitionBy())
     target = F.coalesce(
         *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _MIX_TARGETS.items()],
         F.lit(0.0),
     )
-    raw_share = F.col("n_tokens") / F.col("tot")
-    return per.crossJoin(F.broadcast(tot)).select(
+    raw_share = F.col("n_tokens") / tot
+    return per.select(
         "lang",
         "n_docs",
         "n_tokens",
