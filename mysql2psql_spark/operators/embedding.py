@@ -240,7 +240,7 @@ def ivf_assign(
     return emb.select(id_col, vec_col).mapInPandas(run, schema=schema)
 
 
-def _collect_seeds(
+def collect_seeds(
     emb: DataFrame, n_centroids: int, id_col: str, vec_col: str
 ) -> list[tuple[int, list[float]]]:
     """The deterministic centroid table: the first `n_centroids` vectors
@@ -275,7 +275,7 @@ def semantic_dedup(
     lsh_cosine_pairs)."""
     from mysql2psql_spark.operators.materialize import materialize as _materialize
 
-    seeds = _collect_seeds(emb, n_centroids, id_col, vec_col)
+    seeds = collect_seeds(emb, n_centroids, id_col, vec_col)
     # materialized once: both self-join sides consume it, and the bare
     # cluster-keyed repartition was neither ReusedExchange-deduped (the
     # Arrow assignment pass executed per side) nor safe from AQE
@@ -324,7 +324,7 @@ def kmeans_refine_step(
     stats table. No window, no collect beyond the seed table."""
     from mysql2psql_spark.operators.materialize import materialize as _materialize
 
-    seeds = _collect_seeds(emb, n_centroids, id_col, vec_col)
+    seeds = collect_seeds(emb, n_centroids, id_col, vec_col)
     # materialized once so BOTH aggregation consumers (centroid
     # recompute + member stats) read the assignment output instead of
     # re-running the Arrow matmul pass

@@ -303,10 +303,10 @@ _ORACLE_CLUSTER_STATS = """
 def sim_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from mysql2psql_spark.operators.embedding import _collect_seeds, ivf_assign
+    from mysql2psql_spark.operators.embedding import collect_seeds, ivf_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
-    seeds = _collect_seeds(emb, 16, "vec_id", "embedding")
+    seeds = collect_seeds(emb, 16, "vec_id", "embedding")
     from pyspark.sql.window import Window
 
     asg = ivf_assign(emb, seeds, with_cos=True)
