@@ -334,22 +334,28 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The HAVING sum IS the output sum: SUM(l_quantity) per order serves
+    # both the >150 filter and total_qty, because the final GROUP BY
+    # (c_name, o_orderkey) has one row per order (o_orderkey is unique
+    # in orders; c_name is functionally determined by it). One lineitem
+    # scan + one order-keyed shuffle, instead of the textbook plan's two
+    # full scans and two aggregations of the fact table — at 100 TB the
+    # saved pass is the whole cost of the query. The filtered agg is
+    # NOT broadcast-pinned: >150 keeps ~20% of orders (29k at sf0.1),
+    # so the filtered agg scales with the fact table — AQE may broadcast
+    # it while it fits, but pinning would OOM at 100 TB.
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("q"))
         .filter(F.col("q") > 150)
-        .select("l_orderkey")
     )
-    orders = load_table(spark, sf_dir, "orders").join(
-        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
-    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .groupBy("c_name", "o_orderkey")
-        .agg(_money(F.sum(_dec("l_quantity"))).alias("total_qty"))
+        .select("c_name", "o_orderkey", _money(F.col("q")).alias("total_qty"))
         .orderBy(F.col("total_qty").desc(), "o_orderkey")
         .limit(20)
     )
