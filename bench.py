@@ -91,6 +91,7 @@ HEADLINE = [
     "multimodal_features",
     "text_mixture_weights",
     "sim_cluster_stats",
+    "events_transition_matrix",
 ]
 
 

@@ -595,3 +595,58 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - kept).alias("n_dropped_late"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-path mining: the per-source Markov transition matrix over each
+# user's time-ordered event sequence (LEAD within user partitions ->
+# global bigram counts + next-step probabilities). The window partitions
+# by user_id, so the sort is per-user-history-sized, never global; the
+# transition aggregate is |event_types|^2 rows and the probability
+# denominator is a window over THAT tiny frame — corpus scanned once.
+# Ordering inside a user is (ts, event_id), total because event_id is
+# unique, so both engines sequence ties identically; p_next divides the
+# same exact integers on both sides.
+# ---------------------------------------------------------------------------
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    tr AS (
+      SELECT event_type AS src_type, next_type AS dst_type,
+             CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT src_type, dst_type, n_transitions,
+           ROUND(n_transitions /
+                 CAST(SUM(n_transitions) OVER (PARTITION BY src_type) AS BIGINT),
+                 6) AS p_next
+    FROM tr
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(seq))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src_type"), F.col("next_type").alias("dst_type")
+        )
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    denom = F.sum("n_transitions").over(W.partitionBy("src_type"))
+    return tr.select(
+        "src_type",
+        "dst_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / denom, 6).alias("p_next"),
+    )
