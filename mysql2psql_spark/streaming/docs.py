@@ -1,0 +1,64 @@
+"""Structured Streaming twins of the document-dedup gates.
+
+A continuously-ingesting training pipeline dedups ARRIVING documents,
+not the standing corpus: each micro-batch is fingerprinted and gated
+(a) against everything already seen on the stream and (b) against the
+frozen corpus fingerprint set. The batch semantics are defined and
+oracle-checked by ``queries/text_q.py::dedup_exact`` and
+``queries/dedup_q.py::dedup_incremental``; these wire the same
+expressions through readStream.
+
+State-size posture: the cross-batch dedup state is ONE 16-byte md5 per
+distinct document ever seen (dropDuplicates on the fingerprint column),
+the minimal state any exact streaming dedup can hold — there is no
+time bound on content recurrence, so no watermark applies. The
+stream-static corpus join keeps NO streaming state at all: the corpus
+side is a static frame that Spark re-plans per micro-batch (broadcast
+while it fits; hash join keyed by the uniform md5 otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_document_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source document stream (swap for kafka in production; schema
+    contract identical)."""
+    return spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(path)
+
+
+def content_dedup_stream(stream: DataFrame) -> DataFrame:
+    """First arrival of each distinct content fingerprint survives; every
+    later duplicate — same batch or any later batch — is dropped.
+    Streaming twin of ``dedup_exact``'s keep-first semantics."""
+    return stream.withColumn("fp", F.md5("text")).dropDuplicates(["fp"])
+
+
+def incremental_dedup_stream(stream: DataFrame, corpus_fps: DataFrame) -> DataFrame:
+    """Flag each arriving document whose fingerprint already exists in the
+    standing corpus (stream-static left join on the md5 key) — the
+    streaming twin of ``dedup_incremental``. ``corpus_fps`` is a static
+    frame with a single ``fp`` column (distinct)."""
+    gated = (
+        stream.withColumn("fp", F.md5("text"))
+        .join(corpus_fps.withColumn("_hit", F.lit(True)), "fp", "left")
+        .select(
+            "doc_id",
+            "fp",
+            F.coalesce(F.col("_hit"), F.lit(False)).alias("dup_of_corpus"),
+        )
+    )
+    return gated

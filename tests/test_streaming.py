@@ -206,3 +206,70 @@ def test_attribution_join_stream_matches_batch(spark, events_parquet):
         for r in QUERIES["stream_attribution_join"](spark, SF_DIR).collect()
     }
     assert got == want and len(want) > 0
+
+
+@pytest.fixture()
+def documents_two_batches(spark, tmp_path):
+    """Two parquet files in one stream dir: file 0 = corpus docs (doc_id
+    % 10 < 8), file 1 = the new batch, which contains exact-dup content.
+    maxFilesPerTrigger=1 makes each file its own micro-batch."""
+    out = str(tmp_path / "docs")
+    d = load_table(spark, SF_DIR, "documents")
+    d.filter(F.col("doc_id") % 10 < 8).coalesce(1).write.parquet(out)
+    d.filter(F.col("doc_id") % 10 >= 8).coalesce(1).write.mode("append").parquet(out)
+    return out
+
+
+def test_content_dedup_stream_drops_cross_batch_dups(spark, documents_two_batches):
+    from mysql2psql_spark.streaming.docs import DOCUMENTS_SCHEMA, content_dedup_stream
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(documents_two_batches)
+    )
+    out = _run_stream_append(spark, content_dedup_stream(stream), "content_dedup_out")
+    got_fps = [r.fp for r in out.collect()]
+    want_distinct = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+        .count()
+    )
+    # exactly one survivor per distinct content, across micro-batches
+    assert len(got_fps) == len(set(got_fps)) == want_distinct
+
+
+def test_incremental_dedup_stream_matches_batch_gate(spark, documents_two_batches):
+    from mysql2psql_spark.streaming.docs import (
+        DOCUMENTS_SCHEMA,
+        incremental_dedup_stream,
+    )
+
+    corpus_fps = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") % 10 < 8)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(documents_two_batches)
+    )
+    out = _run_stream_append(
+        spark, incremental_dedup_stream(stream, corpus_fps), "inc_dedup_out"
+    )
+    # restrict to the new-batch rows: the stream dir also replays the
+    # corpus file, whose rows all flag as corpus members by construction
+    got = {r.doc_id: r.dup_of_corpus for r in out.collect() if r.doc_id % 10 >= 8}
+    want = {
+        r.doc_id: r.dup_of_corpus
+        for r in QUERIES["dedup_incremental"](spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    # at sf0.001 the exact-dup pairs happen to fall entirely inside the
+    # corpus split, so the flag distribution is all-False here; the
+    # cross-corpus hit path itself is pinned by the batch twin's oracle
+    # (dedup_incremental) that `want` comes from
