@@ -92,6 +92,7 @@ HEADLINE = [
     "text_mixture_weights",
     "sim_cluster_stats",
     "events_transition_matrix",
+    "events_anomaly_buckets",
 ]
 
 

@@ -650,3 +650,67 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_transitions",
         F.round(F.col("n_transitions") / denom, 6).alias("p_next"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Volume-anomaly detection: flag 5-minute buckets whose event count sits
+# more than 3 sample standard deviations from that event type's mean
+# bucket count — the monitoring rollup an ingest pipeline alarms on.
+# One corpus-keyed aggregation to (type, bucket) counts; the mean/var
+# statistics are windows over THAT tiny frame (|types| x |buckets|).
+#
+# The 3-sigma test is evaluated in EXACT integer arithmetic on decimal:
+#   |n - S/k| > 3*sqrt((kQ - S^2)/(k(k-1)))
+#     <=>  (nk - S)^2 (k-1) > 9 k (kQ - S^2)
+# with S = sum(n), Q = sum(n^2), k = bucket count per type. Both engines
+# compare identical integers (Spark: decimal(38,0); DuckDB: HUGEINT), so
+# the boolean can never flake on a float ulp at the 3-sigma boundary —
+# stddev_samp on each side would accumulate in different orders.
+# ---------------------------------------------------------------------------
+@query(
+    "events_anomaly_buckets",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 300) * 300 AS bucket_start,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, bucket_start, n_events,
+             CAST(SUM(n_events) OVER w AS HUGEINT) AS s,
+             CAST(SUM(n_events * n_events) OVER w AS HUGEINT) AS q,
+             CAST(COUNT(*) OVER w AS HUGEINT) AS k
+      FROM b WINDOW w AS (PARTITION BY event_type)
+    )
+    SELECT event_type, bucket_start, n_events,
+           (k > 1 AND
+            (n_events * k - s) * (n_events * k - s) * (k - 1)
+              > 9 * k * (k * q - s * s)) AS is_anomaly
+    FROM st
+    """,
+)
+def events_anomaly_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ep = epoch_of(e)
+    bucket = (F.floor(ep("ts") / 300) * 300).cast("long")
+    counts = e.groupBy(
+        "event_type", bucket.alias("bucket_start")
+    ).agg(F.count("*").alias("n_events"))
+    w = W.partitionBy("event_type")
+
+    def D(c: F.Column) -> F.Column:
+        return c.cast("decimal(38,0)")
+
+    s = F.sum("n_events").over(w)
+    q = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    k = F.count("*").over(w)
+    dev = D(F.col("n_events")) * D(k) - D(s)
+    lhs = dev * dev * D(k - 1)
+    rhs = F.lit(9) * D(k) * (D(k) * D(q) - D(s) * D(s))
+    return counts.select(
+        "event_type",
+        "bucket_start",
+        "n_events",
+        ((k > 1) & (lhs > rhs)).alias("is_anomaly"),
+    )
