@@ -93,6 +93,7 @@ HEADLINE = [
     "sim_cluster_stats",
     "events_transition_matrix",
     "events_anomaly_buckets",
+    "dedup_containment",
 ]
 
 

@@ -550,3 +550,69 @@ def connected_components(
             break
     out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     return out
+
+
+def containment_pairs(
+    shingle_df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "sh",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT containment pairs: (doc_a, doc_b, containment) for every
+    ordered pair with |A ∩ B| / |A| >= threshold, doc_a != doc_b — the
+    subset-duplicate detector. Jaccard misses a short document embedded
+    verbatim in a long one (the intersection is small relative to the
+    UNION); containment normalizes by the contained side only, which is
+    the right question for quote/extraction/template dedup.
+
+    Scale shape — the asymmetric T-overlap join: overlap >= ceil(t|A|)
+    forces A to share an element within its first |A| - ceil(t|A|) + 1
+    prefix under the global hash order (same pigeonhole as the Jaccard
+    prefix filter), but B carries NO size upper bound, so the B side
+    joins with its FULL element list. Candidate blocks are still
+    bounded by shingle document frequency, never by corpus size; the
+    only lossless size prune on B is |B| >= t|A| (a containing set
+    cannot be smaller than the contained overlap). Verification is the
+    shared sorted-array intersect, with the threshold evaluated in
+    exact integer arithmetic (`_t_frac`).
+    """
+    t_num, t_den = _t_frac(threshold)
+    arrs = _materialize(
+        shingle_df.groupBy(id_col)
+        .agg(F.sort_array(F.collect_set(hash_col)).alias("arr"))
+        .withColumn("n", F.size("arr"))
+    )
+    prefix_len = f"n - ((({t_num} * n) + {t_den - 1}) div {t_den}) + 1"
+    a = (
+        arrs.select(id_col, "n", F.expr(f"slice(arr, 1, {prefix_len})").alias("pfx"))
+        .select(id_col, "n", F.explode("pfx").alias(hash_col))
+        .select(F.col(id_col).alias("doc_a"), hash_col, F.col("n").alias("na"))
+    )
+    b = arrs.select(
+        F.col(id_col).alias("doc_b"), F.explode("arr").alias(hash_col), F.col("n").alias("nb")
+    )
+    cand = (
+        a.join(b, hash_col)
+        .filter(
+            (F.col("doc_a") != F.col("doc_b"))
+            # |B| >= t|A|: t_den*nb >= t_num*na
+            & (F.lit(t_den) * F.col("nb") >= F.lit(t_num) * F.col("na"))
+        )
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    arr_a = arrs.select(
+        F.col(id_col).alias("doc_a"), F.col("arr").alias("arr_a"), F.col("n").alias("na")
+    )
+    arr_b = arrs.select(F.col(id_col).alias("doc_b"), F.col("arr").alias("arr_b"))
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    return (
+        cand.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .filter(inter * F.lit(t_den) >= F.lit(t_num) * F.col("na"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / F.col("na"), 6).alias("containment"),
+        )
+    )

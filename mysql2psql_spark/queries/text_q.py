@@ -912,3 +912,32 @@ def text_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         target.alias("target_share"),
         F.round(target / raw_share, 6).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment (subset-duplicate) pairs: |A∩B|/|A| >= 0.8 over 3-gram
+# shingles — catches a document embedded verbatim in a longer one, which
+# Jaccard structurally misses (the union washes the overlap out). The
+# oracle is the direct all-ordered-pairs statement with the lossless
+# |B| >= t|A| prune; the engine runs the asymmetric T-overlap prefix
+# join (operators/dedup.py::containment_pairs).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(LEN(LIST_INTERSECT(a.sg, b.sg)) AS DOUBLE) / LEN(a.sg), 6)
+             AS containment
+    FROM sh a JOIN sh b
+      ON a.doc_id != b.doc_id
+         AND LEN(b.sg) * 5 >= 4 * LEN(a.sg)
+    WHERE LEN(LIST_INTERSECT(a.sg, b.sg)) * 5 >= 4 * LEN(a.sg)
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2psql_spark.operators.dedup import containment_pairs
+    from mysql2psql_spark.operators.text import shingle_hash_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return containment_pairs(shingle_hash_table(d), threshold=0.8)

@@ -431,3 +431,28 @@ def test_bmp_codec_roundtrip_and_validation():
     bad[28] = 8  # bit depth -> 8bpp unsupported
     with pytest.raises(ValueError):
         decode_bmp24(bytes(bad))
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    """A small doc fully embedded in a much larger one: containment = 1.0
+    but Jaccard = |A|/|B| is tiny — the pair must appear in the
+    containment join (a->b direction only) and not in the J >= 0.5 set."""
+    from mysql2psql_spark.operators.dedup import containment_pairs, prefix_filter_pairs
+
+    # A = {1..5} subset of B = {1..50}; C = unrelated
+    rows = (
+        [(1, s) for s in range(1, 6)]
+        + [(2, s) for s in range(1, 51)]
+        + [(3, s) for s in range(100, 140)]
+    )
+    sh = spark.createDataFrame(rows, "doc_id bigint, sh bigint")
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(sh, threshold=0.8).collect()
+    }
+    assert cont == {(1, 2): 1.0}  # only the contained direction fires
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filter_pairs(sh, threshold=0.5).collect()
+    }
+    assert (1, 2) not in jac  # J = 5/50 = 0.1: Jaccard structurally misses it
