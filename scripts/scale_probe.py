@@ -36,6 +36,7 @@ PROBED = [
     "sim_ann_lsh_topk",
     "sim_ann_ivf_topk",
     "dedup_ngram_jaccard",
+    "dedup_containment",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
