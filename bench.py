@@ -94,6 +94,7 @@ HEADLINE = [
     "events_transition_matrix",
     "events_anomaly_buckets",
     "dedup_containment",
+    "text_weighted_sample",
 ]
 
 

@@ -941,3 +941,43 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return containment_pairs(shingle_hash_table(d), threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis): draw the
+# top-k documents by key = ln(u)/w with u a deterministic md5 uniform
+# and w the token count — heavier documents win proportionally more
+# often, membership is a pure function of the keys (reproducible across
+# engines, reruns, and cluster layouts), and the global top-k is a
+# TakeOrderedAndProject (per-partition heads -> driver merge), never a
+# full sort. Keys are ROUNDed to 6dp before ranking with doc_id as the
+# tiebreak, so the two engines' ln/division ulps cannot reorder the
+# cutoff; u = (h+1)/2^32 keeps ln away from -inf.
+# ---------------------------------------------------------------------------
+@query(
+    "text_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             ROUND(LN((CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+                      / 4294967296.0)
+                   / LEN(STRING_SPLIT(text, ' ')), 6) AS sample_key
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens, sample_key
+    FROM keyed
+    ORDER BY sample_key DESC, doc_id
+    LIMIT 50
+    """,
+)
+def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    w = F.size(F.split(F.col("text"), " "))
+    key = F.round(F.log((h + 1) / F.lit(4294967296.0)) / w, 6)
+    return (
+        d.select("doc_id", "lang", w.alias("n_tokens"), key.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(50)
+    )
