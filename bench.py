@@ -95,6 +95,7 @@ HEADLINE = [
     "events_anomaly_buckets",
     "dedup_containment",
     "text_weighted_sample",
+    "m3_scd2_history",
 ]
 
 

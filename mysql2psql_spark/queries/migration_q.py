@@ -153,3 +153,52 @@ def m2_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("c_acctbal", "version").alias("c_acctbal_cur"),
         F.max("version").cast("int").alias("version"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 history build (the migrator's audit-trail extension): from
+# the same deterministic snapshot + change batch as m2, emit one row per
+# (key, version) with its superseding version and a current flag —
+# MERGE-with-history semantics as a single per-key window pass. The
+# window partitions by key, so the sort is per-key-history-sized (2 rows
+# here), never global; at 100 TB the shuffle is one key-hash exchange of
+# the union, the same cost as the m2 upsert.
+# ---------------------------------------------------------------------------
+@query(
+    "m3_scd2_history",
+    oracle="""
+    WITH rows AS (
+      SELECT c_custkey, c_acctbal, 0 AS version FROM customer
+      UNION ALL
+      SELECT c_custkey, ROUND(c_acctbal + 100.0, 2), 1
+      FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT c_custkey, c_acctbal, CAST(version AS INT) AS version,
+           CAST(LEAD(version) OVER w AS INT) AS superseded_by,
+           (LEAD(version) OVER w IS NULL) AS is_current
+    FROM rows WINDOW w AS (PARTITION BY c_custkey ORDER BY version)
+    """,
+)
+def m3_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mysql2psql_spark.sources import load_table
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    snapshot = c.withColumn("version", F.lit(0))
+    updates = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        F.lit(1).alias("version"),
+    )
+    rows = snapshot.unionByName(updates)
+    w = Window.partitionBy("c_custkey").orderBy("version")
+    nxt = F.lead("version").over(w)
+    return rows.select(
+        "c_custkey",
+        "c_acctbal",
+        F.col("version").cast("int").alias("version"),
+        nxt.cast("int").alias("superseded_by"),
+        nxt.isNull().alias("is_current"),
+    )
