@@ -96,6 +96,7 @@ HEADLINE = [
     "dedup_containment",
     "text_weighted_sample",
     "m3_scd2_history",
+    "profile_table_stats",
 ]
 
 

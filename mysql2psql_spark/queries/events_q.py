@@ -714,3 +714,56 @@ def events_anomaly_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         ((k > 1) & (lhs > rhs)).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling: per-column row/null/distinct counts over orders —
+# the validation pass a migrator runs before and after a load to prove
+# nothing was dropped or nulled in transit (the reference prints only
+# per-phase wall times; this is the data-level counterpart). ONE corpus
+# scan computes every column's aggregates side by side (count/distinct
+# per column in a single hash-agg-free pass), then a row-local unpivot
+# reshapes to one row per column — no second scan, no shuffle besides
+# the single global aggregate.
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+)
+
+
+@query(
+    "profile_table_stats",
+    oracle="""
+    SELECT col, n_rows, n_nulls, n_distinct FROM (
+    """
+    + "\nUNION ALL\n".join(
+        f"""    SELECT '{c}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM orders"""
+        for c in _PROFILE_COLS
+    )
+    + "\n    )",
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    one = o.agg(*aggs)
+    stacked = one.select(
+        F.expr(
+            "stack("
+            + str(len(_PROFILE_COLS))
+            + ", "
+            + ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS)
+            + ") as (col, n_nulls, n_distinct)"
+        ),
+        F.col("n_rows"),
+    )
+    return stacked.select("col", "n_rows", "n_nulls", "n_distinct")
