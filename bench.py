@@ -97,6 +97,20 @@ HEADLINE = [
     "text_weighted_sample",
     "m3_scd2_history",
     "profile_table_stats",
+    # round-5 deep TPC-H shapes (decorrelated subqueries, EXISTS chains)
+    "q02_min_cost_supplier",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q11_important_stock",
+    "q12_latency_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q20_promo_volume_suppliers",
+    "q21_waiting_suppliers",
+    "q22_sales_opportunity",
 ]
 
 

@@ -50,6 +50,7 @@ def _load_all() -> None:
         migration_q,
         similarity_q,
         text_q,
+        tpch_deep_q,
     )
 
 
