@@ -111,6 +111,11 @@ HEADLINE = [
     "q20_promo_volume_suppliers",
     "q21_waiting_suppliers",
     "q22_sales_opportunity",
+    # round-5 pipeline-QA surface
+    "m4_cdc_apply",
+    "sim_recall_at_k",
+    "text_quality_buckets",
+    "text_vocab_coverage",
 ]
 
 

@@ -332,3 +332,70 @@ def sim_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_sum_cos").cast("double") / F.col("n_vecs"), 6).alias("mean_cos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality gate: recall@k of the IVF index against the exact
+# brute-force top-k for the same probe — the QA metric every ANN
+# deployment tracks before swapping an index into serving. Both arms are
+# the already-oracled query shapes (sim_cosine_topk / sim_ann_ivf_topk);
+# the overlap is a 10x10 join, so the whole metric costs one corpus scan
+# per arm and a constant-size compare. The oracle restates both arms and
+# the intersection in ANSI SQL.
+# ---------------------------------------------------------------------------
+_ORACLE_RECALL = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 16),
+    assign AS (
+      SELECT e.vec_id, e.v, s.sid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(LIST_COSINE_SIMILARITY(e.v, s.sv), 6) DESC, s.sid
+             ) AS rn
+      FROM e CROSS JOIN seeds s
+    ),
+    clus AS (SELECT vec_id, v, sid FROM assign WHERE rn = 1),
+    probe AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probe_clusters AS (
+      SELECT s.sid FROM seeds s CROSS JOIN probe p
+      ORDER BY ROUND(LIST_COSINE_SIMILARITY(p.qv, s.sv), 6) DESC, s.sid
+      LIMIT 4
+    ),
+    ivf AS (
+      SELECT c.vec_id
+      FROM clus c JOIN probe_clusters pc ON c.sid = pc.sid CROSS JOIN probe p
+      WHERE c.vec_id != 0
+      ORDER BY ROUND(LIST_COSINE_SIMILARITY(c.v, p.qv), 6) DESC, c.vec_id
+      LIMIT 10
+    ),
+    exact AS (
+      SELECT e.vec_id
+      FROM e CROSS JOIN probe p
+      WHERE e.vec_id != 0
+      ORDER BY ROUND(LIST_COSINE_SIMILARITY(e.v, p.qv), 6) DESC, e.vec_id
+      LIMIT 10
+    )
+    SELECT CAST(10 AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(ROUND(CAST(COUNT(*) AS DOUBLE) / 10, 6) AS DOUBLE) AS recall
+    FROM exact JOIN ivf USING (vec_id)
+"""
+
+
+@query("sim_recall_at_k", oracle=_ORACLE_RECALL)
+def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from mysql2psql_spark.queries.similarity_q import sim_cosine_topk
+
+    exact = sim_cosine_topk(spark, sf_dir).select("vec_id")
+    ivf = sim_ann_ivf_topk(spark, sf_dir).select("vec_id")
+    return (
+        exact.join(ivf, "vec_id")
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            F.lit(10).cast("int").alias("k"),
+            "n_hits",
+            F.round(F.col("n_hits").cast("double") / 10, 6).cast("double").alias("recall"),
+        )
+    )

@@ -202,3 +202,65 @@ def m3_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.cast("int").alias("superseded_by"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply (the migrator's ongoing-replication extension,
+# the step after m2's one-shot upsert): treat the events stream as a
+# keyed changelog — 'error' rows are tombstones, everything else upserts
+# the user's latest value. Apply = keep the latest op per key (window
+# row_number over the key partition — one key-hash shuffle, per-key sort
+# only), then drop keys whose final op is a delete. At 100 TB the plan is
+# a single exchange on user_id; no global sort, no driver state.
+# ---------------------------------------------------------------------------
+@query(
+    "m4_cdc_apply",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             event_type
+      FROM events
+    ),
+    latest AS (
+      SELECT user_id, ts, value, op, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM log
+    )
+    SELECT user_id,
+           event_type AS last_event_type,
+           CAST(ROUND(CAST(value AS DECIMAL(12,4)), 2) AS DOUBLE) AS cur_value,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS last_ts
+    FROM latest
+    WHERE rn = 1 AND op = 'U'
+    """,
+)
+def m4_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mysql2psql_spark.operators.timeutil import epoch_of
+    from mysql2psql_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    ep = epoch_of(e)
+    log = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    latest = log.withColumn("rn", F.row_number().over(w)).filter(
+        (F.col("rn") == 1) & (F.col("op") == "U")
+    )
+    return latest.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.round(F.col("value").cast("decimal(12,4)"), 2).cast("double").alias("cur_value"),
+        ep("ts").alias("last_ts"),
+    )

@@ -981,3 +981,106 @@ def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sample_key").desc(), "doc_id")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style quality terciles: per-language NTILE(3) over a quality
+# ordering (longer docs first, doc_id tie-break) — the head/middle/tail
+# binning used to stratify training corpora by quality before sampling.
+# NTILE runs per-lang, so each window partition is one language's docs;
+# the shuffle is a lang-hash exchange and the sort is per-partition. Both
+# engines implement ANSI NTILE with identical tie handling under a total
+# order, so the bucket edges cannot diverge.
+# ---------------------------------------------------------------------------
+@query(
+    "text_quality_buckets",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE NTILE(3) OVER (PARTITION BY lang ORDER BY LENGTH(text) DESC, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS quality_bucket
+    FROM documents
+    """,
+)
+def text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.length("text").desc(), F.col("doc_id"))
+    tile = F.ntile(3).over(w)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(tile == 1, "head").when(tile == 2, "middle").otherwise("tail").alias(
+            "quality_bucket"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage: build the top-500 vocabulary by corpus
+# frequency (token tie-break), then measure per-language OOV rate — the
+# QA gate run before committing a tokenizer to a training mix. ONE
+# explode feeds a (lang, token) aggregate; the global vocabulary re-
+# aggregates THAT |lang x distinct-token| frame (never the token stream
+# again), and coverage is an anti-join of the same aggregate against the
+# broadcast 500-row vocabulary. At 100 TB: one token-stream shuffle, then
+# everything is distinct-token-sized.
+# ---------------------------------------------------------------------------
+@query(
+    "text_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ),
+    lt AS (SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+    tot AS (SELECT token, SUM(cnt) AS c FROM lt GROUP BY 1),
+    vocab AS (SELECT token FROM tot ORDER BY c DESC, token LIMIT 500)
+    SELECT lang,
+           CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab)
+                         THEN 0 ELSE cnt END) AS BIGINT) AS oov_tokens,
+           CAST(ROUND(
+             CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab)
+                           THEN 0 ELSE cnt END) AS DOUBLE)
+             / CAST(SUM(cnt) AS DOUBLE), 6) AS DOUBLE) AS oov_rate
+    FROM lt
+    GROUP BY lang
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2psql_spark.operators.materialize import materialize
+
+    d = load_table(spark, sf_dir, "documents")
+    # three consumers (vocab, coverage, totals) — materialize so the
+    # token explode + aggregate runs once, not once per subtree
+    lt = materialize(
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = (
+        lt.groupBy("token")
+        .agg(F.sum("cnt").alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(500)
+        .select("token")
+    )
+    in_vocab = lt.join(F.broadcast(vocab), "token", "left_semi").groupBy("lang").agg(
+        F.sum("cnt").alias("known")
+    )
+    totals = lt.groupBy("lang").agg(F.sum("cnt").alias("total_tokens"))
+    return (
+        totals.join(in_vocab, "lang", "left_outer")
+        .select(
+            "lang",
+            "total_tokens",
+            (F.col("total_tokens") - F.coalesce(F.col("known"), F.lit(0))).alias("oov_tokens"),
+            F.round(
+                (F.col("total_tokens") - F.coalesce(F.col("known"), F.lit(0))).cast("double")
+                / F.col("total_tokens").cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("oov_rate"),
+        )
+    )
