@@ -116,6 +116,8 @@ HEADLINE = [
     "sim_recall_at_k",
     "text_quality_buckets",
     "text_vocab_coverage",
+    "graph_pagerank",
+    "graph_degree_distribution",
 ]
 
 

@@ -1,0 +1,97 @@
+"""Graph analytics over DataFrame edge lists: PageRank and degrees.
+
+Authority scoring over a link graph is a standard corpus-quality signal
+for training-data pipelines (OPIC/PageRank-style weights over a web
+graph decide crawl and sampling priority). The reference has no graph
+surface; this is engine-extension surface built Spark-first:
+
+- the graph is an EDGE LIST DataFrame ``(src, dst)`` — no driver-side
+  adjacency, no vertex collection; every iteration is a join + hash
+  aggregation that shuffles on the vertex key;
+- each iteration's rank frame is materialized (lazy localCheckpoint via
+  operators/materialize.py) so lineage doesn't grow exponentially — the
+  same discipline as connected components (operators/dedup.py);
+- the non-normalized Google formulation ``r' = 0.15 + 0.85 * sum(r/deg)``
+  avoids a global node-count scalar entirely (no driver collect, no
+  one-row crossJoin);
+- contributions are floor-truncated to the 1e-9 grid AS INTEGERS
+  (``FLOOR(x * 1e9)`` — the IEEE product and floor are exact and
+  identical in Spark and DuckDB, unlike ROUND, whose half-boundary
+  behavior diverged by 1e-9 on 7 of 1600 nodes when first tried; the
+  same class as the percentile fix in queries/core.py) and summed as
+  exact BIGINT, so a SQL oracle that unrolls the iterations reproduces
+  bit-identical ranks — float summation ORDER never matters.
+
+At 100 TB scale: the edge list is the only big table; per-iteration cost
+is one shuffle of the edge frame on dst plus a vertex-keyed aggregate.
+The degree and rank frames are vertex-sized; Spark's optimizer (AQE)
+picks broadcast vs shuffled join by their runtime size — deliberately
+not pinned here because vertex tables outgrow broadcast on real graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mysql2psql_spark.operators.materialize import materialize, unmaterialize
+
+# 1e-9 contribution grain: fine enough that 3-iteration ranks are
+# stable, exact as BIGINT up to rank sums of ~9e9 (2^63 / 1e9).
+_SCALE = 1_000_000_000
+
+
+def undirected_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """Distinct bidirectional edge list from a (a, b) pair frame.
+
+    Both directions are materialized rows (src, dst): PageRank then sees
+    every endpoint as a node with out-degree >= 1, so there is no
+    dangling-mass correction term to carry.
+    """
+    ab = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    ba = pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    return ab.unionByName(ba).distinct()
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Out-degree per node of a directed edge list (src, dst)."""
+    return edges.groupBy("src").agg(F.count("*").alias("deg"))
+
+
+def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85) -> DataFrame:
+    """Non-normalized PageRank: ``r'(v) = (1-d) + d * sum_{u->v} r(u)/deg(u)``
+    with r0 = 1.0, run for ``iters`` synchronous iterations.
+
+    Returns (node, rank). Deterministic across engines and partitionings:
+    each edge's contribution is ``floor((rank/deg) * 1e9)`` — an exact
+    BIGINT — summed exactly (order-free), and the damped update is
+    floor-truncated back to the 1e-9 grid.
+    """
+    edges = materialize(edges)
+    deg = degrees(edges)
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
+    teleport = F.lit(round(1.0 - damping, 6))
+    scale = F.lit(float(_SCALE))
+    for i in range(iters):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                "dst",
+                F.floor((F.col("rank") / F.col("deg")) * scale).alias("c"),
+            )
+        )
+        nxt = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (
+                F.floor(
+                    (teleport + F.lit(damping) * (F.sum("c").cast("double") / scale))
+                    * scale
+                )
+                / scale
+            ).alias("rank")
+        )
+        prev, prev_was_checkpoint = ranks, i > 0
+        ranks = materialize(nxt)
+        if prev_was_checkpoint:
+            unmaterialize(prev)
+    return ranks

@@ -47,6 +47,7 @@ def _load_all() -> None:
         embedding_q,
         events_q,
         functions_q,
+        graph_q,
         migration_q,
         similarity_q,
         text_q,

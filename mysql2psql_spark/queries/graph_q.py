@@ -1,0 +1,112 @@
+"""Graph-analytics queries: PageRank authority scores + degree histogram
+over the supplier<->customer fulfillment graph (who shipped to whom,
+derived from lineitem x orders).
+
+Engine-extension surface (the reference has no graph operators): the
+PageRank iteration is operators/graph.py — join + hash agg per step over
+an edge-list DataFrame, rank frames localCheckpoint-materialized. The
+oracle UNROLLS the three iterations as chained CTEs; the 9-decimal
+DECIMAL contribution discipline makes the unrolled SQL bit-identical to
+the iterative Spark run regardless of partitioning or summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql2psql_spark.operators.graph import degrees, pagerank, undirected_edges
+from mysql2psql_spark.operators.materialize import materialize
+from mysql2psql_spark.queries import query
+from mysql2psql_spark.sources import load_table
+
+_PAIR_SQL = """
+      SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS s,
+                      'c:' || CAST(o_custkey AS VARCHAR) AS c
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+"""
+
+_EDGE_SQL = f"""
+    pair AS ({_PAIR_SQL}),
+    edges AS (SELECT s AS src, c AS dst FROM pair
+              UNION SELECT c AS src, s AS dst FROM pair),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
+"""
+
+
+def _pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+        )
+        .distinct()
+    )
+
+
+# Floor-truncated 1e-9 contribution grid (NOT ROUND: double half-boundary
+# rounding diverged between engines by 1e-9 on 7/1600 nodes — the
+# percentile-fix class). FLOOR and the IEEE products are bit-identical.
+def _step(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT e.dst AS node,
+             FLOOR((0.15 + 0.85 * (CAST(SUM(
+               CAST(FLOOR((r.rank / d.deg) * 1000000000.0) AS BIGINT)
+             ) AS DOUBLE) / 1000000000.0)) * 1000000000.0) / 1000000000.0 AS rank
+      FROM edges e
+      JOIN deg d ON d.src = e.src
+      JOIN {prev} r ON r.node = e.src
+      GROUP BY e.dst
+    )"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH {_EDGE_SQL},
+    r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM deg),
+    {_step('r0', 'r1')},
+    {_step('r1', 'r2')},
+    {_step('r2', 'r3')}
+    SELECT CASE WHEN node LIKE 's:%' THEN 'supplier' ELSE 'customer' END AS node_type,
+           CAST(SUBSTR(node, 3) AS BIGINT) AS node_key,
+           rank AS pagerank
+    FROM r3
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = undirected_edges(_pair_frame(spark, sf_dir), "s", "c")
+    ranks = pagerank(edges, iters=3, damping=0.85)
+    return ranks.select(
+        F.when(F.col("node").startswith("s:"), "supplier")
+        .otherwise("customer")
+        .alias("node_type"),
+        F.expr("CAST(substring(node, 3) AS BIGINT)").alias("node_key"),
+        F.col("rank").alias("pagerank"),
+    )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH {_EDGE_SQL}
+    SELECT CASE WHEN src LIKE 's:%' THEN 'supplier' ELSE 'customer' END AS node_type,
+           deg AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg
+    GROUP BY 1, 2
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = materialize(undirected_edges(_pair_frame(spark, sf_dir), "s", "c"))
+    deg = degrees(edges)
+    return deg.groupBy(
+        F.when(F.col("src").startswith("s:"), "supplier")
+        .otherwise("customer")
+        .alias("node_type"),
+        F.col("deg").alias("degree"),
+    ).agg(F.count("*").alias("n_nodes"))

@@ -41,6 +41,7 @@ PROBED = [
     "dedup_simhash",
     "dedup_clusters",
     "text_contamination",
+    "graph_pagerank",
 ]
 
 
@@ -75,6 +76,26 @@ def main() -> int:
         )
         reps = r if reps is None else reps.unionByName(r)
     reps.write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+
+    # lineitem/orders x DOC_REPS for the graph probe: replica k offsets
+    # the order keys (join stays consistent) AND the customer keys, so
+    # the customer side of the supplier<->customer graph grows 5x in
+    # NODES while the shared suppliers grow 5x in DEGREE — hub stress,
+    # the pattern that breaks naive all-pairs graph code.
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    reps = None
+    for k in range(args.doc_reps):
+        r = li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * 100_000_000))
+        reps = r if reps is None else reps.unionByName(r)
+    reps.write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
+    reps = None
+    for k in range(args.doc_reps):
+        r = orders.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(k * 100_000_000)
+        ).withColumn("o_custkey", F.col("o_custkey") + F.lit(k * 1_000_000))
+        reps = r if reps is None else reps.unionByName(r)
+    reps.write.mode("overwrite").parquet(f"{DST}/orders.parquet")
 
     for name in PROBED:
         fn = QUERIES[name]

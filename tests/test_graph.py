@@ -1,0 +1,77 @@
+"""operators/graph.py: PageRank against a pure-Python reference on small
+graphs, plus structural properties (star-graph ordering, determinism
+under repartitioning). The full-size oracle check lives in the registry
+(graph_pagerank / graph_degree_distribution in tests/test_oracle.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+from mysql2psql_spark.operators.graph import degrees, pagerank, undirected_edges
+
+
+def _ref_pagerank(edge_pairs, iters=3, damping=0.85):
+    """Dict-based reference with the SAME truncation discipline as the
+    operator: contributions floor-truncated to the 1e-9 grid as exact
+    ints, summed exactly, damped update floor-truncated back."""
+    edges = set()
+    for a, b in edge_pairs:
+        edges.add((a, b))
+        edges.add((b, a))
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    ranks = {n: 1.0 for n in out}
+    for _ in range(iters):
+        acc = {}
+        for s, d in edges:
+            c = math.floor((ranks[s] / out[s]) * 1e9)
+            acc[d] = acc.get(d, 0) + c
+        ranks = {
+            n: math.floor((0.15 + damping * (v / 1e9)) * 1e9) / 1e9
+            for n, v in acc.items()
+        }
+    return ranks
+
+
+def _run(spark, pairs, iters=3):
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    edges = undirected_edges(df, "a", "b")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iters=iters).collect()}
+    return got
+
+
+def test_star_graph_center_dominates(spark):
+    pairs = [("hub", f"leaf{i}") for i in range(4)]
+    got = _run(spark, pairs)
+    ref = _ref_pagerank(pairs)
+    assert got == ref
+    assert got["hub"] > max(got[f"leaf{i}"] for i in range(4))
+
+
+def test_path_graph_matches_reference(spark):
+    pairs = [("n1", "n2"), ("n2", "n3"), ("n3", "n4")]
+    got = _run(spark, pairs)
+    ref = _ref_pagerank(pairs)
+    assert got == ref
+    # symmetric path: ends equal, middles equal and higher
+    assert got["n1"] == got["n4"] and got["n2"] == got["n3"]
+    assert got["n2"] > got["n1"]
+
+
+def test_rank_deterministic_under_repartition(spark):
+    pairs = [(f"u{i}", f"v{i % 3}") for i in range(12)]
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    e1 = undirected_edges(df, "a", "b").repartition(1)
+    e7 = undirected_edges(df, "a", "b").repartition(7)
+    r1 = {r["node"]: r["rank"] for r in pagerank(e1).collect()}
+    r7 = {r["node"]: r["rank"] for r in pagerank(e7).collect()}
+    assert r1 == r7
+
+
+def test_degrees_bidirectional(spark):
+    pairs = [("a", "b"), ("a", "c")]
+    df = spark.createDataFrame(pairs, ["x", "y"])
+    deg = {r["src"]: r["deg"] for r in degrees(undirected_edges(df, "x", "y")).collect()}
+    assert deg == {"a": 2, "b": 1, "c": 1}
