@@ -118,6 +118,8 @@ HEADLINE = [
     "text_vocab_coverage",
     "graph_pagerank",
     "graph_degree_distribution",
+    "j7_asof_nearest_order",
+    "o4_keyset_pagination",
 ]
 
 

@@ -762,3 +762,44 @@ def a4_statistical_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr(F.col("value"), u), 6).alias("corr_value_user"),
         F.round(F.covar_samp(F.col("value"), u), 6).alias("covar_value_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# O4: keyset (seek-method) pagination — the scalable replacement for
+# OFFSET: WHERE (sort_key, unique_key) > (cursor) ORDER BY ... LIMIT n.
+# The cursor disjunction pushes to the parquet scan (an OR of range
+# predicates — PushedFilters pinned in test_plans) and the page is
+# TakeOrderedAndProject, so cost is scan-of-qualifying + top-n; an
+# OFFSET 10_000_000 plan would sort/skip ten million rows per page.
+# ---------------------------------------------------------------------------
+@query(
+    "o4_keyset_pagination",
+    oracle="""
+    SELECT STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderkey,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,4)), 2) AS DOUBLE) AS totalprice
+    FROM orders
+    WHERE o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
+       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 7500)
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+def o4_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cursor_date = F.to_timestamp(F.lit("1998-01-01 00:00:00"))
+    o = load_table(spark, sf_dir, "orders")
+    page = (
+        o.filter(
+            (F.col("o_orderdate") > cursor_date)
+            | ((F.col("o_orderdate") == cursor_date) & (F.col("o_orderkey") > 7500))
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+    return page.select(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice").cast("decimal(12,4)"), 2)
+        .cast("double")
+        .alias("totalprice"),
+    )

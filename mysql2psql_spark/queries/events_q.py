@@ -767,3 +767,70 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows"),
     )
     return stacked.select("col", "n_rows", "n_nulls", "n_distinct")
+
+
+# ---------------------------------------------------------------------------
+# Nearest-within-tolerance as-of join (j5's two-sided sibling): for each
+# event, the SAME USER's order closest in time — before or after — within
+# 3 days; distance ties prefer the earlier order. operators/asof.py::
+# asof_nearest computes both direction candidates in ONE union + window
+# pass (never the |pairs-in-window| blow-up of a range join); the oracle
+# spells the identical semantics as a ranked ABS-distance inequality
+# join with the same side/tiebreak preference, LEFT-joined back so
+# no-match events survive with NULLs.
+# ---------------------------------------------------------------------------
+@query(
+    "j7_asof_nearest_order",
+    oracle="""
+    WITH ev AS (SELECT event_id, user_id,
+                       CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS et FROM events),
+    od AS (SELECT o_custkey, o_orderkey,
+                  CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS ot FROM orders),
+    cand AS (
+      SELECT ev.event_id, od.o_orderkey, ev.et - od.ot AS delta,
+             ROW_NUMBER() OVER (
+               PARTITION BY ev.event_id
+               ORDER BY ABS(ev.et - od.ot) ASC,
+                        CASE WHEN od.ot <= ev.et THEN 0 ELSE 1 END ASC,
+                        CASE WHEN od.ot <= ev.et THEN -od.o_orderkey
+                             ELSE od.o_orderkey END ASC
+             ) AS rn
+      FROM ev JOIN od ON od.o_custkey = ev.user_id
+                     AND ABS(ev.et - od.ot) <= 259200
+    )
+    SELECT e.event_id, e.user_id,
+           c.o_orderkey AS nearest_orderkey,
+           c.delta AS delta_seconds
+    FROM ev e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+      ON c.event_id = e.event_id
+    """,
+)
+def j7_asof_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2psql_spark.operators.asof import asof_nearest
+
+    e = load_table(spark, sf_dir, "events")
+    ep_e = epoch_of(e)
+    ev = e.select("event_id", "user_id", ep_e("ts").alias("et"))
+    o = load_table(spark, sf_dir, "orders")
+    ep_o = epoch_of(o, "o_orderdate")
+    od = o.select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        ep_o("o_orderdate").alias("ot"),
+    )
+    joined = asof_nearest(
+        ev,
+        od,
+        key="user_id",
+        left_time="et",
+        right_time="ot",
+        payload=["o_orderkey"],
+        tolerance=259_200,
+        tiebreak="o_orderkey",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("nearest_orderkey"),
+        F.col("_asof_delta").alias("delta_seconds"),
+    )

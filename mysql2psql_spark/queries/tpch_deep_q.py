@@ -634,12 +634,19 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    lf = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
-        "l_orderkey",
-        "l_suppkey",
-        (
-            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 60
-        ).cast("int").alias("is_late"),
+    from mysql2psql_spark.operators.materialize import materialize
+
+    # two consumers (per-order counters + the late-row probe): without
+    # materialization the lineitem x orders join executes twice (plan
+    # showed 2 SortMergeJoins + 2 scans of each fact table)
+    lf = materialize(
+        li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 60
+            ).cast("int").alias("is_late"),
+        )
     )
     per_order = lf.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),

@@ -116,3 +116,20 @@ def test_prefix_filter_materializes_shingle_agg_once(spark):
     df = QUERIES["dedup_ngram_jaccard"](spark, SF_DIR_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") <= 1, plan[:3000]
+
+
+def test_keyset_pagination_pushes_cursor_and_takes_ordered(spark):
+    plan = _plan(QUERIES["o4_keyset_pagination"](spark, SF_DIR_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+    # the (date, key) cursor disjunction reaches the scan
+    assert re.search(r"PushedFilters: \[[^\]]*Or\(", plan), plan
+
+
+def test_asof_nearest_is_joinless_single_window(spark):
+    """asof_nearest must stay the union + one-window-pass shape: both
+    direction candidates from ONE Window operator, no join of any kind
+    (a range-join formulation would explode |pairs-in-window| rows)."""
+    plan = _plan(QUERIES["j7_asof_nearest_order"](spark, SF_DIR_ORACLE))
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert j not in plan, j
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
