@@ -67,15 +67,19 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85) -> DataFra
     BIGINT — summed exactly (order-free), and the damped update is
     floor-truncated back to the 1e-9 grid.
     """
-    edges = materialize(edges)
-    deg = degrees(edges)
+    # out-degree is a static edge attribute: attach it ONCE and
+    # materialize the (src, dst, deg) frame, so each iteration is a
+    # single join (edges x ranks) instead of re-joining the degree
+    # table every step
+    base = materialize(edges)
+    deg = degrees(base)
+    edges = materialize(base.join(deg, "src"))
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
     teleport = F.lit(round(1.0 - damping, 6))
     scale = F.lit(float(_SCALE))
     for i in range(iters):
         contrib = (
-            edges.join(deg, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 "dst",
                 F.floor((F.col("rank") / F.col("deg")) * scale).alias("c"),

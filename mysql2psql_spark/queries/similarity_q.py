@@ -85,3 +85,71 @@ def sim_multi_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = scored.select("q_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"))
     rn = F.row_number().over(W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id"))
     return scored.withColumn("rn", rn).filter(F.col("rn") <= 3).drop("rn")
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-style dimension-truncation recall: rank the corpus by cosine
+# over the FIRST 16 of 64 dimensions and measure recall@10 against the
+# full-dimension exact top-k — the QA gate for serving truncated (MRL)
+# embeddings at a fraction of the memory/FLOPs. Both arms are broadcast-
+# probe linear scans (no shuffle on the corpus side); the compare is a
+# 10x10 join. DuckDB's LIST_SLICE is 1-based inclusive = F.slice(v,1,16).
+# ---------------------------------------------------------------------------
+_ORACLE_TRUNC_RECALL = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    probe AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    full_topk AS (
+      SELECT e.vec_id FROM e CROSS JOIN probe p
+      WHERE e.vec_id != 0
+      ORDER BY ROUND(LIST_COSINE_SIMILARITY(e.v, p.qv), 6) DESC, e.vec_id
+      LIMIT 10
+    ),
+    trunc_topk AS (
+      SELECT e.vec_id FROM e CROSS JOIN probe p
+      WHERE e.vec_id != 0
+      ORDER BY ROUND(LIST_COSINE_SIMILARITY(
+                 LIST_SLICE(e.v, 1, 16), LIST_SLICE(p.qv, 1, 16)), 6) DESC,
+               e.vec_id
+      LIMIT 10
+    )
+    SELECT CAST(16 AS INT) AS prefix_dims,
+           CAST(10 AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(ROUND(CAST(COUNT(*) AS DOUBLE) / 10, 6) AS DOUBLE) AS recall
+    FROM full_topk JOIN trunc_topk USING (vec_id)
+"""
+
+
+@query("sim_dim_truncation_recall", oracle=_ORACLE_TRUNC_RECALL)
+def sim_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    full_scores = brute_force_scores(emb, probe).filter(F.col("vec_id") != 0)
+    full_topk = (
+        full_scores.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    emb16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    probe16 = probe.select("q_id", F.slice("q_vec", 1, 16).alias("q_vec"))
+    trunc_topk = (
+        brute_force_scores(emb16, probe16)
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    return (
+        full_topk.join(trunc_topk, "vec_id")
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            F.lit(16).cast("int").alias("prefix_dims"),
+            F.lit(10).cast("int").alias("k"),
+            "n_hits",
+            F.round(F.col("n_hits").cast("double") / 10, 6).cast("double").alias("recall"),
+        )
+    )
