@@ -120,6 +120,8 @@ HEADLINE = [
     "graph_degree_distribution",
     "j7_asof_nearest_order",
     "o4_keyset_pagination",
+    "sim_dim_truncation_recall",
+    "dedup_source_matrix",
 ]
 
 

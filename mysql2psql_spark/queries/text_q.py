@@ -1084,3 +1084,40 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix: for every source pair, the number of
+# document pairs sharing a leading-span fingerprint (md5 of the first 100
+# chars — the cheap head-dup detector; full-content md5 is degenerate on
+# this fixture). This is the "who copies from whom" audit that decides
+# which sources to down-weight before mixing. The self-join runs on the
+# 16-byte fingerprint key, so block sizes are duplicate-group-sized —
+# corpus-size-independent, same argument as the exact-dedup hash join.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_source_matrix",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, source, MD5(SUBSTR(text, 1, 100)) AS fp FROM documents
+    )
+    SELECT LEAST(a.source, b.source) AS source_a,
+           GREATEST(a.source, b.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+    FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.substring("text", 1, 100)).alias("fp")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.least("a.source", "b.source").alias("source_a"),
+            F.greatest("a.source", "b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_dup_pairs"))
+    )

@@ -151,3 +151,54 @@ def attribution_join_stream(
         "user_id",
         (ep_p("p_ts") - ep_c("c_ts")).alias("lag_seconds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once CDC sink: the foreachBatch idempotent-write pattern.
+# Structured Streaming guarantees at-least-once foreachBatch invocation
+# with a stable batch_id; writing each micro-batch to a batch_id-keyed
+# directory with mode=overwrite makes a RETRIED batch overwrite its own
+# previous (possibly partial) output instead of appending duplicates —
+# write-idempotence, which upgrades at-least-once to exactly-once
+# end-to-end. compact_cdc_log then resolves the changelog exactly like
+# the oracled batch twin (queries/migration_q.py::m4_cdc_apply): latest
+# op per key wins, tombstones drop the key.
+# ---------------------------------------------------------------------------
+def cdc_foreach_batch_sink(out_dir: str):
+    """Return a foreachBatch function writing each micro-batch to
+    ``{out_dir}/batch=<id>`` idempotently (overwrite)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    return apply
+
+
+def compact_cdc_log(spark, out_dir: str) -> DataFrame:
+    """Resolve the batch-partitioned changelog into current state —
+    identical semantics (and output schema) to m4_cdc_apply so the
+    streaming path is pinned to the oracle-checked batch twin. One
+    key-hash exchange; the per-key sort is history-sized."""
+    from pyspark.sql.window import Window
+
+    e = spark.read.parquet(f"{out_dir}/batch=*")
+    ep = epoch_of(e)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    latest = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+            "event_type",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+    )
+    return latest.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.round(F.col("value").cast("decimal(12,4)"), 2).cast("double").alias("cur_value"),
+        ep("ts").alias("last_ts"),
+    )

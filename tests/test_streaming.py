@@ -273,3 +273,52 @@ def test_incremental_dedup_stream_matches_batch_gate(spark, documents_two_batche
     # corpus split, so the flag distribution is all-False here; the
     # cross-corpus hit path itself is pinned by the batch twin's oracle
     # (dedup_incremental) that `want` comes from
+
+
+def test_foreach_batch_cdc_sink_exactly_once(spark, tmp_path):
+    """The foreachBatch CDC sink must (1) produce the SAME current state
+    as the oracled batch twin m4_cdc_apply after streaming the events in
+    micro-batches, and (2) be idempotent under batch RETRY — re-running a
+    batch with its original batch_id must not change the compacted
+    state. That pair of properties is the exactly-once contract."""
+    from mysql2psql_spark.streaming.events import (
+        cdc_foreach_batch_sink,
+        compact_cdc_log,
+    )
+
+    # split events into two files so the file source makes >= 2 batches
+    src = str(tmp_path / "src")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(f"{src}/p0")
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(f"{src}/p1")
+
+    out = str(tmp_path / "cdc_log")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{src}/p0").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/p*")
+    )
+    q = stream.writeStream.foreachBatch(cdc_foreach_batch_sink(out)).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def state():
+        rows = compact_cdc_log(spark, out).collect()
+        return {r["user_id"]: (r["last_event_type"], r["cur_value"], r["last_ts"]) for r in rows}
+
+    got = state()
+    want = {
+        r["user_id"]: (r["last_event_type"], r["cur_value"], r["last_ts"])
+        for r in QUERIES["m4_cdc_apply"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+    # simulate an at-least-once RETRY of batch 0: re-deliver exactly what
+    # the stream wrote as batch 0 (collect first — we overwrite the path
+    # we'd otherwise be lazily reading from)
+    b0 = spark.read.parquet(f"{out}/batch=0")
+    retry_df = spark.createDataFrame(b0.collect(), b0.schema)
+    cdc_foreach_batch_sink(out)(retry_df, 0)
+    assert state() == want
