@@ -122,6 +122,9 @@ HEADLINE = [
     "o4_keyset_pagination",
     "sim_dim_truncation_recall",
     "dedup_source_matrix",
+    "events_bot_detection",
+    "w5_distribution_functions",
+    "a5_mode_per_group",
 ]
 
 

@@ -803,3 +803,60 @@ def o4_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("totalprice"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W5: analytic distribution functions — percent_rank / cume_dist over a
+# per-type total order. The (value, event_id) ordering key is unique, so
+# rank boundaries are deterministic and the n/m ratios are identical
+# IEEE divisions in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "w5_distribution_functions",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def w5_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5: per-group statistical mode (most frequent event_type per user,
+# count-desc then lexicographic tie-break) — two uniform hash aggs + a
+# per-user-sized window; the raw event stream never sorts globally.
+# ---------------------------------------------------------------------------
+@query(
+    "a5_mode_per_group",
+    oracle="""
+    SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n_events
+    FROM (
+      SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY n DESC, event_type
+             ) AS rn
+      FROM (SELECT user_id, event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2)
+    ) WHERE rn = 1
+    """,
+)
+def a5_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = W.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), F.col("n").alias("n_events"))
+    )

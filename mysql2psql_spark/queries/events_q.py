@@ -834,3 +834,41 @@ def j7_asof_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("nearest_orderkey"),
         F.col("_asof_delta").alias("delta_seconds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bot detection by burst rate (the traffic-hygiene filter run before any
+# engagement data enters a training mix): a user is flagged when any
+# 60-second tumbling bucket holds >= 3 of their events. Two uniform
+# hash aggregations — (user, bucket) then user — no windows over raw
+# events, no skew (bucket keys are time-sharded within each user).
+# ---------------------------------------------------------------------------
+@query(
+    "events_bot_detection",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 60 AS bucket,
+             COUNT(*) AS n
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS peak_per_minute,
+           CAST(SUM(n) AS BIGINT) AS total_events,
+           (MAX(n) >= 3) AS flagged
+    FROM b
+    GROUP BY user_id
+    """,
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ep = epoch_of(e)
+    b = e.groupBy(
+        "user_id", (ep("ts") / 60).cast("bigint").alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    return b.groupBy("user_id").agg(
+        F.max("n").alias("peak_per_minute"),
+        F.sum("n").alias("total_events"),
+        (F.max("n") >= 3).alias("flagged"),
+    )

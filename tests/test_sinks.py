@@ -112,3 +112,43 @@ def test_jdbc_execute_load_with_mock(spark):
         "SET CONSTRAINTS ALL IMMEDIATE;"
     )
     assert executed[-2:] == ["B;", "C;"]
+
+
+def test_csv_source_reads_sink_dialect_exactly(spark, tmp_path):
+    """sources/csv_source.py must read back EXACTLY what the sink wrote,
+    on the nastiest table we have (documents: free text with commas,
+    quotes, arbitrary punctuation) — the full extract->CSV->re-ingest
+    migration roundtrip."""
+    from mysql2psql_spark.sources.csv_source import read_reference_csv
+
+    df = load_table(spark, SF_DIR, "documents").select("doc_id", "text", "lang")
+    path = str(tmp_path / "documents")
+    write_reference_csv(df, path)
+    back = read_reference_csv(spark, path, df.schema)
+    want = {(r.doc_id, r.text, r.lang) for r in df.collect()}
+    got = {(r.doc_id, r.text, r.lang) for r in back.collect()}
+    assert got == want
+
+
+def test_csv_source_permissive_quarantines_bad_rows(spark, tmp_path):
+    """strict=False must keep the load alive and route malformed rows to
+    _corrupt_record; strict=True must abort (the \\copy behavior)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from mysql2psql_spark.sources.csv_source import read_reference_csv
+
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part-00000.csv").write_text("1,'ok'\nnot_an_int,'broken'\n2,'fine'\n")
+    schema = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("name", T.StringType())]
+    )
+    rows = read_reference_csv(spark, str(p), schema, strict=False).collect()
+    good = {(r.id, r.name) for r in rows if r._corrupt_record is None}
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert good == {(1, "ok"), (2, "fine")}
+    assert len(bad) == 1 and "not_an_int" in bad[0]._corrupt_record
+
+    with pytest.raises(Exception):
+        read_reference_csv(spark, str(p), schema, strict=True).collect()
