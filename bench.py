@@ -125,6 +125,8 @@ HEADLINE = [
     "events_bot_detection",
     "w5_distribution_functions",
     "a5_mode_per_group",
+    "text_bigram_topk",
+    "events_rfm_features",
 ]
 
 

@@ -71,6 +71,29 @@ def _parquet_tables(spark, src_dir: str, only: list[str]) -> dict[str, Any]:
     return {n: load_table(spark, src_dir, n) for n in names}
 
 
+def _csv_tables(spark, artifact_dir: str, only: list[str]) -> dict[str, Any]:
+    """Re-ingest a PREVIOUS RUN's artifact tree: the converted schema IR
+    checkpoint (psql_schema.json, S11) provides the StructTypes — the
+    loads are schema-first like the reference's \\copy — and each
+    tables/<name>.sql directory holds that table's reference-dialect CSV
+    (S8). This closes the lifecycle loop: extract -> dump -> re-ingest
+    runs entirely on engine artifacts."""
+    from mysql2psql_spark import schema_ir as ir
+    from mysql2psql_spark.sources.csv_source import read_reference_csv
+
+    with open(os.path.join(artifact_dir, "psql_schema.json")) as f:
+        schema = ir.from_json(f.read())
+    frames: dict[str, Any] = {}
+    for key, table in schema["tables"].items():
+        if only and key not in only:
+            continue
+        path = os.path.join(artifact_dir, "tables", f"{table['name']}.sql")
+        if not os.path.isdir(path):
+            continue
+        frames[key] = read_reference_csv(spark, path, ir.to_struct_type(table))
+    return frames
+
+
 def migrate_db(
     spark,
     db: str,
@@ -214,7 +237,12 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="mysql2psql_spark", description=__doc__.split("\n")[0])
     p.add_argument("database", help="database name (parquet: the run label)")
     p.add_argument("tables", nargs="*", help="optional table subset")
-    p.add_argument("--source", required=True, help="parquet:<dir> or jdbc")
+    p.add_argument(
+        "--source",
+        required=True,
+        help="parquet:<dir>, csv:<artifact-dir> (re-ingest a previous "
+        "run's psql_schema.json + tables/*.sql CSV dumps), or jdbc",
+    )
     p.add_argument("--out", default="./output")
     p.add_argument("--config", default=None, help="parameters.json (reference format)")
     p.add_argument("--schema-changes", default=None, help="schema_changes.json (reference format)")
@@ -260,6 +288,11 @@ def main(argv: list[str] | None = None) -> int:
             if args.database == "all-databases":
                 src = os.path.join(src, db)
             return _parquet_tables(spark, src, args.tables)
+        if args.source.startswith("csv:"):
+            src = args.source.removeprefix("csv:")
+            if args.database == "all-databases":
+                src = os.path.join(src, db)
+            return _csv_tables(spark, src, args.tables)
         if args.source == "jdbc":
             from mysql2psql_spark.sources.jdbc import read_tables
 

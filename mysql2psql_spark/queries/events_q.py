@@ -872,3 +872,61 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("total_events"),
         (F.max("n") >= 3).alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM feature vector (recency / frequency / monetary) per user — the
+# canonical per-entity feature-engineering aggregate feeding a training
+# table. One uniform user-keyed hash aggregate; recency is computed
+# against the corpus max timestamp, which rides a window over the
+# ALREADY-AGGREGATED |users|-row frame (the Q11/Q15 scalar
+# decorrelation), never a second scan of the events fact.
+# ---------------------------------------------------------------------------
+@query(
+    "events_rfm_features",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS last_seen,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(ROUND(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(value AS DECIMAL(12,4))
+                                 ELSE CAST(0 AS DECIMAL(12,4)) END), 2)
+                  AS DOUBLE) AS monetary
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           MAX(last_seen) OVER () - last_seen AS recency_seconds,
+           frequency, monetary
+    FROM u
+    """,
+)
+def events_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    ep = epoch_of(e)
+    zero = F.lit(0).cast("decimal(12,4)")
+    u = e.groupBy("user_id").agg(
+        F.max(ep("ts")).alias("last_seen"),
+        F.count("*").alias("frequency"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", _dec("value")
+                ).otherwise(zero)
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("monetary"),
+    )
+    return u.select(
+        "user_id",
+        (F.max("last_seen").over(Window.partitionBy()) - F.col("last_seen")).alias(
+            "recency_seconds"
+        ),
+        "frequency",
+        "monetary",
+    )

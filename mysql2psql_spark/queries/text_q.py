@@ -1121,3 +1121,52 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_dup_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level n-gram table: top-200 bigrams by occurrence count with
+# document frequency — the count table an n-gram LM / tokenizer-merge
+# step builds. Bigram construction is ROW-LOCAL (zip of the token array
+# with its own tail — no per-doc window, no pre-shuffle), then one
+# uniform hash aggregate on the gram key and a TakeOrderedAndProject
+# top-k; at 100 TB the only shuffle is the (gram)-keyed combine.
+# ---------------------------------------------------------------------------
+@query(
+    "text_bigram_topk",
+    oracle="""
+    WITH bigrams AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(ts), 1)),
+                    i -> CONCAT_WS(' ', ts[i], ts[i+1]))) AS bg
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents)
+      WHERE LEN(ts) >= 2
+    )
+    SELECT bg AS bigram,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM bigrams
+    GROUP BY bg
+    ORDER BY n_occurrences DESC, bigram
+    LIMIT 200
+    """,
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    sz = F.size(ts)
+    bigrams = F.zip_with(
+        F.slice(ts, 1, sz - 1),
+        F.slice(ts, 2, sz - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        d.filter(sz >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy(F.col("bg").alias("bigram"))
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "bigram")
+        .limit(200)
+    )

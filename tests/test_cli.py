@@ -178,3 +178,23 @@ def test_cli_from_dump_mode(tmp_path):
     assert out["databases"]["dumpdb"]["insert_lines"] == 1
     text = (tmp_path / "out" / "dumpdb" / "psql_dump.sql").read_text()
     assert 'INSERT INTO "t" ("id") VALUES  (1);' in text
+
+
+def test_cli_csv_source_reingests_artifact_tree(spark, tmp_path):
+    """csv:<artifact-dir> closes the lifecycle loop: a table dumped by
+    migrate_db is re-ingested schema-first from psql_schema.json +
+    tables/<name>.sql, row-for-row (including the rename applied by the
+    migration rules)."""
+    from mysql2psql_spark.cli import _csv_tables
+
+    frames = {n: load_table(spark, SF_DIR, n) for n in ("region", "nation")}
+    changes = {"tables": {"nation": {"name": "nations"}}}
+    migrate_db(spark, "db1", frames, str(tmp_path), schema_changes=changes)
+
+    back = _csv_tables(spark, str(tmp_path / "db1"), only=[])
+    # keys are the ORIGINAL table keys; files carry converted names
+    assert set(back) == {"region", "nation"}
+    assert back["region"].count() == frames["region"].count()
+    got = {(r[0], r[1]) for r in back["nation"].select("n_nationkey", "n_name").collect()}
+    want = {(r[0], r[1]) for r in frames["nation"].select("n_nationkey", "n_name").collect()}
+    assert got == want
