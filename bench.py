@@ -127,6 +127,7 @@ HEADLINE = [
     "a5_mode_per_group",
     "text_bigram_topk",
     "events_rfm_features",
+    "text_remove_dup_spans",
 ]
 
 

@@ -1170,3 +1170,63 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "bigram")
         .limit(200)
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level dedup REMOVAL (the transform, not just the signal that
+# text_duplicate_spans reports): chunk each document into fixed 8-token
+# spans, drop every span whose exact text occurs in >= 2 documents'
+# chunking, and reassemble the survivors in order — the
+# RefinedWeb/Llama-style boilerplate scrub. One explode + one span-keyed
+# df aggregate + a hash-keyed rejoin; reassembly is a per-doc sorted
+# array fold, never a global sort. Cleaned text is emitted as md5 so the
+# row stays narrow.
+# ---------------------------------------------------------------------------
+@query(
+    "text_remove_dup_spans",
+    oracle="""
+    WITH sp AS (
+      SELECT doc_id, s.i AS i, s.span AS span
+      FROM (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(
+                 RANGE(1, CAST(CEIL(LEN(ts) / 8.0) AS BIGINT) + 1),
+                 i -> STRUCT_PACK(i := i,
+                        span := ARRAY_TO_STRING(
+                          LIST_SLICE(ts, (i-1)*8 + 1, (i-1)*8 + 8), ' ')))) AS s
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents)
+      )
+    ),
+    df AS (SELECT span, COUNT(DISTINCT doc_id) AS ndocs FROM sp GROUP BY span)
+    SELECT sp.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           MD5(COALESCE(STRING_AGG(CASE WHEN df.ndocs < 2 THEN sp.span END,
+                                   ' ' ORDER BY sp.i), '')) AS clean_fp
+    FROM sp JOIN df USING (span)
+    GROUP BY sp.doc_id
+    """,
+)
+def text_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sp = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, int(ceil(size(split(text, ' ')) / 8.0))), "
+                "i -> struct(i as i, "
+                "array_join(slice(split(text, ' '), (i-1)*8 + 1, 8), ' ') as span))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.i").alias("i"), F.col("s.span").alias("span"))
+    df_tab = sp.groupBy("span").agg(F.countDistinct("doc_id").alias("ndocs"))
+    joined = sp.join(df_tab, "span")
+    kept = F.filter(
+        F.array_sort(F.collect_list(F.struct("i", "span", "ndocs"))),
+        lambda s: s["ndocs"] < 2,
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).alias("n_removed"),
+        F.md5(F.array_join(F.transform(kept, lambda s: s["span"]), " ")).alias("clean_fp"),
+    )
