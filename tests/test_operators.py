@@ -456,3 +456,53 @@ def test_containment_catches_subset_dup_jaccard_misses(spark):
         for r in prefix_filter_pairs(sh, threshold=0.5).collect()
     }
     assert (1, 2) not in jac  # J = 5/50 = 0.1: Jaccard structurally misses it
+
+
+def test_asof_nearest_matches_bruteforce_reference(spark):
+    """asof_nearest's tie rules are intricate (distance, then backward
+    preference, then highest-tiebreak-backward / lowest-tiebreak-forward);
+    pin them against an exhaustive brute-force reference over a grid of
+    collision-heavy random inputs (duplicate timestamps on both sides,
+    boundary-of-tolerance deltas, keys with no right rows)."""
+    import random
+
+    from mysql2psql_spark.operators.asof import asof_nearest
+
+    rng = random.Random(42)
+    left = [
+        (f"k{rng.randint(0, 3)}", rng.randint(0, 30), i)  # key, time, left_id
+        for i in range(60)
+    ]
+    right = [
+        (f"k{rng.randint(0, 4)}", rng.randint(0, 30), 100 + i)  # key, time, rid
+        for i in range(50)
+    ]
+    tol = 5
+
+    def brute(lk, lt):
+        cands = [(rk, rt, rid) for rk, rt, rid in right if rk == lk and abs(lt - rt) <= tol]
+        if not cands:
+            return (None, None)
+        # distance asc; backward (rt <= lt) before forward; backward ties
+        # -> HIGHEST rid, forward ties -> LOWEST rid
+        best = min(
+            cands,
+            key=lambda c: (
+                abs(lt - c[1]),
+                0 if c[1] <= lt else 1,
+                -c[2] if c[1] <= lt else c[2],
+            ),
+        )
+        return (best[2], lt - best[1])
+
+    ldf = spark.createDataFrame(left, ["k", "t", "left_id"])
+    rdf = spark.createDataFrame(right, ["k", "t", "rid"])
+    got = {
+        r["left_id"]: (r["rid"], r["_asof_delta"])
+        for r in asof_nearest(
+            ldf, rdf, key="k", left_time="t", right_time="t",
+            payload=["rid"], tolerance=tol, tiebreak="rid",
+        ).collect()
+    }
+    want = {lid: brute(lk, lt) for lk, lt, lid in left}
+    assert got == want
