@@ -128,6 +128,7 @@ HEADLINE = [
     "text_bigram_topk",
     "events_rfm_features",
     "text_remove_dup_spans",
+    "multimodal_image_ahash",
 ]
 
 

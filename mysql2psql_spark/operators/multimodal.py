@@ -371,3 +371,41 @@ def image_resize_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+AHASH_SCHEMA = "doc_id bigint, ahash_hi bigint, ahash_lo bigint, n_set int"
+
+
+def image_ahash(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint over REAL-decoded
+    BMPs: decode -> integer nearest-neighbor 8x8 downsample -> integer
+    grayscale (r+g+b)//3 -> bit i*8+j set iff gray > floor(mean). The
+    64-bit hash is returned as two unsigned 32-bit halves in BIGINTs so
+    cross-engine oracles never touch two's-complement sign wrap at bit
+    63. Near-identical images differ in few bits (hamming distance), so
+    this is the image-side analogue of SimHash: band the halves for
+    candidate generation, verify by popcount. Arrow-batched,
+    partition-local, no shuffle.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                px = resize_nearest(decode_bmp24(bytes(payload)), 8, 8)
+                gray = px.astype(np.int64).sum(axis=2) // 3  # (8, 8)
+                mean = int(gray.sum()) // 64
+                bits = (gray > mean).astype(np.uint64).ravel()  # idx = i*8 + j
+                val = 0
+                for idx in range(64):
+                    if bits[idx]:
+                        val |= 1 << idx
+                rows.append(
+                    (int(i), int(val >> 32), int(val & 0xFFFFFFFF), int(bits.sum()))
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "ahash_hi", "ahash_lo", "n_set"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=AHASH_SCHEMA)

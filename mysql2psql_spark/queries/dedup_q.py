@@ -410,3 +410,68 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(corpus, "fp", "left").select(
         "doc_id", "fp", F.coalesce(F.col("_hit"), F.lit(False)).alias("dup_of_corpus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hash (aHash) over REAL-decoded BMPs — the image-side
+# near-dup fingerprint (SimHash's visual analogue: near-identical images
+# differ in a few bits; band the halves, verify by popcount). Same
+# verification scheme as the other multimodal ops: payloads are
+# synthesized from a deterministic pixel formula, the engine decodes the
+# actual BMP bytes and integer-downsamples, and the oracle recomputes
+# the identical integer math from the generating formula — any parse,
+# sampling-grid, or threshold bug diverges the hash.
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_image_ahash",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 12 + doc_id % 5 AS w, 10 + doc_id % 7 AS h
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i * 8 + j AS idx,
+             (((doc_id*13 + ((j*w)//8)*7 + ((i*h)//8)*3) % 256)
+            + ((doc_id*13 + ((j*w)//8)*7 + ((i*h)//8)*3 + 85) % 256)
+            + ((doc_id*13 + ((j*w)//8)*7 + ((i*h)//8)*3 + 170) % 256)) // 3 AS gray
+      FROM dims, RANGE(0, 8) t1(i), RANGE(0, 8) t2(j)
+    ),
+    m AS (
+      SELECT doc_id, idx, gray,
+             SUM(gray) OVER (PARTITION BY doc_id) // 64 AS mean
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN gray > mean AND idx >= 32
+                         THEN CAST(1 AS BIGINT) << (idx - 32) ELSE 0 END) AS BIGINT) AS ahash_hi,
+           CAST(SUM(CASE WHEN gray > mean AND idx < 32
+                         THEN CAST(1 AS BIGINT) << idx ELSE 0 END) AS BIGINT) AS ahash_lo,
+           CAST(SUM(CASE WHEN gray > mean THEN 1 ELSE 0 END) AS INT) AS n_set
+    FROM m GROUP BY doc_id
+    """,
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from mysql2psql_spark.operators.multimodal import encode_bmp24, image_ahash
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                w, h = 12 + k % 5, 10 + k % 7
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                base = k * 13 + x * 7 + y * 3
+                px = np.stack(
+                    [base % 256, (base + 85) % 256, (base + 170) % 256], axis=2
+                ).astype(np.uint8)
+                rows.append((k, encode_bmp24(px)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = d.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    return image_ahash(payloads)
