@@ -129,6 +129,7 @@ HEADLINE = [
     "events_rfm_features",
     "text_remove_dup_spans",
     "multimodal_image_ahash",
+    "sim_lsh_budget_sweep",
 ]
 
 

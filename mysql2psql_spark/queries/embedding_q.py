@@ -399,3 +399,80 @@ def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hits").cast("double") / 10, 6).cast("double").alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH tuning curve: recall@10 vs exact for Hamming budgets 4/6/8 in one
+# result — the sweep run before fixing a serving budget (tighter budget
+# = fewer candidates scored = cheaper, until recall collapses). Each arm
+# is the production ann_topk_lsh shape (one corpus pass per budget; this
+# is a diagnostic, not a serving path); the oracle restates all three
+# arms + the exact arm and joins them. Arms with zero overlap drop out
+# of BOTH engines identically (inner join + group).
+# ---------------------------------------------------------------------------
+_ORACLE_LSH_SWEEP = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {_SIG} AS sig
+      FROM embeddings
+    ),
+    probe AS (SELECT v AS qv, sig AS qs FROM e WHERE vec_id = 0),
+    exact AS (
+      SELECT e.vec_id FROM e CROSS JOIN probe p WHERE e.vec_id != 0
+      ORDER BY ROUND(LIST_COSINE_SIMILARITY(e.v, p.qv), 6) DESC, e.vec_id
+      LIMIT 10
+    ),
+    arm4 AS (
+      SELECT e.vec_id FROM e CROSS JOIN probe p
+      WHERE e.vec_id != 0 AND BIT_COUNT(XOR(e.sig, p.qs)) <= 4
+      ORDER BY ROUND(LIST_COSINE_SIMILARITY(e.v, p.qv), 6) DESC, e.vec_id
+      LIMIT 10
+    ),
+    arm6 AS (
+      SELECT e.vec_id FROM e CROSS JOIN probe p
+      WHERE e.vec_id != 0 AND BIT_COUNT(XOR(e.sig, p.qs)) <= 6
+      ORDER BY ROUND(LIST_COSINE_SIMILARITY(e.v, p.qv), 6) DESC, e.vec_id
+      LIMIT 10
+    ),
+    arm8 AS (
+      SELECT e.vec_id FROM e CROSS JOIN probe p
+      WHERE e.vec_id != 0 AND BIT_COUNT(XOR(e.sig, p.qs)) <= 8
+      ORDER BY ROUND(LIST_COSINE_SIMILARITY(e.v, p.qv), 6) DESC, e.vec_id
+      LIMIT 10
+    ),
+    u AS (
+      SELECT 4 AS budget, vec_id FROM arm4
+      UNION ALL SELECT 6, vec_id FROM arm6
+      UNION ALL SELECT 8, vec_id FROM arm8
+    )
+    SELECT CAST(budget AS INT) AS hamming_budget,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(ROUND(CAST(COUNT(*) AS DOUBLE) / 10, 6) AS DOUBLE) AS recall
+    FROM u JOIN exact USING (vec_id)
+    GROUP BY budget
+"""
+
+
+@query("sim_lsh_budget_sweep", oracle=_ORACLE_LSH_SWEEP)
+def sim_lsh_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from mysql2psql_spark.queries.similarity_q import sim_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = sim_cosine_topk(spark, sf_dir).select("vec_id")
+    arms = None
+    for budget in (4, 6, 8):
+        arm = ann_topk_lsh(emb, probe_id=0, k=10, max_hamming=budget, planes=_PLANES).select(
+            F.lit(budget).alias("budget"), "vec_id"
+        )
+        arms = arm if arms is None else arms.unionByName(arm)
+    return (
+        arms.join(exact, "vec_id")
+        .groupBy(F.col("budget").cast("int").alias("hamming_budget"))
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            "hamming_budget",
+            "n_hits",
+            F.round(F.col("n_hits").cast("double") / 10, 6).cast("double").alias("recall"),
+        )
+    )
