@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mysql2psql_spark.operators.graph import degrees, pagerank, undirected_edges
+from mysql2psql_spark.operators.graph import pagerank, undirected_edges
 from mysql2psql_spark.operators.materialize import materialize
 from mysql2psql_spark.queries import query
 from mysql2psql_spark.sources import load_table
@@ -106,8 +106,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = materialize(undirected_edges(_pair_frame(spark, sf_dir), "s", "c"))
-    deg = degrees(edges)
+    # the s/c namespaces are disjoint, so the undirected degree of a
+    # supplier node is just its distinct-partner count in the pair frame
+    # (and symmetrically for customers) — two aggregates over ONE
+    # materialized distinct-pair frame, skipping the edge-union shuffle
+    # entirely
+    pair = materialize(_pair_frame(spark, sf_dir))
+    deg = pair.groupBy(F.col("s").alias("src")).agg(F.count("*").alias("deg")).unionByName(
+        pair.groupBy(F.col("c").alias("src")).agg(F.count("*").alias("deg"))
+    )
     return deg.groupBy(
         F.when(F.col("src") % 2 == 0, "supplier")
         .otherwise("customer")

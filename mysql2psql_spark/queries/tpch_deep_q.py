@@ -86,11 +86,19 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
 
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        (
-            F.sum(_dec("l_extendedprice")).cast("double")
-            / F.sum(_dec("l_quantity")).cast("double")
-        ).alias("unit_cost")
+    # prune the fact BEFORE the (part, supp) aggregate: the final join
+    # keeps only p_size >= 40 parts, and the min-cost window partitions
+    # by part, so dropping whole partkeys up front is semantics-free and
+    # removes ~80% of the aggregate input (broadcast semi join)
+    ps = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            (
+                F.sum(_dec("l_extendedprice")).cast("double")
+                / F.sum(_dec("l_quantity")).cast("double")
+            ).alias("unit_cost")
+        )
     )
     euro_supp = (
         supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
