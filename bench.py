@@ -130,6 +130,8 @@ HEADLINE = [
     "text_remove_dup_spans",
     "multimodal_image_ahash",
     "sim_lsh_budget_sweep",
+    "text_split_assign",
+    "profile_fk_orphans",
 ]
 
 

@@ -264,3 +264,58 @@ def m4_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value").cast("decimal(12,4)"), 2).cast("double").alias("cur_value"),
         ep("ts").alias("last_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FK-orphan profile — the validation report behind the reference's
+# orphan-cleanup pre-SQL (_PRE_SQL_ DELETE ... NOT IN, RuleHandler) and
+# our j4 repair-join: for each FK relation, how many child rows point at
+# a missing parent. Each relation is a broadcast anti join against the
+# (small) parent key set aggregated to one row — the corpus never
+# shuffles, and the three relations union into one report.
+# ---------------------------------------------------------------------------
+@query(
+    "profile_fk_orphans",
+    oracle="""
+    SELECT 'orders.o_custkey->customer' AS relation,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_child_rows,
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+             AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           CAST((SELECT COUNT(*) FROM supplier) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM supplier
+                 WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS BIGINT)
+    """,
+)
+def profile_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from mysql2psql_spark.sources import load_table
+
+    def relation(name, child, child_key, parent, parent_key):
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(parent_key).distinct()
+        orphans = c.join(
+            F.broadcast(p), c[child_key] == p[parent_key], "left_anti"
+        ).agg(F.count("*").alias("n_orphans"))
+        total = c.agg(F.count("*").alias("n_child_rows"))
+        return total.crossJoin(orphans).select(
+            F.lit(name).alias("relation"), "n_child_rows", "n_orphans"
+        )
+
+    return (
+        relation("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey")
+        .unionByName(
+            relation("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey")
+        )
+        .unionByName(
+            relation("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey")
+        )
+    )

@@ -1230,3 +1230,39 @@ def text_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).alias("n_removed"),
         F.md5(F.array_join(F.transform(kept, lambda s: s["span"]), " ")).alias("clean_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split assignment — the md5-keyed draw
+# every pipeline runs before training, with per-split counts audited per
+# language. Row-local label assignment (no shuffle) + one tiny
+# (lang x split) aggregate; the same draw on any engine or cluster
+# assigns every document identically (seedless md5 on the stable key).
+# ---------------------------------------------------------------------------
+@query(
+    "text_split_assign",
+    oracle="""
+    WITH lab AS (
+      SELECT lang,
+             CASE WHEN CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 100 < 80 THEN 'train'
+                  WHEN CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM lab GROUP BY lang, split
+    """,
+)
+def text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    draw = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(draw < 80, "train").when(draw < 90, "val").otherwise("test")
+    )
+    return d.groupBy("lang", split.alias("split")).agg(F.count("*").alias("n_docs"))
