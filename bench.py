@@ -132,6 +132,11 @@ HEADLINE = [
     "sim_lsh_budget_sweep",
     "text_split_assign",
     "profile_fk_orphans",
+    # round-5 late additions
+    "w6_time_range_rolling",
+    "m5_agg_maintenance",
+    "dedup_fuzzy_blocked",
+    "o5_zorder_layout",
 ]
 
 

@@ -1,0 +1,62 @@
+"""Data-layout operators: Z-order (Morton) clustering for scan pruning.
+
+The reference migrates tables in whatever physical order MySQL hands it
+(libs/MysqlParser.py:214-227 — a straight SELECT with no ORDER BY); at
+100 TB the physical layout of the written files IS the dominant scan
+cost, because parquet row-group min/max statistics only prune when rows
+that are close in the filter dimensions are close on disk. Sorting by a
+single column clusters one dimension and destroys the other; a Z-order
+(Morton) key interleaves the bits of several dimensions so that rows
+close in ANY of them land in the same neighborhood of the curve — file
+min/max ranges stay narrow in every interleaved dimension at once, and
+multi-dimensional point/range filters skip most files.
+
+Execution shape: the key is a pure JVM-side bit expression (shift/and/or
+— whole-stage codegen, no UDF), and the layout is one
+`repartitionByRange` exchange on the key followed by a partition-local
+sort — the same cost as any global sort-write, which a bulk migration
+pays anyway.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(x: Column, y: Column, bits: int = 10) -> Column:
+    """Morton-interleave the low `bits` bits of two non-negative integer
+    columns into a single BIGINT Z-value (x occupies even bit positions,
+    y odd). Callers bound the inputs (e.g. `col.bitwiseAND(F.lit(1023))`
+    or a rank/bucket transform) so the curve covers the domain evenly;
+    values beyond `bits` bits are masked off here for safety.
+    """
+    terms = []
+    one = F.lit(1)
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(one), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(y, i).bitwiseAND(one), 2 * i + 1))
+    return reduce(lambda a, b: a.bitwiseOR(b), terms).cast("bigint")
+
+
+def zorder_key_sql(x: str, y: str, bits: int = 10) -> str:
+    """The identical interleave as an ANSI-SQL expression (DuckDB/ANSI
+    bit operators) — the oracle twin of `zorder_key`, generated from the
+    same loop so the two can never drift."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_layout(df: DataFrame, zcol: Column, num_files: int) -> DataFrame:
+    """Cluster `df` along the Z-curve: one range exchange on the Z-value
+    (contiguous curve segments per output file, so each file's min/max
+    box is a compact curve segment) + a partition-local sort that keeps
+    row groups inside each file tight. Write the result with any sink;
+    no extra shuffle is added beyond the one a sorted bulk write costs.
+    """
+    return df.repartitionByRange(num_files, zcol).sortWithinPartitions(zcol)

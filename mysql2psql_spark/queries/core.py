@@ -860,3 +860,55 @@ def a5_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("mode_type"), F.col("n").alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# O5: Z-order layout key — the physical-layout operator the migrator
+# applies at write time (operators/layout.py) exposed as a checkable
+# query: each order gets its Morton-interleaved (customer, order-day)
+# Z-value and the contiguous curve segment (file bucket) it would land
+# in. Both dimensions are masked to 10 bits; the bucket is the top 6
+# bits of the 20-bit curve, i.e. 64 target files. The oracle's bit
+# expression is GENERATED by the same loop as the Spark expression
+# (operators/layout.py::zorder_key_sql), so the two cannot drift.
+# ---------------------------------------------------------------------------
+from mysql2psql_spark.operators.layout import zorder_key, zorder_key_sql  # noqa: E402
+
+_Z_SQL = zorder_key_sql("(o_custkey & 1023)", "(day_ord & 1023)", bits=10)
+
+
+@query(
+    "o5_zorder_layout",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) // 86400 AS day_ord
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST({_Z_SQL} AS BIGINT) AS zval,
+           CAST({_Z_SQL} >> 14 AS BIGINT) AS file_bucket
+    FROM t
+    """,
+)
+def o5_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2psql_spark.operators.timeutil import epoch_of
+
+    o = load_table(spark, sf_dir, "orders")
+    ep = epoch_of(o, "o_orderdate")
+    t = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(ep("o_orderdate") / 86400).cast("bigint").alias("day_ord"),
+    )
+    mask = F.lit(1023)
+    z = zorder_key(
+        F.col("o_custkey").bitwiseAND(mask),
+        F.col("day_ord").bitwiseAND(mask),
+        bits=10,
+    )
+    return t.select(
+        "o_orderkey",
+        z.alias("zval"),
+        F.shiftright(z, 14).cast("bigint").alias("file_bucket"),
+    )

@@ -475,3 +475,43 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payloads = d.mapInPandas(synth, schema="doc_id bigint, payload binary")
     return image_ahash(payloads)
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy match (entity resolution): near-identical catalog names
+# via edit distance, with candidate generation restricted to a blocking
+# key (the name's noun token) so the join is block-bounded — the classic
+# ER shape (Fellegi-Sunter blocking) that replaces the O(n^2) all-pairs
+# distance matrix with per-block quadratic work over blocks whose size is
+# set by the key's selectivity, independent of corpus size. Everything is
+# JVM-side: split/levenshtein are built-in codegen'd expressions, the
+# block join is a plain equi-join, and the name table is the DISTINCT of
+# the catalog (vocabulary-sized, not row-count-sized).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_fuzzy_blocked",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    blocked AS (SELECT name, SPLIT_PART(name, ' ', 2) AS blk FROM names)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS edit_distance
+    FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 3
+    """,
+)
+def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    names = p.select(F.col("p_name").alias("name")).distinct()
+    blocked = names.select("name", F.split("name", " ").getItem(1).alias("blk"))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.name") < F.col("b.name")))
+        .filter(dist <= 3)
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            dist.cast("int").alias("edit_distance"),
+        )
+    )

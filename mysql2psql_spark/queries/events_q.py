@@ -930,3 +930,47 @@ def events_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE window frame (w6): per-user rolling 1-hour activity — the
+# feature-engineering shape behind rate limits and burst features. Unlike
+# w3's ROWS frame, a RANGE frame bounds the window by the ORDER-BY VALUE
+# (here epoch seconds), so rows landing on the same second are peers and
+# the frame is deterministic regardless of within-second tie order — the
+# property that makes the query exactly differential against the oracle.
+# Plan: one hash exchange on user_id + per-partition sort; no self-join,
+# no explode — the 100 TB cost is a single keyed shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "w6_time_range_rolling",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_epoch,
+             value
+      FROM events
+    )
+    SELECT user_id, event_id, ts_epoch,
+           COUNT(*) OVER w AS n_events_1h,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))) OVER w, 2) AS DOUBLE)
+             AS sum_value_1h
+    FROM t
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts_epoch
+      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def w6_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ep = epoch_of(e)
+    t = e.select("user_id", "event_id", ep("ts").alias("ts_epoch"), "value")
+    w = W.partitionBy("user_id").orderBy("ts_epoch").rangeBetween(-3600, 0)
+    return t.select(
+        "user_id",
+        "event_id",
+        "ts_epoch",
+        F.count("*").over(w).alias("n_events_1h"),
+        F.round(F.sum(_dec("value")).over(w), 2).cast("double").alias("sum_value_1h"),
+    )

@@ -319,3 +319,62 @@ def profile_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             relation("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (m5) — the materialized-view update
+# step of an ongoing replication: a stored per-customer aggregate (orders
+# before the watermark) is merged with the aggregate of ONLY the new
+# partition (orders at/after the watermark) via a keyed outer merge that
+# adds counts and decimal sums. At 100 TB the base side is the
+# |customers|-row MV — the new data is the only thing scanned, and the
+# merge is one key-hash shuffle of two pre-aggregated (small) sides. The
+# oracle recomputes the aggregate from scratch over ALL orders, so the
+# check pins the merge algebra itself: base ⊕ delta must equal the full
+# recompute, including customers present on only one side.
+# ---------------------------------------------------------------------------
+@query(
+    "m5_agg_maintenance",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE)
+             AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def m5_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from mysql2psql_spark.sources import load_table
+
+    cut = F.to_timestamp(F.lit("1997-06-01 00:00:00"))
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+
+    def agg(df):
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,4)")).alias("spend"),
+        )
+
+    base = agg(o.filter(F.col("o_orderdate") < cut))
+    delta = agg(o.filter(F.col("o_orderdate") >= cut))
+    zero_n = F.lit(0).cast("bigint")
+    zero_s = F.lit(0).cast("decimal(12,4)")
+    merged = base.alias("b").join(
+        delta.alias("d"), F.col("b.o_custkey") == F.col("d.o_custkey"), "full_outer"
+    )
+    return merged.select(
+        F.coalesce(F.col("b.o_custkey"), F.col("d.o_custkey")).alias("o_custkey"),
+        (
+            F.coalesce(F.col("b.n_orders"), zero_n)
+            + F.coalesce(F.col("d.n_orders"), zero_n)
+        ).alias("n_orders"),
+        F.round(
+            F.coalesce(F.col("b.spend"), zero_s) + F.coalesce(F.col("d.spend"), zero_s),
+            2,
+        )
+        .cast("double")
+        .alias("total_spend"),
+    )

@@ -506,3 +506,142 @@ def test_asof_nearest_matches_bruteforce_reference(spark):
     }
     want = {lid: brute(lk, lt) for lk, lt, lid in left}
     assert got == want
+
+
+def test_zorder_key_matches_python_reference(spark):
+    """zorder_key must equal a pure-Python Morton interleave, and the
+    curve must be a bijection on the 2^20 domain (sampled)."""
+    from mysql2psql_spark.operators.layout import zorder_key
+
+    def py_z(x, y, bits=10):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pts = [(x, y) for x in range(0, 1024, 37) for y in range(0, 1024, 41)]
+    df = spark.createDataFrame(pts, "x INT, y INT")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+    seen = set()
+    for (x, y), z in got.items():
+        assert z == py_z(x, y), (x, y, z)
+        assert z not in seen  # bijective on the sampled grid
+        seen.add(z)
+
+
+def test_zorder_layout_narrows_file_minmax_vs_single_sort(spark):
+    """The scale claim itself: range-partitioning on the Z-value keeps
+    the TYPICAL file's min/max box small in BOTH dimensions, where a
+    single-column sort leaves the second dimension's per-file span at
+    ~full domain. Segments that straddle a quadrant boundary of the
+    curve can individually span the domain (Morton discontinuities), so
+    the pin is on the mean span, not the max."""
+    import random
+
+    from mysql2psql_spark.operators.layout import zorder_key, zorder_layout
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(1024), rng.randrange(1024)) for _ in range(20000)]
+    df = spark.createDataFrame(rows, "x INT, y INT")
+    z = zorder_key(F.col("x"), F.col("y"))
+
+    def per_file_spans(laid):
+        part = laid.withColumn("pid", F.spark_partition_id())
+        stats = (
+            part.groupBy("pid")
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .collect()
+        )
+        return [(r.sx, r.sy) for r in stats]
+
+    zspans = per_file_spans(zorder_layout(df, z, 64))
+    xspans = per_file_spans(df.repartitionByRange(64, F.col("x")).sortWithinPartitions("x"))
+    def mean(vals):
+        vals = list(vals)
+        return sum(vals) / len(vals)
+
+    # single-dim sort: y is unclustered, per-file y-span ~ full domain
+    assert mean(s[1] for s in xspans) > 900
+    # z-order: both dims' typical span well below the domain
+    assert mean(s[0] for s in zspans) < 400
+    assert mean(s[1] for s in zspans) < 400
+
+
+def test_fuzzy_blocked_recall_vs_all_pairs(spark):
+    """Blocking on the noun token is a recall trade, not lossless: pin
+    the fixture's measured block recall against the unblocked all-pairs
+    truth so a blocking-key regression is visible."""
+    from tests.conftest import SF_DIR_ORACLE
+
+    names = [
+        r.name
+        for r in QUERIES["dedup_fuzzy_blocked"](spark, SF_DIR_ORACLE)
+        .select(F.col("name_a").alias("name"))
+        .collect()
+    ]
+    p = spark.read.parquet(f"{SF_DIR_ORACLE}/part.parquet")
+    all_names = [r.p_name for r in p.select("p_name").distinct().collect()]
+
+    def lev(a, b):
+        m = [[i + j if i * j == 0 else 0 for j in range(len(b) + 1)] for i in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i][j] = min(
+                    m[i - 1][j] + 1,
+                    m[i][j - 1] + 1,
+                    m[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return m[len(a)][len(b)]
+
+    truth = {
+        (a, b)
+        for a in all_names
+        for b in all_names
+        if a < b and lev(a, b) <= 3
+    }
+    got = {
+        (r.name_a, r.name_b)
+        for r in QUERIES["dedup_fuzzy_blocked"](spark, SF_DIR_ORACLE).collect()
+    }
+    assert got <= truth  # no false positives ever
+    recall = len(got) / len(truth)
+    assert recall >= 0.5, (len(got), len(truth))
+
+
+def test_m5_merge_handles_one_sided_keys(spark):
+    """Keys present only in the delta (new customers after the watermark)
+    and only in the base must both survive the outer merge with correct
+    totals — the oracle's full recompute covers this at sf0.01, this
+    pins it on a handcrafted frame where one-sidedness is guaranteed."""
+    from decimal import Decimal
+
+    from mysql2psql_spark.queries.migration_q import m5_agg_maintenance  # noqa: F401
+
+    rows = [
+        (1, "1997-01-01 00:00:00", 10.0),  # base only
+        (2, "1997-07-01 00:00:00", 20.0),  # delta only
+        (3, "1997-01-01 00:00:00", 5.0),  # both
+        (3, "1997-08-01 00:00:00", 7.0),
+    ]
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.createDataFrame(
+            rows, "o_custkey BIGINT, o_orderdate STRING, o_totalprice DOUBLE"
+        ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+        df.write.parquet(os.path.join(d, "orders.parquet"))
+        out = {
+            r.o_custkey: (r.n_orders, r.total_spend)
+            for r in QUERIES["m5_agg_maintenance"](spark, d).collect()
+        }
+    assert out == {1: (1, 10.0), 2: (1, 20.0), 3: (2, 12.0)}
