@@ -40,6 +40,17 @@ def read_document_stream(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(path)
 
 
+def read_document_stream_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """JSONL landing-zone stream — the common real-world arrival format
+    (sources/jsonl.py documents the splittability/escaping rationale):
+    upstream crawlers drop .jsonl shards into a directory and each
+    micro-batch picks up the new files. Schema-first, like the batch
+    reader; dirty lines surface as all-null rows rather than killing the
+    stream (file streams cannot FAILFAST retroactively), so the gates
+    downstream treat null text as quarantine."""
+    return spark.readStream.schema(DOCUMENTS_SCHEMA).json(path)
+
+
 def content_dedup_stream(stream: DataFrame) -> DataFrame:
     """First arrival of each distinct content fingerprint survives; every
     later duplicate — same batch or any later batch — is dropped.

@@ -133,3 +133,28 @@ def test_asof_nearest_is_joinless_single_window(spark):
     for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "CartesianProduct"):
         assert j not in plan, j
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+
+
+def test_w6_range_frame_single_exchange(spark):
+    """The rolling time-RANGE window must cost exactly one hash exchange
+    (on user_id) — no self-join, no extra shuffle."""
+    plan = _plan(QUERIES["w6_time_range_rolling"](spark, SF_DIR_ORACLE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_zorder_key_is_codegen_expression(spark):
+    """The Morton key must stay inside whole-stage codegen (pure bit
+    expression, no UDF/python eval) and add no shuffle of its own."""
+    plan = _plan(QUERIES["o5_zorder_layout"](spark, SF_DIR_ORACLE))
+    assert "codegen id" in plan  # projections fused into whole-stage codegen
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan, plan  # key computation is scan+project only
+
+
+def test_fuzzy_blocked_join_is_equi_join(spark):
+    """Blocking must plan as an equi-join on the block key (hash-joinable),
+    never a cartesian/BNLJ over the name table."""
+    plan = _plan(QUERIES["dedup_fuzzy_blocked"](spark, SF_DIR_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

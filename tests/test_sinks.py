@@ -152,3 +152,70 @@ def test_csv_source_permissive_quarantines_bad_rows(spark, tmp_path):
 
     with pytest.raises(Exception):
         read_reference_csv(spark, str(p), schema, strict=True).collect()
+
+
+def test_jsonl_roundtrip_hostile_text(spark, tmp_path):
+    """JSONL must roundtrip text the CSV dialect cannot hold in one
+    line: embedded newlines, quotes, commas, unicode, and backslashes —
+    the reason a corpus engine ships JSONL alongside the reference's
+    CSV. Schema-first read; values byte-identical after the trip."""
+    from pyspark.sql import types as T
+
+    from mysql2psql_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    rows = [
+        (1, 'line one\nline two', 'en'),
+        (2, 'quote " and \'single\' and ,comma,', 'de'),
+        (3, 'back\\slash and tab\there', 'fr'),
+        (4, 'unicode: é中文 \U0001f600', 'zh'),
+        (5, None, 'en'),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, path, num_files=2)
+    back = read_jsonl(spark, path, schema)
+    assert sorted(back.collect()) == sorted(df.collect())
+    # line-delimited on disk: one JSON object per line, no raw newlines
+    import glob
+
+    lines = []
+    for f in glob.glob(f"{path}/part-*"):
+        with open(f) as fh:
+            lines += [ln for ln in fh.read().splitlines() if ln]
+    assert len(lines) == len(rows)
+    import json as _json
+
+    assert all(isinstance(_json.loads(ln), dict) for ln in lines)
+
+
+def test_jsonl_permissive_quarantines_bad_lines(spark, tmp_path):
+    """A malformed line must quarantine under PERMISSIVE and abort under
+    FAILFAST — same contract as the CSV source."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from mysql2psql_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "dirty.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        "{this is not json}\n"
+        '{"doc_id": 3, "text": "also ok"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    rows = read_jsonl(spark, str(p), schema, strict=False).collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert {r.doc_id for r in good} == {1, 3}
+    assert len(bad) == 1 and bad[0].doc_id is None
+    with pytest.raises(Exception):
+        read_jsonl(spark, str(p), schema, strict=True).collect()

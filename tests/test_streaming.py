@@ -322,3 +322,28 @@ def test_foreach_batch_cdc_sink_exactly_once(spark, tmp_path):
     retry_df = spark.createDataFrame(b0.collect(), b0.schema)
     cdc_foreach_batch_sink(out)(retry_df, 0)
     assert state() == want
+
+
+def test_jsonl_landing_zone_stream_matches_parquet_path(spark, tmp_path):
+    """JSONL shards arriving in a landing dir must drive the same
+    content-dedup gate as the parquet stream: write the documents table
+    as two JSONL shards (micro-batch each), stream them through
+    content_dedup_stream, and require one survivor per distinct content
+    — identical to the batch distinct."""
+    from mysql2psql_spark.sources.jsonl import write_jsonl
+    from mysql2psql_spark.streaming.docs import (
+        content_dedup_stream,
+        read_document_stream_jsonl,
+    )
+
+    land = str(tmp_path / "landing")
+    d = load_table(spark, SF_DIR, "documents")
+    write_jsonl(d.filter(F.col("doc_id") % 10 < 8), land, num_files=1)
+    # append the second shard without clobbering the first
+    d.filter(F.col("doc_id") % 10 >= 8).coalesce(1).write.mode("append").json(land)
+
+    stream = read_document_stream_jsonl(spark, land)
+    out = _run_stream_append(spark, content_dedup_stream(stream), "jsonl_land_out")
+    got_fps = [r.fp for r in out.collect()]
+    want_distinct = d.select(F.md5("text").alias("fp")).distinct().count()
+    assert len(got_fps) == len(set(got_fps)) == want_distinct
