@@ -137,6 +137,7 @@ HEADLINE = [
     "m5_agg_maintenance",
     "dedup_fuzzy_blocked",
     "o5_zorder_layout",
+    "text_bigram_surprisal",
 ]
 
 

@@ -1266,3 +1266,72 @@ def text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(draw < 80, "train").when(draw < 90, "val").otherwise("test")
     )
     return d.groupBy("lang", split.alias("split")).agg(F.count("*").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM conditional surprisal: per-document mean -ln P(w_i | w_{i-1})
+# with add-one smoothing — the KenLM-style perplexity-filter proxy one
+# step up from text_unigram_surprisal (documents scoring far above the
+# corpus mean are gibberish/OCR noise; far below are boilerplate). The
+# model and the scorer share one corpus: context counts c1(prev), bigram
+# counts c2(prev,cur), vocabulary size V, and per-position
+#   nll_i = ln(c1(prev) + V) - ln(c2(prev,cur) + 1).
+# Execution shape: bigrams are built row-locally (zip_with over adjacent
+# slices — no window, no per-doc sort), counts are uniform hash aggs on
+# the gram keys, the scorer is a keyed rejoin of the same streams, and V
+# rides along as a broadcast single-row crossJoin. At 100 TB every
+# shuffle is a uniform token/gram key; nothing is quadratic.
+# ---------------------------------------------------------------------------
+@query(
+    "text_bigram_surprisal",
+    oracle="""
+    WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+    c1 AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM c1),
+    bg AS (
+      SELECT doc_id, s.prev AS prev, s.cur AS cur
+      FROM (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(ts), 1)),
+                      i -> STRUCT_PACK(prev := ts[i], cur := ts[i+1]))) AS s
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents)
+        WHERE LEN(ts) >= 2
+      )
+    ),
+    c2 AS (SELECT prev, cur, COUNT(*) AS c2 FROM bg GROUP BY prev, cur)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(LN(c1.c + (SELECT v FROM v)) - LN(c2.c2 + 1.0)) / COUNT(*), 6)
+             AS mean_nll
+    FROM bg JOIN c2 USING (prev, cur) JOIN c1 ON bg.prev = c1.w
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    sz = F.size(ts)
+    toks = d.select("doc_id", F.explode(ts).alias("w"))
+    c1 = toks.groupBy("w").agg(F.count("*").alias("c"))
+    v = c1.agg(F.count("*").cast("double").alias("v"))
+    pairs = F.arrays_zip(
+        F.slice(ts, 1, sz - 1).alias("prev"), F.slice(ts, 2, sz - 1).alias("cur")
+    )
+    bg = (
+        d.filter(sz >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    )
+    c2 = bg.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    scored = (
+        bg.join(c2, ["prev", "cur"])
+        .join(c1.withColumnRenamed("w", "prev"), "prev")
+        .crossJoin(F.broadcast(v))
+    )
+    nll = F.log(F.col("c").cast("double") + F.col("v")) - F.log(
+        F.col("c2").cast("double") + F.lit(1.0)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum(nll) / F.count("*"), 6).alias("mean_nll"),
+    )
