@@ -521,11 +521,24 @@ def connected_components(
     # — a distinct here is a pure extra shuffle. Duplicate INPUT pairs
     # would only duplicate join rows under the min-aggregate (same
     # result, wasted work), never change the labels.
-    edges = (
+    edges_raw = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Size the ITERATION to the graph, not the corpus: every round
+    # shuffles frames of |V|+|E| rows, and the near-dup graph is orders
+    # of magnitude smaller than the corpus that produced it, so running
+    # rounds at spark.sql.shuffle.partitions (a corpus-scale setting)
+    # pays per-round task overhead proportional to the corpus conf. One
+    # scalar count (which also materializes the persist we need anyway)
+    # picks ~1M edges/partition: a handful of tasks per round on a small
+    # pair graph, ~1000-way parallelism at 1e9 edges.
+    n_edges = edges_raw.count()
+    n_part = int(max(4, min(1024, n_edges // 1_000_000 + 4)))
+    edges = edges_raw.repartition(n_part, "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    edges_raw.unpersist(False)
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -543,12 +556,15 @@ def connected_components(
                 "label",
             )
         )
-        updated = updated.localCheckpoint(eager=True)
+        updated = updated.repartition(n_part, "node").localCheckpoint(eager=True)
         changed = updated.filter(F.col("new_label") != F.col("label")).limit(1).count()
         labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
     out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    # the iteration's working set is no longer needed once labels are
+    # checkpointed; free it so long-lived sessions don't accumulate it
+    edges.unpersist(False)
     return out
 
 
