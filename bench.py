@@ -138,6 +138,7 @@ HEADLINE = [
     "dedup_fuzzy_blocked",
     "o5_zorder_layout",
     "text_bigram_surprisal",
+    "stream_window_approx_users",
 ]
 
 

@@ -974,3 +974,45 @@ def w6_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_events_1h"),
         F.round(F.sum(_dec("value")).over(w), 2).cast("double").alias("sum_value_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed approximate-distinct users (the live-dashboard sketch): HLL
+# unique-user counts per 15-minute tumbling bucket — the metric a
+# streaming pipeline emits when exact windowed distinct would hold a
+# per-window user set in state. At 100 TB the HLL register block is a
+# constant ~KB per (bucket) group and merges associatively, so the agg
+# stays map-side-combining with no distinct shuffle of raw user ids;
+# the exact twin (one extra distinct agg here, absent in production)
+# makes the check deterministic (tolerance floored at +-2 because HLL
+# absolute error on a handful-sized window is >= 1 regardless of rsd): the hashed row set pins the exact count
+# and a bounded-error flag per bucket, same convention as
+# agg_approx_distinct.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_window_approx_users",
+    oracle="""
+    SELECT (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 900) * 900 AS bucket_start,
+           COUNT(DISTINCT user_id) AS exact_users,
+           ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+             <= GREATEST(2, 0.05 * COUNT(DISTINCT user_id)) AS approx_ok
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_window_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ep = epoch_of(e)
+    bucket = ((ep("ts") / 900).cast("bigint") * 900).alias("bucket_start")
+    agg = e.groupBy(bucket).agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_approx"),
+    )
+    return agg.select(
+        "bucket_start",
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= F.greatest(F.lit(2.0), 0.05 * F.col("exact_users"))
+        ).alias("approx_ok"),
+    )

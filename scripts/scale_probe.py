@@ -42,6 +42,12 @@ PROBED = [
     "dedup_clusters",
     "text_contamination",
     "graph_pagerank",
+    # round-5 late additions: gram-keyed LM scoring, blocked ER join,
+    # value-bounded window, key-merge maintenance
+    "text_bigram_surprisal",
+    "dedup_fuzzy_blocked",
+    "w6_time_range_rolling",
+    "m5_agg_maintenance",
 ]
 
 
@@ -96,6 +102,30 @@ def main() -> int:
         ).withColumn("o_custkey", F.col("o_custkey") + F.lit(k * 1_000_000))
         reps = r if reps is None else reps.unionByName(r)
     reps.write.mode("overwrite").parquet(f"{DST}/orders.parquet")
+
+    # events x DOC_REPS for the window probe: replica k offsets event_id
+    # but KEEPS user_id, so per-user event density grows 5x — each
+    # rolling RANGE frame holds 5x the rows, the harsher direction for a
+    # value-bounded window (vs growing the user population).
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    reps = None
+    for k in range(args.doc_reps):
+        r = ev.withColumn("event_id", F.col("event_id") + F.lit(k * 1_000_000_000))
+        reps = r if reps is None else reps.unionByName(r)
+    reps.write.mode("overwrite").parquet(f"{DST}/events.parquet")
+
+    # part x DOC_REPS for the blocked-ER probe: replica k suffixes a
+    # revision token onto the name, so every block gains 5x members and
+    # cross-revision near-matches (edit distance 1) — per-block
+    # quadratic stress while the block count stays fixed.
+    part = spark.read.parquet(f"{SRC}/part.parquet")
+    reps = None
+    for k in range(args.doc_reps):
+        r = part.withColumn(
+            "p_partkey", F.col("p_partkey") + F.lit(k * 10_000_000)
+        ).withColumn("p_name", F.concat(F.col("p_name"), F.lit(f" rev{k}")))
+        reps = r if reps is None else reps.unionByName(r)
+    reps.write.mode("overwrite").parquet(f"{DST}/part.parquet")
 
     for name in PROBED:
         fn = QUERIES[name]
