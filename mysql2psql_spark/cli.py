@@ -105,6 +105,7 @@ def migrate_db(
     incremental_col: str | None = None,
     watermarks: dict[str, Any] | None = None,
     bootstrap_creds: tuple[str, str] | None = None,
+    export_jsonl: bool = False,
 ) -> dict[str, float]:
     """The §3.1 lifecycle for one database worth of DataFrames.
 
@@ -151,6 +152,15 @@ def migrate_db(
             out = migrate_table(frames[key], plan, key, parents=frames)
             path = os.path.join(base, "tables", f"{table['name']}.sql")
             manifest[key] = write_reference_csv(out, path, single_file=True)
+            if export_jsonl:
+                # sibling JSONL export of the SAME transformed frame
+                # (sources/jsonl.py documents why a corpus pipeline wants
+                # it next to the \copy CSV); a second write re-runs the
+                # transform — acceptable for the export path, callers
+                # needing one-pass dual output should persist `out` first
+                from mysql2psql_spark.sources.jsonl import write_jsonl
+
+                write_jsonl(out, os.path.join(base, "jsonl", table["name"]))
 
         jobs = [(k, (lambda k=k: dump(k))) for k in plan.ir_converted["tables"] if k in frames]
         run_concurrent(spark, jobs, max_parallel=threads or 4)
@@ -265,6 +275,13 @@ def main(argv: list[str] | None = None) -> int:
         "reference's get_user_user_pass), else from config['client_db']",
     )
     p.add_argument(
+        "--export-jsonl",
+        action="store_true",
+        help="also write each migrated table as JSONL under "
+        "<out>/<db>/jsonl/<table>/ (line-delimited, splittable — the "
+        "training-corpus interchange export)",
+    )
+    p.add_argument(
         "--incremental",
         default=None,
         metavar="CURSOR_COL",
@@ -374,6 +391,7 @@ def main(argv: list[str] | None = None) -> int:
             incremental_col=args.incremental,
             watermarks=new_marks,
             bootstrap_creds=bootstrap_creds_for(frames),
+            export_jsonl=args.export_jsonl,
         )
         if args.incremental:
             save_watermarks(state, new_marks)

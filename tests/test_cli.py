@@ -198,3 +198,33 @@ def test_cli_csv_source_reingests_artifact_tree(spark, tmp_path):
     got = {(r[0], r[1]) for r in back["nation"].select("n_nationkey", "n_name").collect()}
     want = {(r[0], r[1]) for r in frames["nation"].select("n_nationkey", "n_name").collect()}
     assert got == want
+
+
+def test_cli_export_jsonl_sibling_artifacts(spark, tmp_path):
+    """--export-jsonl must write each migrated table as JSONL next to
+    the \\copy CSVs, with the SAME transformed rows (rename applied,
+    identical row count) and one JSON object per line."""
+    frames = {n: load_table(spark, SF_DIR, n) for n in ("region", "nation")}
+    changes = {"tables": {"nation": {"name": "nations", "columns": {"n_name": {"name": "nation_name"}}}}}
+    migrate_db(
+        spark,
+        "dbj",
+        frames,
+        str(tmp_path),
+        schema_changes=changes,
+        export_jsonl=True,
+    )
+    base = tmp_path / "dbj"
+    jdir = base / "jsonl" / "nations"
+    parts = glob.glob(str(jdir / "part-*"))
+    assert parts, "no JSONL parts written"
+    lines = []
+    for f in parts:
+        with open(f) as fh:
+            lines += [ln for ln in fh.read().splitlines() if ln]
+    n_src = frames["nation"].count()
+    assert len(lines) == n_src
+    objs = [json.loads(ln) for ln in lines]
+    # the rename from schema_changes is applied in the export too
+    assert all("nation_name" in o for o in objs)
+    assert all("n_name" not in o for o in objs)
