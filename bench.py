@@ -139,6 +139,7 @@ HEADLINE = [
     "o5_zorder_layout",
     "text_bigram_surprisal",
     "stream_window_approx_users",
+    "s8_catalog_types",
 ]
 
 

@@ -151,3 +151,45 @@ def s7_dump_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     out = rewrite_insert_lines(raw, changes)
     return out.select(F.col("table").alias("tbl"), "insert_sql")
+
+
+# S2 extension: catalog TYPE map — the introspected IR type per column
+# (stage [1] of the migration, schema_ir.from_dataframe), which no other
+# catalog query checks (S1/S2 pin names/ordinals only). The oracle maps
+# DuckDB's information_schema data_type onto the same IR vocabulary, so
+# a drift in either engine's parquet-footer typing, or in the engine's
+# Spark-to-IR map, breaks the row hash. Array/struct columns are carried
+# opaquely as 'varchar' by contract (from_dataframe docstring).
+@query(
+    "s8_catalog_types",
+    oracle=f"""
+    SELECT table_name, column_name,
+           CASE data_type
+             WHEN 'BIGINT'    THEN 'bigint'
+             WHEN 'INTEGER'   THEN 'int'
+             WHEN 'SMALLINT'  THEN 'smallint'
+             WHEN 'DOUBLE'    THEN 'double'
+             WHEN 'FLOAT'     THEN 'float'
+             WHEN 'REAL'      THEN 'float'
+             WHEN 'VARCHAR'   THEN 'varchar'
+             WHEN 'TIMESTAMP' THEN 'datetime'
+             WHEN 'DATE'      THEN 'date'
+             WHEN 'BOOLEAN'   THEN 'boolean'
+             WHEN 'BLOB'      THEN 'blob'
+             ELSE 'varchar'
+           END AS ir_type
+    FROM information_schema.columns
+    WHERE table_name IN ({_TABLES_IN}) AND table_schema = CURRENT_SCHEMA()
+    """,
+)
+def s8_catalog_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2psql_spark import schema_ir as ir
+
+    rows = []
+    for t in TABLES:
+        table = ir.from_dataframe(t, load_table(spark, sf_dir, t))
+        for col in table["columns"].values():
+            rows.append((t, col["name"], col["type"]))
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, ir_type string"
+    )
