@@ -140,6 +140,7 @@ HEADLINE = [
     "text_bigram_surprisal",
     "stream_window_approx_users",
     "s8_catalog_types",
+    "events_hypertable_rollup",
 ]
 
 

@@ -1016,3 +1016,56 @@ def stream_window_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.lit(2.0), 0.05 * F.col("exact_users"))
         ).alias("approx_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style time-hierarchy rollup: hour- AND day-grain continuous
+# aggregates computed in ONE pass over the events stream via GROUPING
+# SETS — the multi-resolution downsampling a time-series store
+# materializes continuously. A naive implementation scans the fact table
+# once per grain; GROUPING SETS expands each input row to its grain
+# combinations inside the aggregate (Spark: Expand + single
+# HashAggregate), so at 100 TB the raw events are read and shuffled
+# once, with map-side partials per grain. The grain label derives from
+# GROUPING() so the row set is self-describing and exactly differential.
+# ---------------------------------------------------------------------------
+@query(
+    "events_hypertable_rollup",
+    oracle="""
+    WITH t AS (
+      SELECT event_type,
+             (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600) * 3600 AS hour_bucket,
+             (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400) * 86400 AS day_bucket,
+             value
+      FROM events
+    )
+    SELECT CASE WHEN GROUPING(hour_bucket) = 0 THEN 'hour' ELSE 'day' END AS grain,
+           COALESCE(hour_bucket, day_bucket) AS bucket_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value
+    FROM t
+    GROUP BY GROUPING SETS ((event_type, hour_bucket), (event_type, day_bucket))
+    """,
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ep = epoch_of(e)
+    t = e.select(
+        "event_type",
+        ((ep("ts") / 3600).cast("bigint") * 3600).alias("hour_bucket"),
+        ((ep("ts") / 86400).cast("bigint") * 86400).alias("day_bucket"),
+        "value",
+    )
+    t.createOrReplaceTempView("events_rollup_src")
+    return t.sparkSession.sql(
+        """
+        SELECT CASE WHEN GROUPING(hour_bucket) = 0 THEN 'hour' ELSE 'day' END AS grain,
+               COALESCE(hour_bucket, day_bucket) AS bucket_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value
+        FROM events_rollup_src
+        GROUP BY GROUPING SETS ((event_type, hour_bucket), (event_type, day_bucket))
+        """
+    )

@@ -158,3 +158,12 @@ def test_fuzzy_blocked_join_is_equi_join(spark):
     plan = _plan(QUERIES["dedup_fuzzy_blocked"](spark, SF_DIR_ORACLE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hypertable_rollup_single_scan(spark):
+    """The multi-grain rollup must read events ONCE: GROUPING SETS plans
+    as Expand above a single scan + one HashAggregate pair — not one
+    scan per grain."""
+    plan = _plan(QUERIES["events_hypertable_rollup"](spark, SF_DIR_ORACLE))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Expand" in plan, plan
