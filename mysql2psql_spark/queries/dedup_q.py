@@ -502,7 +502,13 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     names = p.select(F.col("p_name").alias("name")).distinct()
-    blocked = names.select("name", F.split("name", " ").getItem(1).alias("blk"))
+    # single-token names: an out-of-range index is an ANSI error under
+    # getItem and NULL under get() (which an equi-join would silently
+    # drop), but SPLIT_PART(..., 2) is '' — get + coalesce so both
+    # engines put token-less names into one shared '' block
+    blocked = names.select(
+        "name", F.coalesce(F.get(F.split("name", " "), 1), F.lit("")).alias("blk")
+    )
     a = blocked.alias("a")
     b = blocked.alias("b")
     dist = F.levenshtein(F.col("a.name"), F.col("b.name"))

@@ -582,12 +582,6 @@ def test_fuzzy_blocked_recall_vs_all_pairs(spark):
     truth so a blocking-key regression is visible."""
     from tests.conftest import SF_DIR_ORACLE
 
-    names = [
-        r.name
-        for r in QUERIES["dedup_fuzzy_blocked"](spark, SF_DIR_ORACLE)
-        .select(F.col("name_a").alias("name"))
-        .collect()
-    ]
     p = spark.read.parquet(f"{SF_DIR_ORACLE}/part.parquet")
     all_names = [r.p_name for r in p.select("p_name").distinct().collect()]
 
@@ -622,8 +616,6 @@ def test_m5_merge_handles_one_sided_keys(spark):
     and only in the base must both survive the outer merge with correct
     totals — the oracle's full recompute covers this at sf0.01, this
     pins it on a handcrafted frame where one-sidedness is guaranteed."""
-    from decimal import Decimal
-
     from mysql2psql_spark.queries.migration_q import m5_agg_maintenance  # noqa: F401
 
     rows = [
@@ -645,3 +637,25 @@ def test_m5_merge_handles_one_sided_keys(spark):
             for r in QUERIES["m5_agg_maintenance"](spark, d).collect()
         }
     assert out == {1: (1, 10.0), 2: (1, 20.0), 3: (2, 12.0)}
+
+
+def test_fuzzy_blocked_single_token_names_share_a_block(spark):
+    """Single-token names have no noun token: the Spark block key must
+    coalesce to '' (matching SPLIT_PART's behavior in the oracle), so
+    such names still match each other instead of being silently dropped
+    by a NULL equi-join key."""
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.createDataFrame(
+            [(1, "bolt"), (2, "colt"), (3, "red ring"), (4, "rad ring")],
+            "p_partkey BIGINT, p_name STRING",
+        )
+        df.write.parquet(os.path.join(d, "part.parquet"))
+        got = {
+            (r.name_a, r.name_b)
+            for r in QUERIES["dedup_fuzzy_blocked"](spark, d).collect()
+        }
+    assert ("bolt", "colt") in got
+    assert ("rad ring", "red ring") in got
