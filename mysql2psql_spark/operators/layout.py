@@ -60,3 +60,21 @@ def zorder_layout(df: DataFrame, zcol: Column, num_files: int) -> DataFrame:
     no extra shuffle is added beyond the one a sorted bulk write costs.
     """
     return df.repartitionByRange(num_files, zcol).sortWithinPartitions(zcol)
+
+
+def compact_files(df: DataFrame, target_rows_per_file: int) -> DataFrame:
+    """Small-files compaction: repartition ``df`` so each output file
+    holds ~``target_rows_per_file`` rows. The streaming ingest path
+    (micro-batch appends) and over-parallel writes both leave thousands
+    of KB-sized files whose per-file open/footer cost dominates scans at
+    scale; periodic compaction is standard table maintenance.
+
+    Costs one counting pass to size the output (compaction jobs accept a
+    planning pass; with catalog/table statistics the count can be read
+    instead of computed). Pair the write with
+    ``option("maxRecordsPerFile", target_rows_per_file)`` as a cap for
+    skewed partitions.
+    """
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    return df.repartition(n_files)

@@ -659,3 +659,25 @@ def test_fuzzy_blocked_single_token_names_share_a_block(spark):
         }
     assert ("bolt", "colt") in got
     assert ("rad ring", "red ring") in got
+
+
+def test_compact_files_merges_small_parts(spark, tmp_path):
+    """64 tiny parts must compact to ceil(rows/target) files with every
+    row preserved."""
+    import glob
+    import os
+
+    from mysql2psql_spark.operators.layout import compact_files
+
+    src = os.path.join(str(tmp_path), "small")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*")) == 64
+
+    out = os.path.join(str(tmp_path), "compacted")
+    compacted = compact_files(spark.read.parquet(src), target_rows_per_file=4_000)
+    compacted.write.parquet(out)
+    assert len(glob.glob(f"{out}/part-*")) == 3  # ceil(10000/4000)
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
