@@ -77,3 +77,94 @@ def test_dump_functions_match_reference_model(spark_prop, values):
         assert r.tn == _ref_make_it_time(v, True), (v, r.tn)
         assert r.tnn == _ref_make_it_time(v, False), (v, r.tnn)
         assert r.r == _ref_to_nullable(v), (v, r.r)
+
+
+def _py_morton(x: int, y: int, bits: int = 10) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1023), st.integers(0, 1023)),
+        min_size=1,
+        max_size=24,
+        unique=True,
+    )
+)
+def test_zorder_key_matches_python_model(spark_prop, pts):
+    """Morton interleave property: the Column expression equals the pure
+    Python model for arbitrary in-domain points, and distinct points get
+    distinct keys (bijectivity on the 2^20 grid)."""
+    from mysql2psql_spark.operators.layout import zorder_key
+
+    spark = spark_prop
+    df = spark.createDataFrame(pts, "x INT, y INT")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+    assert len(set(got.values())) == len(pts)
+    for (x, y), z in got.items():
+        assert z == _py_morton(x, y), (x, y, z)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 40),        # o_custkey
+            st.integers(0, 364),       # day offset within 1997
+            st.integers(1, 500000),    # price cents
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(0, 364),               # watermark day
+)
+def test_m5_merge_invariant_under_any_cut(spark_prop, orders, cut_day):
+    """MV maintenance algebra: for ANY watermark position, base ⊕ delta
+    must equal the full per-key aggregate — totals and counts exact."""
+    import datetime
+
+    from pyspark.sql import functions as PF
+
+    spark = spark_prop
+    rows = [
+        (k, (datetime.datetime(1997, 1, 1) + datetime.timedelta(days=d)).strftime("%Y-%m-%d %H:%M:%S"), cents / 100.0)
+        for (k, d, cents) in orders
+    ]
+    df = spark.createDataFrame(rows, "o_custkey BIGINT, o_orderdate STRING, o_totalprice DOUBLE").withColumn(
+        "o_orderdate", PF.to_timestamp("o_orderdate")
+    )
+    cut = PF.to_timestamp(
+        PF.lit((datetime.datetime(1997, 1, 1) + datetime.timedelta(days=cut_day)).strftime("%Y-%m-%d %H:%M:%S"))
+    )
+
+    def agg(frame):
+        return frame.groupBy("o_custkey").agg(
+            PF.count("*").alias("n"),
+            PF.sum(PF.col("o_totalprice").cast("decimal(12,4)")).alias("s"),
+        )
+
+    base = agg(df.filter(PF.col("o_orderdate") < cut))
+    delta = agg(df.filter(PF.col("o_orderdate") >= cut))
+    zn = PF.lit(0).cast("bigint")
+    zs = PF.lit(0).cast("decimal(12,4)")
+    merged = {
+        r.k: (r.n, r.s)
+        for r in base.alias("b")
+        .join(delta.alias("d"), PF.col("b.o_custkey") == PF.col("d.o_custkey"), "full_outer")
+        .select(
+            PF.coalesce(PF.col("b.o_custkey"), PF.col("d.o_custkey")).alias("k"),
+            (PF.coalesce(PF.col("b.n"), zn) + PF.coalesce(PF.col("d.n"), zn)).alias("n"),
+            (PF.coalesce(PF.col("b.s"), zs) + PF.coalesce(PF.col("d.s"), zs)).alias("s"),
+        )
+        .collect()
+    }
+    full = {r.o_custkey: (r.n, r.s) for r in agg(df).collect()}
+    assert merged == full
