@@ -347,3 +347,76 @@ def test_jsonl_landing_zone_stream_matches_parquet_path(spark, tmp_path):
     got_fps = [r.fp for r in out.collect()]
     want_distinct = d.select(F.md5("text").alias("fp")).distinct().count()
     assert len(got_fps) == len(set(got_fps)) == want_distinct
+
+
+def test_continuous_agg_sink_matches_batch_and_is_idempotent(spark, tmp_path):
+    """The continuous-aggregate sink must (1) converge to the SAME
+    per-user aggregate as one batch pass over all events after streaming
+    them in micro-batches, and (2) be idempotent under batch RETRY —
+    re-applying a batch with its original batch_id must leave the
+    current version's state unchanged (it only rewrites that version
+    from the same previous version)."""
+    from mysql2psql_spark.streaming.events import (
+        continuous_agg_sink,
+        read_continuous_agg,
+    )
+
+    src = str(tmp_path / "src")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(f"{src}/p0")
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(f"{src}/p1")
+
+    out = str(tmp_path / "cagg")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{src}/p0").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/p*")
+    )
+    sink = continuous_agg_sink(out)
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def state():
+        return {
+            r.user_id: (r.n_events, r.total_value)
+            for r in read_continuous_agg(spark, out).collect()
+        }
+
+    got = state()
+    want = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    # at-least-once RETRY of the FINAL batch, re-delivering the rows it
+    # ACTUALLY saw: file->batch order is not guaranteed, so identify
+    # batch 0's input by comparing version=0 against each file's partial
+    import os
+
+    versions = sorted(
+        int(d.split("=")[1]) for d in os.listdir(out) if d.startswith("version=")
+    )
+    last = versions[-1]
+    v0 = {
+        r.user_id: r.n_events
+        for r in spark.read.parquet(f"{out}/version={versions[0]}").collect()
+    }
+    halves = [ev.filter(F.col("event_id") % 2 == i) for i in (0, 1)]
+    p0_agg = {
+        r.user_id: r.n
+        for r in halves[0].groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    last_input = halves[1] if v0 == p0_agg else halves[0]
+    sink(last_input, last)
+    assert state() == want
