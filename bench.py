@@ -141,6 +141,8 @@ HEADLINE = [
     "stream_window_approx_users",
     "s8_catalog_types",
     "events_hypertable_rollup",
+    "a6_winsorized_stats",
+    "p8_impute_group_mean",
 ]
 
 

@@ -912,3 +912,112 @@ def o5_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zval"),
         F.shiftright(z, 14).cast("bigint").alias("file_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A6: winsorized statistics — per-group p05/p95 clipping (the standard
+# outlier-robust feature-prep transform) with EXACT interpolated
+# percentiles: Spark's `percentile` and DuckDB's `quantile_cont` use the
+# same linear interpolation and agree bit-for-bit on this data (probed
+# before committing the oracle). Two-pass shape by choice: a 3-row
+# percentile aggregate broadcast-joined back to the fact — at 100 TB two
+# column-pruned scans beat the full-width sort a window formulation
+# would shuffle. Clipped values are settled into DECIMAL before the
+# mean so the sum is order-free.
+# ---------------------------------------------------------------------------
+@query(
+    "a6_winsorized_stats",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderstatus,
+             quantile_cont(o_totalprice, 0.05) AS q05,
+             quantile_cont(o_totalprice, 0.95) AS q95
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN o.o_totalprice < q.q05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(SUM(CASE WHEN o.o_totalprice > q.q95 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           CAST(ROUND(SUM(CAST(LEAST(GREATEST(o.o_totalprice, q.q05), q.q95)
+                              AS DECIMAL(12,4))) / COUNT(*), 2) AS DOUBLE)
+             AS winsorized_mean
+    FROM orders o JOIN q USING (o_orderstatus)
+    GROUP BY o.o_orderstatus
+    """,
+)
+def a6_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    q = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("q05"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("q95"),
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("q05")), F.col("q95"))
+    return (
+        o.join(F.broadcast(q), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(F.col("o_totalprice") < F.col("q05"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum(F.when(F.col("o_totalprice") > F.col("q95"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+            F.round(F.sum(clipped.cast("decimal(12,4)")) / F.count("*"), 2)
+            .cast("double")
+            .alias("winsorized_mean"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8: group-mean imputation — the missing-value repair transform of a
+# feature pipeline, with "missing" = the sentinel class the reference's
+# refToNullable/zero-date rules model (here: negative balances). The
+# per-segment mean of the VALID values is a |segments|-row aggregate
+# broadcast back over the corpus; the imputed flag keeps the repair
+# auditable. Decimal mean, exact in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "p8_impute_group_mean",
+    oracle="""
+    WITH m AS (
+      SELECT c_mktsegment,
+             CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,4)))
+                        / COUNT(*), 2) AS DOUBLE) AS seg_mean
+      FROM customer WHERE c_acctbal >= 0
+      GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey,
+           c.c_mktsegment,
+           (c.c_acctbal < 0) AS was_imputed,
+           CASE WHEN c.c_acctbal < 0 THEN m.seg_mean
+                ELSE CAST(ROUND(CAST(c.c_acctbal AS DECIMAL(12,4)), 2) AS DOUBLE)
+           END AS acctbal_filled
+    FROM customer c JOIN m USING (c_mktsegment)
+    """,
+)
+def p8_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    m = (
+        c.filter(F.col("c_acctbal") >= 0)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(12,4)")) / F.count("*"), 2)
+            .cast("double")
+            .alias("seg_mean")
+        )
+    )
+    missing = F.col("c_acctbal") < 0
+    return c.join(F.broadcast(m), "c_mktsegment").select(
+        "c_custkey",
+        "c_mktsegment",
+        missing.alias("was_imputed"),
+        F.when(missing, F.col("seg_mean"))
+        .otherwise(F.round(F.col("c_acctbal").cast("decimal(12,4)"), 2).cast("double"))
+        .alias("acctbal_filled"),
+    )
