@@ -17,6 +17,12 @@ from pyspark.sql import functions as F
 from mysql2psql_spark.operators.timeutil import epoch_seconds, ts_family
 
 
+# ~5M pre-explode intervals x ~40 B/row keeps the broadcast under a few
+# hundred MB even after a typical per-interval bin fan-out — beyond
+# this, the shuffle join on bin_id is the safe plan.
+_BROADCAST_MAX_INTERVALS = 5_000_000
+
+
 def binned_range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -25,22 +31,25 @@ def binned_range_join(
     end_col: str,
     bin_seconds: int = 7 * 86400,
     how: str = "inner",
-    broadcast_intervals: bool = True,
+    broadcast_intervals: bool | str = "auto",
 ) -> DataFrame:
     """Join rows of `points` to every interval with
     start <= point < end. Timestamps bin at `bin_seconds` granularity;
     choose it near the typical interval span (too small -> wide interval
     explode; too large -> fat bins, weak pruning).
 
-    ``broadcast_intervals`` (default True) pins the build side to the
-    exploded interval table. Without the hint Spark's size estimate for
-    a Generate-over-local-relation is unreliable and it can choose to
-    broadcast the POINTS side instead (observed at sf0.1: BuildLeft over
-    600k lineitem rows) — harmless locally, an executor OOM when points
-    is the 100 TB fact table. Pass False only when the interval table
-    itself is too large to broadcast; the join then falls back to a
-    shuffle hash/merge join on bin_id, which is the operator's whole
-    reason to exist.
+    ``broadcast_intervals`` controls the build-side pin on the exploded
+    interval table. Spark's size estimate for a
+    Generate-over-local-relation is unreliable and without a hint it can
+    choose to broadcast the POINTS side instead (observed at sf0.1:
+    BuildLeft over 600k lineitem rows) — harmless locally, an executor
+    OOM when points is the 100 TB fact table. But an UNCONDITIONAL pin
+    has the dual failure: a caller with a too-large interval table gets
+    a driver/executor OOM instead of the shuffle fallback the operator
+    exists to provide. Default ``"auto"`` therefore counts the interval
+    table (one scan, no shuffle, paid once at plan time) and pins the
+    broadcast only below ``_BROADCAST_MAX_INTERVALS`` rows; pass True or
+    False to skip the count when the caller already knows the size.
 
     Timestamp families are ALIGNED before anything is computed: when
     exactly one side is an absolute instant (TIMESTAMP/LTZ) and the
@@ -75,6 +84,8 @@ def binned_range_join(
     i_lo = F.floor(epoch_seconds("_rj_lo", ntz=naive) / bin_seconds)
     i_hi = F.floor((epoch_seconds("_rj_hi", ntz=naive) - 1) / bin_seconds)
     exploded = intervals.withColumn("_bin", F.explode(F.sequence(i_lo, i_hi)))
+    if broadcast_intervals == "auto":
+        broadcast_intervals = intervals.count() <= _BROADCAST_MAX_INTERVALS
     if broadcast_intervals:
         exploded = F.broadcast(exploded)
     joined = points.withColumn("_bin", p_bin).join(exploded, "_bin", how)
