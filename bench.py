@@ -143,6 +143,7 @@ HEADLINE = [
     "events_hypertable_rollup",
     "a6_winsorized_stats",
     "p8_impute_group_mean",
+    "sim_ann_ivf_rerank_topk",
 ]
 
 

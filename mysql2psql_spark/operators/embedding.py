@@ -458,3 +458,92 @@ def ann_topk_lsh(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ann_topk_ivf_rerank(
+    emb: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantized-search + exact-rerank ANN (the production two-stage
+    shape: FAISS IVF-flat with scalar-quantized first pass): probe the
+    `n_probe` IVF lists nearest the query, score the survivors with the
+    int8-quantized integer dot product (per-dim min/max codes — 1 byte/
+    dim instead of 8, the first pass a memory-bound index serves), keep
+    the top `shortlist` by approximate score, then exact-rerank only
+    those with full-precision cosine. At scale the full-precision
+    vectors are fetched for `shortlist` rows, not for every candidate in
+    the probed lists. Returns (id, approx_score, cos_sim) for the top k.
+
+    Every stage is integer- or rounding-exact, so a SQL oracle can
+    restate the whole pipeline: codes are deterministic integers
+    (sim_quantize_int8's arithmetic), the approximate ranking orders by
+    an exact BIGINT, and the rerank uses the engine-standard rounded
+    cosine with id tiebreaks."""
+    seeds = collect_seeds(emb, n_centroids, id_col, vec_col)
+    probe_row = emb.filter(F.col(id_col) == probe_id).select(vec_col).head()
+    q = np.asarray(probe_row[0], dtype=np.float64)
+    s = np.array([v for _, v in seeds], dtype=np.float64)
+    cos_q = np.round(
+        (s @ q) / (np.sqrt((s * s).sum(axis=1)) * np.sqrt((q * q).sum())), 6
+    )
+    probe_clusters = [int(c) for c in np.argsort(-cos_q, kind="stable")[:n_probe]]
+
+    assigned = (
+        ivf_assign(emb, seeds, id_col, vec_col)
+        .filter(F.col("cluster").isin(probe_clusters))
+        .filter(F.col(id_col) != probe_id)
+        .select(id_col)
+    )
+
+    # per-dim min/max int8 codes over the corpus (sim_quantize_int8 math)
+    ex = emb.select(
+        id_col, F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "v")
+    )
+    st = ex.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    code = (
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.floor((F.col("v") - F.col("mn")) * 255 / (F.col("mx") - F.col("mn")) + 0.5),
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    codes = ex.join(F.broadcast(st), "dim").select(id_col, "dim", code.alias("code"))
+    qcodes = codes.filter(F.col(id_col) == probe_id).select(
+        "dim", F.col("code").alias("qcode")
+    )
+    approx = (
+        codes.join(assigned, id_col)
+        .join(F.broadcast(qcodes), "dim")
+        .groupBy(id_col)
+        .agg(
+            F.sum((F.col("code") - 128) * (F.col("qcode") - 128)).alias("approx_score")
+        )
+        .orderBy(F.col("approx_score").desc(), id_col)
+        .limit(shortlist)
+    )
+
+    pairs = (
+        emb.join(F.broadcast(approx.select(id_col)), id_col)
+        .select(
+            F.col(id_col).alias("id_a"),
+            F.lit(probe_id).alias("id_b"),
+            F.col(vec_col).cast("array<double>").alias("v_a"),
+        )
+        .withColumn("v_b", F.array(*[F.lit(float(x)) for x in q]))
+    )
+    return (
+        cosine_pairs_df(pairs)
+        .join(
+            F.broadcast(approx.withColumnRenamed(id_col, "id_a")), "id_a"
+        )
+        .select(F.col("id_a").alias(id_col), "approx_score", "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

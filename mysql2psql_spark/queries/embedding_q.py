@@ -476,3 +476,75 @@ def sim_lsh_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hits").cast("double") / 10, 6).cast("double").alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-stage ANN (sim_ann_ivf_rerank_topk): IVF probe -> int8-quantized
+# integer first pass -> exact rerank of a 50-row shortlist — the
+# memory-bound production index shape (1 byte/dim scan, full vectors
+# touched only for the shortlist). The oracle restates all three stages:
+# the IVF CTEs are sim_ann_ivf_topk's, the code arithmetic is
+# sim_quantize_int8's (integer-exact in both engines), the approximate
+# ranking orders by an exact BIGINT with id tiebreak, and the rerank is
+# the engine-standard rounded cosine.
+# ---------------------------------------------------------------------------
+_ORACLE_IVF_RERANK = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 16),
+    assign AS (
+      SELECT e.vec_id, e.v, s.sid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(LIST_COSINE_SIMILARITY(e.v, s.sv), 6) DESC, s.sid
+             ) AS rn
+      FROM e CROSS JOIN seeds s
+    ),
+    clus AS (SELECT vec_id, v, sid FROM assign WHERE rn = 1),
+    probe AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probe_clusters AS (
+      SELECT s.sid FROM seeds s CROSS JOIN probe p
+      ORDER BY ROUND(LIST_COSINE_SIMILARITY(p.qv, s.sv), 6) DESC, s.sid
+      LIMIT 4
+    ),
+    cand AS (
+      SELECT c.vec_id, c.v FROM clus c JOIN probe_clusters pc ON c.sid = pc.sid
+      WHERE c.vec_id != 0
+    ),
+    ex AS (SELECT vec_id,
+                  generate_subscripts(embedding, 1) - 1 AS dim,
+                  CAST(UNNEST(embedding) AS DOUBLE) AS val
+           FROM embeddings),
+    stq AS (SELECT dim, MIN(val) AS mn, MAX(val) AS mx FROM ex GROUP BY dim),
+    codes AS (
+      SELECT e2.vec_id, e2.dim,
+             CAST(CASE WHEN stq.mx > stq.mn
+                       THEN FLOOR((e2.val - stq.mn) * 255 / (stq.mx - stq.mn) + 0.5)
+                       ELSE 0 END AS BIGINT) AS code
+      FROM ex e2 JOIN stq USING (dim)
+    ),
+    approx AS (
+      SELECT c.vec_id,
+             CAST(SUM((v.code - 128) * (q.code - 128)) AS BIGINT) AS approx_score
+      FROM cand c
+      JOIN codes v ON v.vec_id = c.vec_id
+      JOIN codes q ON q.vec_id = 0 AND q.dim = v.dim
+      GROUP BY c.vec_id
+      ORDER BY approx_score DESC, c.vec_id
+      LIMIT 50
+    )
+    SELECT a.vec_id, a.approx_score,
+           ROUND(LIST_COSINE_SIMILARITY(c.v, p.qv), 6) AS cos_sim
+    FROM approx a JOIN cand c ON c.vec_id = a.vec_id CROSS JOIN probe p
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT 10
+"""
+
+
+@query("sim_ann_ivf_rerank_topk", oracle=_ORACLE_IVF_RERANK)
+def sim_ann_ivf_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2psql_spark.operators.embedding import ann_topk_ivf_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_ivf_rerank(
+        emb, probe_id=0, k=10, n_centroids=16, n_probe=4, shortlist=50
+    )

@@ -681,3 +681,13 @@ def test_compact_files_merges_small_parts(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 10_000
     assert back.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+
+
+def test_ivf_rerank_recovers_ivf_topk(spark):
+    """The quantized first pass + 50-row exact rerank must recover the
+    full-precision IVF top-10 on the fixture (recall 1.0 measured before
+    pinning): int8 scoring is a candidate-ordering approximation, and
+    rerank over a 5x shortlist absorbs its rank noise."""
+    rr = [r.vec_id for r in QUERIES["sim_ann_ivf_rerank_topk"](spark, SF_DIR_ORACLE).collect()]
+    ivf = [r.vec_id for r in QUERIES["sim_ann_ivf_topk"](spark, SF_DIR_ORACLE).collect()]
+    assert rr == ivf
