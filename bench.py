@@ -144,6 +144,7 @@ HEADLINE = [
     "a6_winsorized_stats",
     "p8_impute_group_mean",
     "sim_ann_ivf_rerank_topk",
+    "text_bpe_merge_step",
 ]
 
 

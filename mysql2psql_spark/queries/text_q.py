@@ -1335,3 +1335,54 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         F.round(F.sum(nll) / F.count("*"), 6).alias("mean_nll"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction (first training step): the highest-frequency
+# adjacent symbol pairs over the corpus, counted the way Sennrich BPE
+# training does — over the WORD-FREQUENCY table, not the raw token
+# stream. That is the scale trick: the char-pair explode runs over the
+# vocabulary (sublinear in the corpus) with each pair weighted by the
+# word's corpus frequency, so a 100 TB corpus costs one token-keyed
+# count plus vocabulary-sized work. Top-20 merges with (pair) tiebreak;
+# iterating this step (merge, re-split, recount) is BPE training proper.
+# ---------------------------------------------------------------------------
+@query(
+    "text_bpe_merge_step",
+    oracle="""
+    WITH w AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents),
+    wc AS (SELECT word, COUNT(*) AS freq FROM w WHERE LEN(word) >= 2 GROUP BY word),
+    pairs AS (
+      SELECT SUBSTR(word, i, 1) AS left_sym, SUBSTR(word, i + 1, 1) AS right_sym, freq
+      FROM wc, UNNEST(RANGE(1, LEN(word))) AS t(i)
+    )
+    SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM pairs
+    GROUP BY left_sym, right_sym
+    ORDER BY pair_count DESC, left_sym, right_sym
+    LIMIT 20
+    """,
+)
+def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("word"))
+    wc = (
+        words.filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = wc.select(
+        F.posexplode(F.sequence(F.lit(1), F.length("word") - 1)).alias("_", "i"),
+        "word",
+        "freq",
+    ).select(
+        F.substring(F.col("word"), F.col("i"), F.lit(1)).alias("left_sym"),
+        F.substring(F.col("word"), F.col("i") + 1, F.lit(1)).alias("right_sym"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("left_sym", "right_sym")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+        .limit(20)
+    )
