@@ -145,6 +145,7 @@ HEADLINE = [
     "p8_impute_group_mean",
     "sim_ann_ivf_rerank_topk",
     "text_bpe_merge_step",
+    "a7_value_percentiles",
 ]
 
 

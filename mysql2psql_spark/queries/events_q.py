@@ -1069,3 +1069,36 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type, hour_bucket), (event_type, day_bucket))
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-type value percentile bands (a7): exact interpolated p50/p95/p99 —
+# the latency/size SLO report an observability pipeline emits per metric
+# family. Spark's `percentile` and DuckDB's `quantile_cont` implement the
+# same linear interpolation (bit-identical on this data, probed for the
+# winsorize operator); ROUND(...,6) absorbs the last-ulp risk. Exact
+# percentiles need the full value multiset per group — one key-hash
+# exchange; groups are metric families (tiny), rows within a group large
+# — this is the exact-tier companion to agg_approx_quantiles' sketch
+# tier, which is the right choice when groups outgrow executor memory.
+# ---------------------------------------------------------------------------
+@query(
+    "a7_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(quantile_cont(value, 0.50), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a7_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
