@@ -219,3 +219,73 @@ def test_jsonl_permissive_quarantines_bad_lines(spark, tmp_path):
     assert len(bad) == 1 and bad[0].doc_id is None
     with pytest.raises(Exception):
         read_jsonl(spark, str(p), schema, strict=True).collect()
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC roundtrip: values identical, schema-first read, and the
+    scan-side contract (predicate pushdown + column pruning reach the
+    ORC scan) holds like it does for parquet."""
+    from mysql2psql_spark.sources.columnar import read_orc, write_orc
+    from mysql2psql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    o = load_table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(o, path)
+    back = read_orc(spark, path, o.schema)
+    assert back.count() == o.count()
+    assert sorted(back.columns) == sorted(o.columns)
+    got = sorted(r.o_orderkey for r in back.filter(F.col("o_orderkey") < 100).collect())
+    want = sorted(r.o_orderkey for r in o.filter(F.col("o_orderkey") < 100).collect())
+    assert got == want
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.select("o_orderkey").filter(F.col("o_orderkey") < 100).explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) == 1, plan
+
+
+def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
+    """Backfill contract: with dynamic partitionOverwriteMode, rewriting
+    ONE partition's data must leave every other partition untouched —
+    the idempotent-backfill primitive a partitioned 100 TB table needs
+    (static mode would wipe the whole table root)."""
+    from mysql2psql_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    out = str(tmp_path / "orders_part")
+    o = load_table(spark, SF_DIR, "orders").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    o.write.partitionBy("status").parquet(out)
+    before = spark.read.parquet(out)
+    n_total = before.count()
+    n_f = before.filter(F.col("status") == "F").count()
+
+    # backfill partition F with a corrected copy (totalprice zeroed)
+    fixed = (
+        o.filter(F.col("status") == "F")
+        .withColumn("o_totalprice", F.lit(0.0))
+    )
+    (
+        fixed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("status")
+        .parquet(out)
+    )
+    after = spark.read.parquet(out)
+    assert after.count() == n_total  # other partitions survived
+    assert after.filter(F.col("status") == "F").count() == n_f
+    assert after.filter((F.col("status") == "F") & (F.col("o_totalprice") != 0.0)).count() == 0
+    # untouched partition spot check
+    assert (
+        after.filter((F.col("status") == "O") & (F.col("o_totalprice") == 0.0)).count() == 0
+    )
