@@ -485,6 +485,8 @@ def ann_topk_ivf_rerank(
     (sim_quantize_int8's arithmetic), the approximate ranking orders by
     an exact BIGINT, and the rerank uses the engine-standard rounded
     cosine with id tiebreaks."""
+    from mysql2psql_spark.operators.materialize import materialize
+
     seeds = collect_seeds(emb, n_centroids, id_col, vec_col)
     probe_row = emb.filter(F.col(id_col) == probe_id).select(vec_col).head()
     q = np.asarray(probe_row[0], dtype=np.float64)
@@ -518,7 +520,10 @@ def ann_topk_ivf_rerank(
     qcodes = codes.filter(F.col(id_col) == probe_id).select(
         "dim", F.col("code").alias("qcode")
     )
-    approx = (
+    # materialized once: both the rerank's candidate filter and the
+    # score rejoin consume the shortlist, and without it the corpus-wide
+    # quantization explode + sort-limit executes once per consumer
+    approx = materialize(
         codes.join(assigned, id_col)
         .join(F.broadcast(qcodes), "dim")
         .groupBy(id_col)

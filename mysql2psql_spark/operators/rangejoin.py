@@ -17,10 +17,9 @@ from pyspark.sql import functions as F
 from mysql2psql_spark.operators.timeutil import epoch_seconds, ts_family
 
 
-# ~5M pre-explode intervals x ~40 B/row keeps the broadcast under a few
-# hundred MB even after a typical per-interval bin fan-out — beyond
-# this, the shuffle join on bin_id is the safe plan.
-_BROADCAST_MAX_INTERVALS = 5_000_000
+# ~10M EXPLODED rows x ~40 B/row keeps the broadcast under ~half a GB —
+# beyond this, the shuffle join on bin_id is the safe plan.
+_BROADCAST_MAX_EXPLODED = 10_000_000
 
 
 def binned_range_join(
@@ -46,10 +45,15 @@ def binned_range_join(
     OOM when points is the 100 TB fact table. But an UNCONDITIONAL pin
     has the dual failure: a caller with a too-large interval table gets
     a driver/executor OOM instead of the shuffle fallback the operator
-    exists to provide. Default ``"auto"`` therefore counts the interval
-    table (one scan, no shuffle, paid once at plan time) and pins the
-    broadcast only below ``_BROADCAST_MAX_INTERVALS`` rows; pass True or
-    False to skip the count when the caller already knows the size.
+    exists to provide. Default ``"auto"`` therefore measures the
+    EXPLODED row count — sum over intervals of their bin fan-out, the
+    quantity actually broadcast (a raw interval count would pass while a
+    few million year-long intervals explode 50x into an OOM-sized
+    build side) — and pins the broadcast only below
+    ``_BROADCAST_MAX_EXPLODED`` rows. The measurement is one scan-side
+    aggregate executed eagerly at call time (a planning pass, not lazy);
+    pass True or False to skip it when the caller already knows the
+    size.
 
     Timestamp families are ALIGNED before anything is computed: when
     exactly one side is an absolute instant (TIMESTAMP/LTZ) and the
@@ -85,7 +89,10 @@ def binned_range_join(
     i_hi = F.floor((epoch_seconds("_rj_hi", ntz=naive) - 1) / bin_seconds)
     exploded = intervals.withColumn("_bin", F.explode(F.sequence(i_lo, i_hi)))
     if broadcast_intervals == "auto":
-        broadcast_intervals = intervals.count() <= _BROADCAST_MAX_INTERVALS
+        n_exploded = intervals.select(
+            F.sum(i_hi - i_lo + 1).alias("n")
+        ).first()["n"]
+        broadcast_intervals = (n_exploded or 0) <= _BROADCAST_MAX_EXPLODED
     if broadcast_intervals:
         exploded = F.broadcast(exploded)
     joined = points.withColumn("_bin", p_bin).join(exploded, "_bin", how)

@@ -265,11 +265,13 @@ def r1_range_join_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_timestamp("w_start").alias("w_start"),
         F.to_timestamp("w_end").alias("w_end"),
     )
-    # broadcast_intervals stays at its default True: promo is 8 rows. A
-    # caller with an interval table too large for a broadcast build side
-    # MUST pass False or the hint turns into an executor OOM — the
-    # shuffle-on-bin fallback is the operator's large-interval path.
-    joined = binned_range_join(li, promo, "l_shipdate", "w_start", "w_end")
+    # promo is 8 rows: pass broadcast_intervals=True explicitly to pin
+    # the broadcast AND skip the default "auto" mode's exploded-size
+    # planning count (the auto gate is for callers whose interval table
+    # might outgrow a broadcast; here the size is known by construction).
+    joined = binned_range_join(
+        li, promo, "l_shipdate", "w_start", "w_end", broadcast_intervals=True
+    )
     return joined.groupBy("window_id").agg(
         F.count("*").alias("n_lines"),
         _money(F.sum(_dec("l_extendedprice"))).alias("volume"),

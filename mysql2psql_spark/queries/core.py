@@ -978,7 +978,9 @@ def a6_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # refToNullable/zero-date rules model (here: negative balances). The
 # per-segment mean of the VALID values is a |segments|-row aggregate
 # broadcast back over the corpus; the imputed flag keeps the repair
-# auditable. Decimal mean, exact in both engines.
+# auditable, and the join is LEFT so a segment with NO valid values
+# surfaces its rows with a NULL fill (an auditable gap) instead of
+# silently deleting them. Decimal mean, exact in both engines.
 # ---------------------------------------------------------------------------
 @query(
     "p8_impute_group_mean",
@@ -996,7 +998,7 @@ def a6_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN c.c_acctbal < 0 THEN m.seg_mean
                 ELSE CAST(ROUND(CAST(c.c_acctbal AS DECIMAL(12,4)), 2) AS DOUBLE)
            END AS acctbal_filled
-    FROM customer c JOIN m USING (c_mktsegment)
+    FROM customer c LEFT JOIN m USING (c_mktsegment)
     """,
 )
 def p8_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1013,7 +1015,7 @@ def p8_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     missing = F.col("c_acctbal") < 0
-    return c.join(F.broadcast(m), "c_mktsegment").select(
+    return c.join(F.broadcast(m), "c_mktsegment", "left").select(
         "c_custkey",
         "c_mktsegment",
         missing.alias("was_imputed"),

@@ -216,26 +216,40 @@ def compact_cdc_log(spark, out_dir: str) -> DataFrame:
 # joins two |users|-row frames per trigger; raw events are touched once,
 # in their arrival batch.
 # ---------------------------------------------------------------------------
-def continuous_agg_sink(out_dir: str):
+def _complete_versions(out_dir: str) -> list[int]:
+    """Version ids whose write finished (Spark drops _SUCCESS at commit);
+    a torn directory from a mid-write crash is invisible to readers and
+    to the next batch's merge."""
+    import os
+
+    if not os.path.isdir(out_dir):
+        return []
+    return sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out_dir)
+        if d.startswith("version=")
+        and os.path.exists(os.path.join(out_dir, d, "_SUCCESS"))
+    )
+
+
+def continuous_agg_sink(out_dir: str, keep_versions: int = 2):
     """foreachBatch function maintaining {out_dir}/version=<batch_id>:
     the per-user (n_events, total_value) aggregate of everything seen
-    through this batch = previous version ⊕ this batch's partial agg."""
+    through this batch = previous COMPLETE version ⊕ this batch's
+    partial agg. Versions older than the newest ``keep_versions``
+    complete ones are pruned after each commit (each version is a full
+    state copy, so unbounded retention costs O(batches x users))."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         import os
+        import shutil
 
         spark = batch_df.sparkSession
         part = batch_df.groupBy("user_id").agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(12,4)")).alias("total_value"),
         )
-        prev_versions = []
-        if os.path.isdir(out_dir):
-            prev_versions = sorted(
-                int(d.split("=")[1])
-                for d in os.listdir(out_dir)
-                if d.startswith("version=") and int(d.split("=")[1]) < batch_id
-            )
+        prev_versions = [v for v in _complete_versions(out_dir) if v < batch_id]
         if prev_versions:
             prev = spark.read.parquet(f"{out_dir}/version={prev_versions[-1]}")
             zero_n = F.lit(0).cast("bigint")
@@ -258,17 +272,21 @@ def continuous_agg_sink(out_dir: str):
         else:
             merged = part
         merged.write.mode("overwrite").parquet(f"{out_dir}/version={batch_id}")
+        for stale in _complete_versions(out_dir)[:-keep_versions]:
+            shutil.rmtree(f"{out_dir}/version={stale}", ignore_errors=True)
 
     return apply
 
 
 def read_continuous_agg(spark, out_dir: str) -> DataFrame:
-    """Current state of the continuous aggregate: the highest version."""
-    import os
-
-    versions = sorted(
-        int(d.split("=")[1]) for d in os.listdir(out_dir) if d.startswith("version=")
-    )
+    """Current state of the continuous aggregate: the highest COMPLETE
+    version (torn mid-write directories are skipped). Before the first
+    commit, an empty frame with the view schema."""
+    versions = _complete_versions(out_dir)
+    if not versions:
+        return spark.createDataFrame(
+            [], "user_id bigint, n_events bigint, total_value double"
+        )
     v = spark.read.parquet(f"{out_dir}/version={versions[-1]}")
     return v.select(
         "user_id",

@@ -691,3 +691,29 @@ def test_ivf_rerank_recovers_ivf_topk(spark):
     rr = [r.vec_id for r in QUERIES["sim_ann_ivf_rerank_topk"](spark, SF_DIR_ORACLE).collect()]
     ivf = [r.vec_id for r in QUERIES["sim_ann_ivf_topk"](spark, SF_DIR_ORACLE).collect()]
     assert rr == ivf
+
+
+def test_p8_impute_surfaces_unimputable_segments(spark):
+    """A segment whose every value is the missing sentinel must KEEP its
+    rows with a NULL fill (auditable gap), not vanish through the means
+    join."""
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.createDataFrame(
+            [
+                (1, "AUTO", 100.0),
+                (2, "AUTO", -1.0),
+                (3, "VOID", -1.0),  # whole segment is sentinel
+            ],
+            "c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE",
+        )
+        df.write.parquet(os.path.join(d, "customer.parquet"))
+        out = {
+            r.c_custkey: (r.was_imputed, r.acctbal_filled)
+            for r in QUERIES["p8_impute_group_mean"](spark, d).collect()
+        }
+    assert out[1] == (False, 100.0)
+    assert out[2] == (True, 100.0)
+    assert out[3] == (True, None)  # surfaced, not dropped

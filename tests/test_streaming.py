@@ -420,3 +420,42 @@ def test_continuous_agg_sink_matches_batch_and_is_idempotent(spark, tmp_path):
     last_input = halves[1] if v0 == p0_agg else halves[0]
     sink(last_input, last)
     assert state() == want
+
+
+def test_read_continuous_agg_empty_and_torn_versions(spark, tmp_path):
+    """Before any commit: an empty frame with the view schema. A torn
+    version directory (no _SUCCESS) must be invisible to readers."""
+    import os
+
+    from mysql2psql_spark.streaming.docs import DOCUMENTS_SCHEMA  # noqa: F401
+    from mysql2psql_spark.streaming.events import (
+        continuous_agg_sink,
+        read_continuous_agg,
+    )
+
+    out = str(tmp_path / "cagg2")
+    empty = read_continuous_agg(spark, out)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"user_id", "n_events", "total_value"}
+
+    sink = continuous_agg_sink(out)
+    batch = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.0)], "user_id BIGINT, value DOUBLE"
+    )
+    sink(batch, 0)
+    good = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in read_continuous_agg(spark, out).collect()
+    }
+    assert good == {1: (2, 15.0), 2: (1, 7.0)}
+
+    # torn write: version dir exists but has no _SUCCESS — reader skips it
+    torn = os.path.join(out, "version=5")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "w") as f:
+        f.write("not parquet")
+    still = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in read_continuous_agg(spark, out).collect()
+    }
+    assert still == good
