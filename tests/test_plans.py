@@ -167,3 +167,24 @@ def test_hypertable_rollup_single_scan(spark):
     plan = _plan(QUERIES["events_hypertable_rollup"](spark, SF_DIR_ORACLE))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "Expand" in plan, plan
+
+
+def test_ivf_lists_partitioned_write_prunes_on_probe(spark, tmp_path):
+    """The ann_topk_ivf docstring's scale claim, pinned: writing the
+    corpus partitioned by IVF cluster turns the probe's cluster filter
+    into partition pruning — a probe reads only its n_probe lists'
+    files, not the corpus."""
+    from mysql2psql_spark.operators.embedding import collect_seeds, ivf_assign
+    from mysql2psql_spark.sources import load_table
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    seeds = collect_seeds(emb, 16, "vec_id", "embedding")
+    assigned = ivf_assign(emb, seeds).join(emb, "vec_id")
+    out = str(tmp_path / "ivf_lists")
+    assigned.write.partitionBy("cluster").parquet(out)
+
+    probe = spark.read.parquet(out).filter(F.col("cluster").isin([0, 3, 7, 11]))
+    plan = _plan(probe)
+    assert re.search(r"PartitionFilters: \[[^\]]*cluster[^\]]*\]", plan), plan
+    want = assigned.filter(F.col("cluster").isin([0, 3, 7, 11])).count()
+    assert probe.count() == want
