@@ -146,6 +146,8 @@ HEADLINE = [
     "sim_ann_ivf_rerank_topk",
     "text_bpe_merge_step",
     "a7_value_percentiles",
+    "sim_batch_topk",
+    "m6_row_checksums",
 ]
 
 

@@ -378,3 +378,68 @@ def m5_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_spend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Row-checksum validation (m6) — the "did the copy corrupt anything"
+# gate a migration runs source-vs-target: each row folds to an md5 over
+# a CANONICAL rendering (timestamps as epoch seconds, money as integer
+# cents, strings raw — float/timestamp STRING formatting differs across
+# engines, integers never do), and the per-table aggregate is
+# order-free: row count + the BIT_XOR fold of each digest's first 15
+# hex digits (XOR is commutative/associative and can never overflow —
+# a SUM of 2^60-scale digests overflows BIGINT within thousands of
+# rows). Any flipped value anywhere in the table moves the fold; an
+# even number of IDENTICAL corrupt rows would XOR-cancel, which the row
+# count and the md5's row-uniqueness make vanishingly unlikely. One
+# scan, map-side combine, a 1-row result per table regardless of scale;
+# run on both ends of a copy and diff the 3 numbers.
+# ---------------------------------------------------------------------------
+@query(
+    "m6_row_checksums",
+    oracle="""
+    WITH c AS (
+      SELECT MD5(CONCAT_WS('|',
+               CAST(o_orderkey AS VARCHAR),
+               CAST(o_custkey AS VARCHAR),
+               o_orderstatus,
+               CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR),
+               CAST(CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS VARCHAR),
+               o_orderpriority)) AS h
+      FROM orders
+    )
+    SELECT 'orders' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(BIT_XOR(CAST(CONCAT('0x', SUBSTR(h, 1, 15)) AS BIGINT)) AS BIGINT)
+             AS checksum
+    FROM c
+    """,
+)
+def m6_row_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from mysql2psql_spark.operators.timeutil import epoch_of
+    from mysql2psql_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    ep = epoch_of(o, "o_orderdate")
+    h = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+            ep("o_orderdate").cast("string"),
+            F.col("o_orderpriority"),
+        )
+    )
+    return (
+        o.select(h.alias("h"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(cast(conv(substring(h, 1, 15), 16, 10) as bigint))")
+            .alias("checksum"),
+        )
+        .select(F.lit("orders").alias("table_name"), "n_rows", "checksum")
+    )

@@ -153,3 +153,60 @@ def sim_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hits").cast("double") / 10, 6).cast("double").alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch ANN serving: top-3 neighbors for MANY probes in ONE corpus pass
+# — the serving-path shape when queries arrive in batches (one scan +
+# one per-probe window rank, instead of one corpus scan per probe; at
+# 100 TB the scan dominates, so batching divides it by the batch size).
+# Probes are the first 5 vectors (deterministic, like the IVF seeds);
+# the per-probe rank is a window over the probe partition — |corpus|
+# rows per probe partition, k kept.
+# ---------------------------------------------------------------------------
+@query(
+    "sim_batch_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT p.probe_id, e.vec_id,
+             ROUND(LIST_COSINE_SIMILARITY(e.v, p.pv), 6) AS cos_sim
+      FROM e CROSS JOIN probes p
+      WHERE e.vec_id != p.probe_id
+    )
+    SELECT probe_id, vec_id, cos_sim, CAST(rnk AS INT) AS rnk
+    FROM (SELECT probe_id, vec_id, cos_sim,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id
+                 ) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def sim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from mysql2psql_spark.operators.similarity import cosine_pairs_df
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b")
+    )
+    pairs = (
+        emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    scored = cosine_pairs_df(pairs)
+    w = W.partitionBy("id_b").orderBy(F.col("cos_sim").desc(), "id_a")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("id_b").alias("probe_id"),
+            F.col("id_a").alias("vec_id"),
+            "cos_sim",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
