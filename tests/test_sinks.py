@@ -289,3 +289,23 @@ def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
     assert (
         after.filter((F.col("status") == "O") & (F.col("o_totalprice") == 0.0)).count() == 0
     )
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema evolution across an append history (the v2-adds-a-column
+    migration case): mergeSchema reads the union schema, older files'
+    missing columns surface as NULLs, and values survive unchanged —
+    the read-side contract that lets a 100 TB table evolve in place
+    instead of being rewritten."""
+    out = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id BIGINT, name STRING")
+    v1.write.parquet(out)
+    v2 = spark.createDataFrame(
+        [(3, "c", 9.5)], "id BIGINT, name STRING, score DOUBLE"
+    )
+    v2.write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: (r.name, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
