@@ -48,6 +48,8 @@ PROBED = [
     "dedup_fuzzy_blocked",
     "w6_time_range_rolling",
     "m5_agg_maintenance",
+    "sim_ann_ivf_rerank_topk",
+    "sim_batch_topk",
 ]
 
 
