@@ -1,7 +1,17 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (round-6 fix — BENCH_r05.json came back ``"parsed": null``
+because the driver only keeps a bounded ~2.2 KB tail of stdout and the
+single JSON line had grown past it at 124 queries, cutting off the head
+of the line including the headline total):
+
+- the full per-query dict goes to ``BENCH_FULL.json`` next to this file
+  AND to an EARLIER stdout line (best-effort; may be truncated by bounded
+  capture — the file is the durable copy);
+- the FINAL stdout line is a compact summary
+  ``{"metric", "value", "unit", "n_queries", "sf", "queries_file"}``
+  (~130 bytes) that stays parseable at any registry size.
 """
 
 from __future__ import annotations
@@ -219,14 +229,30 @@ def main() -> None:
         print(f"# {name}: {times[name]:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"# could not write {full_path}: {exc}", file=sys.stderr)
+    print(json.dumps(full))  # earlier line: full detail (may be tail-truncated)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
+                "n_queries": len(times),
                 "sf": float(sf),
+                "queries_file": "BENCH_FULL.json",
             }
         )
     )

@@ -494,19 +494,82 @@ def simhash_pairs(
     )
 
 
+def _connected_components_driver(
+    pairs: DataFrame, edges: DataFrame, id_col: str
+) -> DataFrame:
+    """Small-graph path: union-find over a COUNTED-small edge list.
+
+    ``edges`` is the persisted (src, dst) directed frame whose row count
+    has already been checked against the caller's gate — the collect is
+    bounded by construction. Union-by-min-root keeps every root the
+    smallest id of its component, so labels are bit-identical to the
+    distributed min-label fixpoint."""
+    from pyspark.sql.types import StructField, StructType
+
+    rows = edges.collect()
+    edges.unpersist(False)
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in rows:
+        if src not in parent:
+            parent[src] = src
+        if dst not in parent:
+            parent[dst] = dst
+        ra, rb = find(src), find(dst)
+        if ra == rb:
+            continue
+        if ra < rb:
+            parent[rb] = ra
+        else:
+            parent[ra] = rb
+
+    dt = pairs.schema[id_col].dataType
+    schema = StructType(
+        [StructField("doc_id", dt), StructField("cluster_id", dt)]
+    )
+    return pairs.sparkSession.createDataFrame(
+        [(n, find(n)) for n in parent], schema
+    )
+
+
 def connected_components(
-    pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", max_iter: int = 25
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every node in `pairs`: cluster_id = the
     smallest doc id reachable through the near-dup graph — the canonical
     representative a dedup pipeline keeps.
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own label and its neighbors' labels (join + min-agg, one
-    shuffle per round); converges in O(graph diameter) rounds, checked
-    with a driver-side scalar (no data ever collects). Near-dup graphs
-    are unions of small cliques-ish clusters, so the diameter — and the
-    round count — is tiny regardless of corpus size.
+    Two execution paths, picked by the COUNTED edge-list size (the same
+    gate-on-measured-size discipline as the interval broadcast in
+    operators/rangejoin.py):
+
+    - ``<= driver_threshold`` directed edges (default 2M, ~32 MB of id
+      pairs): collect the edge list and run union-find on the driver.
+      The near-dup graph is corpus-RARE (pairs, not documents), so this
+      is the common case; each distributed round otherwise costs more in
+      Catalyst plan analysis + job scheduling than the whole union-find
+      (measured at sf0.1: 512 edges, 1.8 s of round overhead vs <0.1 s
+      driver union-find). The collect is bounded by construction — the
+      count happens first.
+    - above the gate: iterative min-label propagation — each round every
+      node takes the min of its own label and its neighbors' labels
+      (join + min-agg, one shuffle per round); converges in O(graph
+      diameter) rounds. Near-dup graphs are unions of small cliques-ish
+      clusters, so the diameter — and the round count — is tiny
+      regardless of corpus size. This is the 100 TB path and stays fully
+      distributed (no data ever collects).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -535,6 +598,8 @@ def connected_components(
     # picks ~1M edges/partition: a handful of tasks per round on a small
     # pair graph, ~1000-way parallelism at 1e9 edges.
     n_edges = edges_raw.count()
+    if n_edges <= driver_threshold:
+        return _connected_components_driver(pairs, edges_raw, id_a)
     n_part = int(max(4, min(1024, n_edges // 1_000_000 + 4)))
     edges = edges_raw.repartition(n_part, "dst").persist(StorageLevel.MEMORY_AND_DISK)
     edges.count()
@@ -542,23 +607,48 @@ def connected_components(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("new_label"),
-                "label",
+    # Job cadence (r6): still one LAZY localCheckpoint per round (so each
+    # round's join+agg executes exactly once and the next round reads the
+    # stored partitions), but the blocking convergence-check JOB runs only
+    # every second round — r5 paid one eager checkpoint + one count job
+    # per round, and at small graph sizes the per-job overhead (not the
+    # join work) dominated. Convergence granularity coarsens to 2 rounds,
+    # which is lossless: min-label propagation is monotone, so "no label
+    # moved across a 2-round batch" implies the 1-round fixpoint too.
+    # ``label0`` (the label at batch start) rides through the batch as an
+    # 8-byte column so the check needs no extra join.
+    rounds_per_check = 2
+    done = 0
+    while done < max_iter:
+        batch = min(rounds_per_check, max_iter - done)
+        cur = labels.withColumn("label0", F.col("label"))
+        for _ in range(batch):
+            # explicit aliases: a batch round joins a frame against an
+            # aggregate DERIVED from the same frame (attribute ids
+            # shared), which trips ambiguous-self-join resolution
+            # without them
+            neighbor_min = (
+                edges.alias("e")
+                .join(cur.select("node", "label").alias("l"), F.col("e.dst") == F.col("l.node"))
+                .groupBy(F.col("e.src").alias("src"))
+                .agg(F.min(F.col("l.label")).alias("nmin"))
             )
-        )
-        updated = updated.repartition(n_part, "node").localCheckpoint(eager=True)
-        changed = updated.filter(F.col("new_label") != F.col("label")).limit(1).count()
-        labels = updated.select("node", F.col("new_label").alias("label"))
+            cur = (
+                cur.alias("c")
+                .join(neighbor_min.alias("m"), F.col("c.node") == F.col("m.src"), "left")
+                .select(
+                    F.col("c.node").alias("node"),
+                    F.least(
+                        F.col("c.label"), F.coalesce(F.col("m.nmin"), F.col("c.label"))
+                    ).alias("label"),
+                    F.col("c.label0").alias("label0"),
+                )
+                .repartition(n_part, "node")
+                .localCheckpoint(eager=False)
+            )
+        done += batch
+        changed = cur.filter(F.col("label") != F.col("label0")).limit(1).count()
+        labels = cur.select("node", "label")
         if changed == 0:
             break
     out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
@@ -607,6 +697,16 @@ def containment_pairs(
     b = arrs.select(
         F.col(id_col).alias("doc_b"), F.explode("arr").alias(hash_col), F.col("n").alias("nb")
     )
+    # Candidate dedup as a groupBy CARRYING na (same single exchange as a
+    # dropDuplicates — partial aggregation dedupes map-side either way —
+    # but the verify stage no longer rejoins the size column). Exchange
+    # floor, measured r6 at sf0.1: three exchanges (pair-dedup + one per
+    # arr side) is the floor for this shape — candidates leave the
+    # shingle join scattered by hash value, so the pair-dedup must
+    # shuffle, and each verify join must co-locate by its own doc key; a
+    # collect_set-per-doc_a restructuring that reuses the dedup
+    # partitioning for the arr_a join measured SLOWER (2.5 s vs 1.7 s
+    # median — array build/explode cost exceeds the saved exchange).
     cand = (
         a.join(b, hash_col)
         .filter(
@@ -614,11 +714,11 @@ def containment_pairs(
             # |B| >= t|A|: t_den*nb >= t_num*na
             & (F.lit(t_den) * F.col("nb") >= F.lit(t_num) * F.col("na"))
         )
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("na").alias("na"))
     )
     arr_a = arrs.select(
-        F.col(id_col).alias("doc_a"), F.col("arr").alias("arr_a"), F.col("n").alias("na")
+        F.col(id_col).alias("doc_a"), F.col("arr").alias("arr_a")
     )
     arr_b = arrs.select(F.col(id_col).alias("doc_b"), F.col("arr").alias("arr_b"))
     inter = F.size(F.array_intersect("arr_a", "arr_b"))

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mysql2psql_spark.operators.materialize import materialize, unmaterialize
+from mysql2psql_spark.operators.materialize import materialize
 
 # 1e-9 contribution grain: fine enough that 3-iteration ranks are
 # stable, exact as BIGINT up to rank sums of ~9e9 (2^63 / 1e9).
@@ -67,14 +67,29 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85) -> DataFra
     BIGINT — summed exactly (order-free), and the damped update is
     floor-truncated back to the 1e-9 grid.
     """
-    # out-degree is a static edge attribute: attach it ONCE and
-    # materialize the (src, dst, deg) frame, so each iteration is a
-    # single join (edges x ranks) instead of re-joining the degree
-    # table every step
-    base = materialize(edges)
-    deg = degrees(base)
-    edges = materialize(base.join(deg, "src"))
-    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    # out-degree is a static edge attribute: attach it ONCE — as a count
+    # over a src-partitioned window (one shuffle, no self-join) — and
+    # persist the (src, dst, deg) frame, which every iteration (plus the
+    # rank-0 seed) consumes. persist, NOT localCheckpoint: each lazy
+    # localCheckpoint costs a full toRdd physical-planning pass on the
+    # driver at BUILD time (measured r6: 3 checkpoints = 3.9 s of driver
+    # planning vs 1.25 s of actual execution at sf0.1), while persist
+    # swaps in an InMemoryRelation at plan time for free, computes the
+    # edge frame once inside the single job, and keeps lineage (so a
+    # lost executor recomputes instead of failing — strictly better
+    # under dynamic allocation, see operators/materialize.py).
+    w = Window.partitionBy("src")
+    edges = edges.withColumn("deg", F.count(F.lit(1)).over(w)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ranks = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("rank", F.lit(1.0))
+    )
     teleport = F.lit(round(1.0 - damping, 6))
     scale = F.lit(float(_SCALE))
     for i in range(iters):
@@ -94,8 +109,12 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85) -> DataFra
                 / scale
             ).alias("rank")
         )
-        prev, prev_was_checkpoint = ranks, i > 0
-        ranks = materialize(nxt)
-        if prev_was_checkpoint:
-            unmaterialize(prev)
+        # Each rank frame has exactly one consumer (the next iteration,
+        # or the caller), so no materialization is needed for reuse;
+        # checkpoint only every third iteration to bound lineage depth
+        # on long runs, never the final one (read once by its consumer).
+        if i < iters - 1 and i % 3 == 2:
+            ranks = materialize(nxt)
+        else:
+            ranks = nxt
     return ranks

@@ -75,13 +75,15 @@ import re as _re
 from pathlib import Path as _Path
 
 
-def _last_green_rounds() -> dict[str, int]:
-    """Map query name -> most recent round with a fully-green driver row
-    (rows+schema+hash all true). Queries absent from every file — or never
-    green — are simply absent. Reads CORRECTNESS_r*.json from the repo root
-    (two levels above this package); silent empty dict if none exist yet."""
+def _driver_history() -> tuple[dict[str, int], dict[str, int]]:
+    """Read CORRECTNESS_r*.json from the repo root (two levels above this
+    package) and return ``(last_any, last_green)``: per query name, the most
+    recent round with ANY driver row, and the most recent round with a
+    fully-green row (rows+schema+hash all true). Names absent from every
+    file appear in neither dict. Silent empty dicts if no files exist yet."""
     root = _Path(__file__).resolve().parents[2]
-    last: dict[str, int] = {}
+    last_any: dict[str, int] = {}
+    last_green: dict[str, int] = {}
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path.name)
         if not m:
@@ -92,22 +94,47 @@ def _last_green_rounds() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            last_any[name] = max(last_any.get(name, 0), rnd)
             if (
-                isinstance(row, dict)
-                and row.get("rows_match")
+                row.get("rows_match")
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
-                last[name] = max(last.get(name, 0), rnd)
-    return last
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    return last_any, last_green
 
 
 def driver_ordered(mapping: dict[str, object]) -> dict:
-    """Return ``mapping`` reordered stalest-first: queries whose latest
-    fully-green driver row is oldest (never-green = round 0) come first;
-    ties keep registration order. Applied identically to QUERIES and ORACLE
-    so the driver's 50-query budget always lands on the same names."""
-    last = _last_green_rounds()
+    """Return ``mapping`` reordered so the driver's bounded budget (50
+    entries per round) lands on the queries that most need a driver row:
+
+    1. latest-row-RED first — a query whose most recent driver row failed
+       must be re-checked the very next round (its fix has landed, or the
+       failure is still live; either way the contract needs the row);
+    2. never-driver-checked next — new queries earn their first row;
+    3. everything else stalest-green-first — oldest latest-green round.
+
+    Ties keep registration order. Round 5 showed why the red tier must
+    outrank new registrations: 56 new queries flooded the never-checked
+    tier and the one red query (``text_pack_sequences``, fixed that same
+    round) was starved out of the window for a full round. Applied
+    identically to QUERIES and ORACLE so the budget lands on the same
+    names for both."""
+    last_any, last_green = _driver_history()
     names = list(mapping)
-    order = sorted(range(len(names)), key=lambda i: (last.get(names[i], 0), i))
+
+    def key(i: int) -> tuple[int, int, int]:
+        n = names[i]
+        any_r, green_r = last_any.get(n, 0), last_green.get(n, 0)
+        if any_r > green_r:  # latest driver row was red
+            tier = 0
+        elif any_r == 0:  # never driver-checked
+            tier = 1
+        else:
+            tier = 2
+        return (tier, green_r, i)
+
+    order = sorted(range(len(names)), key=key)
     return {names[i]: mapping[names[i]] for i in order}

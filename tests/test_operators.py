@@ -302,10 +302,38 @@ def test_connected_components_structure(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "doc_a bigint, doc_b bigint"
     )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    # default gate: small graph -> driver union-find path
     got = {
         r.doc_id: r.cluster_id for r in connected_components(pairs).collect()
     }
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    assert got == want
+    # driver_threshold=0 forces the distributed min-label path; both
+    # paths must produce identical labels (the 100 TB path stays honest)
+    got_dist = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert got_dist == want
+
+
+def test_connected_components_empty_and_reversed(spark):
+    """Empty pair frame and max-id-first pairs through both paths."""
+    from mysql2psql_spark.operators.dedup import connected_components
+
+    empty = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    assert connected_components(empty).count() == 0
+    assert connected_components(empty, driver_threshold=0).count() == 0
+
+    # edges listed high-id-first: canonical label must still be the min
+    rev = spark.createDataFrame([(9, 2), (2, 1), (7, 9)], "doc_a bigint, doc_b bigint")
+    want = {1: 1, 2: 1, 9: 1, 7: 1}
+    for thr in (2_000_000, 0):
+        got = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(rev, driver_threshold=thr).collect()
+        }
+        assert got == want, f"threshold={thr}"
 
 
 def test_simhash_engines_row_identical(spark):
