@@ -150,17 +150,22 @@ def migrate_db(
         def dump(key: str):
             table = plan.ir_converted["tables"][key]
             out = migrate_table(frames[key], plan, key, parents=frames)
+            if export_jsonl:
+                # dual-sink: persist the transformed frame so the CSV and
+                # JSONL writes consume ONE computation (without it the
+                # second write re-runs the whole source scan + transform
+                # per table); freed immediately after both sinks commit
+                out = out.persist()
             path = os.path.join(base, "tables", f"{table['name']}.sql")
             manifest[key] = write_reference_csv(out, path, single_file=True)
             if export_jsonl:
                 # sibling JSONL export of the SAME transformed frame
                 # (sources/jsonl.py documents why a corpus pipeline wants
-                # it next to the \copy CSV); a second write re-runs the
-                # transform — acceptable for the export path, callers
-                # needing one-pass dual output should persist `out` first
+                # it next to the \copy CSV)
                 from mysql2psql_spark.sources.jsonl import write_jsonl
 
                 write_jsonl(out, os.path.join(base, "jsonl", table["name"]))
+                out.unpersist(False)
 
         jobs = [(k, (lambda k=k: dump(k))) for k in plan.ir_converted["tables"] if k in frames]
         run_concurrent(spark, jobs, max_parallel=threads or 4)

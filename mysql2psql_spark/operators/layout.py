@@ -62,19 +62,40 @@ def zorder_layout(df: DataFrame, zcol: Column, num_files: int) -> DataFrame:
     return df.repartitionByRange(num_files, zcol).sortWithinPartitions(zcol)
 
 
-def compact_files(df: DataFrame, target_rows_per_file: int) -> DataFrame:
+def compact_files(
+    df: DataFrame,
+    target_rows_per_file: int,
+    cluster_by: Column | str | None = None,
+) -> DataFrame:
     """Small-files compaction: repartition ``df`` so each output file
     holds ~``target_rows_per_file`` rows. The streaming ingest path
     (micro-batch appends) and over-parallel writes both leave thousands
     of KB-sized files whose per-file open/footer cost dominates scans at
     scale; periodic compaction is standard table maintenance.
 
-    Costs one counting pass to size the output (compaction jobs accept a
-    planning pass; with catalog/table statistics the count can be read
-    instead of computed). Pair the write with
+    ``cluster_by`` preserves (or establishes) clustering while
+    compacting: a range exchange + partition-local sort on the key, so
+    compacting a table previously written via :func:`zorder_layout`
+    keeps its min/max pruning — pass the same Z-value expression. The
+    default (None) is a plain round-robin merge, appropriate only for
+    tables with no clustering to protect.
+
+    The sizing count costs one pass over ``df``; persist the input
+    first (or read the row count from table statistics) when the
+    source is expensive to re-scan — compaction jobs accept a planning
+    pass, so this helper does not silently cache behind the caller's
+    back. Pair the write with
     ``option("maxRecordsPerFile", target_rows_per_file)`` as a cap for
     skewed partitions.
     """
     n_rows = df.count()
     n_files = max(1, -(-n_rows // target_rows_per_file))
+    if cluster_by is not None:
+        key = F.col(cluster_by) if isinstance(cluster_by, str) else cluster_by
+        return df.repartitionByRange(n_files, key).sortWithinPartitions(key)
+    # unclustered merge: coalesce (no shuffle) when the input is merely
+    # being narrowed; a full round-robin shuffle only when the target is
+    # WIDER than the source (coalesce cannot grow a partition count)
+    if n_files < df.rdd.getNumPartitions():
+        return df.coalesce(n_files)
     return df.repartition(n_files)

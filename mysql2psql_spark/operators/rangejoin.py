@@ -65,6 +65,18 @@ def binned_range_join(
     session-local space — bin pruning and the filter then disagree by
     the timezone offset and silently drop matches near bin boundaries.
     """
+    if not (
+        broadcast_intervals is True
+        or broadcast_intervals is False
+        or broadcast_intervals == "auto"
+    ):
+        # any other string ("Auto", "AUTO", a typo) is truthy and would
+        # silently PIN the broadcast — the exact OOM path auto exists to
+        # prevent
+        raise ValueError(
+            f"broadcast_intervals must be True, False, or 'auto'; "
+            f"got {broadcast_intervals!r}"
+        )
     if ts_family(intervals, start_col) != ts_family(intervals, end_col):
         raise ValueError(
             f"interval bounds disagree on timestamp family: "
@@ -87,11 +99,18 @@ def binned_range_join(
     p_bin = F.floor(epoch_seconds("_rj_p", ntz=naive) / bin_seconds)
     i_lo = F.floor(epoch_seconds("_rj_lo", ntz=naive) / bin_seconds)
     i_hi = F.floor((epoch_seconds("_rj_hi", ntz=naive) - 1) / bin_seconds)
-    exploded = intervals.withColumn("_bin", F.explode(F.sequence(i_lo, i_hi)))
+    # Degenerate intervals (end <= start, i_hi < i_lo): F.sequence would
+    # generate a DESCENDING bin range (spurious join rows the containment
+    # filter then discards) and the fan-out estimate would go NEGATIVE,
+    # deflating the broadcast-size sum. Guard both: empty bin array (the
+    # half-open [lo, hi) matches nothing) and a 0-clamped fan-out.
+    span = F.greatest(F.lit(0), i_hi - i_lo + 1)
+    bins = F.when(i_lo <= i_hi, F.sequence(i_lo, i_hi)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    exploded = intervals.withColumn("_bin", F.explode(bins))
     if broadcast_intervals == "auto":
-        n_exploded = intervals.select(
-            F.sum(i_hi - i_lo + 1).alias("n")
-        ).first()["n"]
+        n_exploded = intervals.select(F.sum(span).alias("n")).first()["n"]
         broadcast_intervals = (n_exploded or 0) <= _BROADCAST_MAX_EXPLODED
     if broadcast_intervals:
         exploded = F.broadcast(exploded)

@@ -216,20 +216,35 @@ def compact_cdc_log(spark, out_dir: str) -> DataFrame:
 # joins two |users|-row frames per trigger; raw events are touched once,
 # in their arrival batch.
 # ---------------------------------------------------------------------------
-def _complete_versions(out_dir: str) -> list[int]:
+def _hadoop_fs(spark, out_dir: str):
+    """(FileSystem, Path, jvm) for ``out_dir`` resolved through Hadoop —
+    the SAME filesystem Spark's own reads/writes use, so hdfs:// and
+    s3a:// state dirs work identically to local paths. (An earlier
+    os.listdir implementation silently returned [] on any non-local
+    filesystem, which would have made every micro-batch overwrite the
+    view with only its own partial aggregate — a silent state reset.)"""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path, jvm
+
+
+def _complete_versions(spark, out_dir: str) -> list[int]:
     """Version ids whose write finished (Spark drops _SUCCESS at commit);
     a torn directory from a mid-write crash is invisible to readers and
-    to the next batch's merge."""
-    import os
-
-    if not os.path.isdir(out_dir):
+    to the next batch's merge. Listed via the Hadoop FileSystem API so
+    read/merge/prune agree with the writes on ANY supported filesystem."""
+    fs, path, jvm = _hadoop_fs(spark, out_dir)
+    if not fs.exists(path):
         return []
-    return sorted(
-        int(d.split("=")[1])
-        for d in os.listdir(out_dir)
-        if d.startswith("version=")
-        and os.path.exists(os.path.join(out_dir, d, "_SUCCESS"))
-    )
+    versions = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("version="):
+            success = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            if fs.exists(success):
+                versions.append(int(name.split("=")[1]))
+    return sorted(versions)
 
 
 def continuous_agg_sink(out_dir: str, keep_versions: int = 2):
@@ -241,15 +256,12 @@ def continuous_agg_sink(out_dir: str, keep_versions: int = 2):
     state copy, so unbounded retention costs O(batches x users))."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-        import shutil
-
         spark = batch_df.sparkSession
         part = batch_df.groupBy("user_id").agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(12,4)")).alias("total_value"),
         )
-        prev_versions = [v for v in _complete_versions(out_dir) if v < batch_id]
+        prev_versions = [v for v in _complete_versions(spark, out_dir) if v < batch_id]
         if prev_versions:
             prev = spark.read.parquet(f"{out_dir}/version={prev_versions[-1]}")
             zero_n = F.lit(0).cast("bigint")
@@ -272,8 +284,9 @@ def continuous_agg_sink(out_dir: str, keep_versions: int = 2):
         else:
             merged = part
         merged.write.mode("overwrite").parquet(f"{out_dir}/version={batch_id}")
-        for stale in _complete_versions(out_dir)[:-keep_versions]:
-            shutil.rmtree(f"{out_dir}/version={stale}", ignore_errors=True)
+        fs, _, jvm = _hadoop_fs(spark, out_dir)
+        for stale in _complete_versions(spark, out_dir)[:-keep_versions]:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{out_dir}/version={stale}"), True)
 
     return apply
 
@@ -282,7 +295,7 @@ def read_continuous_agg(spark, out_dir: str) -> DataFrame:
     """Current state of the continuous aggregate: the highest COMPLETE
     version (torn mid-write directories are skipped). Before the first
     commit, an empty frame with the view schema."""
-    versions = _complete_versions(out_dir)
+    versions = _complete_versions(spark, out_dir)
     if not versions:
         return spark.createDataFrame(
             [], "user_id bigint, n_events bigint, total_value double"

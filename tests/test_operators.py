@@ -295,6 +295,45 @@ def test_binned_range_join_matches_inequality_join(spark):
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
 
 
+def test_binned_range_join_rejects_bad_broadcast_flag(spark):
+    """Any string other than exactly 'auto' must raise — a truthy typo
+    ('Auto') would silently pin the broadcast, the OOM path the auto
+    mode exists to prevent."""
+    import pytest
+
+    from mysql2psql_spark.operators.rangejoin import binned_range_join
+
+    pts = spark.createDataFrame([("2020-01-05",)], "p string").select(
+        F.to_timestamp("p").alias("p")
+    )
+    iv = spark.createDataFrame([("2020-01-01", "2020-02-01")], "s string, e string").select(
+        F.to_timestamp("s").alias("s"), F.to_timestamp("e").alias("e")
+    )
+    for bad in ("Auto", "AUTO", "yes"):
+        with pytest.raises(ValueError, match="broadcast_intervals"):
+            binned_range_join(pts, iv, "p", "s", "e", broadcast_intervals=bad)
+
+
+def test_binned_range_join_degenerate_intervals(spark):
+    """end <= start intervals match nothing, generate no bins, and do
+    not deflate the auto-broadcast fan-out estimate."""
+    from mysql2psql_spark.operators.rangejoin import binned_range_join
+
+    pts = spark.createDataFrame(
+        [(1, "2020-01-05"), (2, "2020-03-05")], "id int, p string"
+    ).select("id", F.to_timestamp("p").alias("p"))
+    iv = spark.createDataFrame(
+        [
+            ("ok", "2020-01-01", "2020-02-01"),
+            ("empty", "2020-03-10", "2020-03-10"),  # zero-width
+            ("reversed", "2020-04-01", "2020-03-01"),  # end < start
+        ],
+        "wid string, s string, e string",
+    ).select("wid", F.to_timestamp("s").alias("s"), F.to_timestamp("e").alias("e"))
+    got = binned_range_join(pts, iv, "p", "s", "e").select("id", "wid").collect()
+    assert {(r.id, r.wid) for r in got} == {(1, "ok")}
+
+
 def test_connected_components_structure(spark):
     from mysql2psql_spark.operators.dedup import connected_components
 
@@ -709,6 +748,31 @@ def test_compact_files_merges_small_parts(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 10_000
     assert back.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+
+
+def test_compact_files_preserves_clustering(spark, tmp_path):
+    """Compacting with cluster_by must keep per-file min/max ranges
+    disjoint-ish (range partitioned), not round-robin scattered."""
+    import os
+
+    from mysql2psql_spark.operators.layout import compact_files
+
+    src = os.path.join(str(tmp_path), "clustered")
+    spark.range(0, 8_000).withColumn("k", F.col("id")).repartition(32).write.parquet(src)
+    out = compact_files(
+        spark.read.parquet(src), target_rows_per_file=2_000, cluster_by="k"
+    )
+    spans = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    )
+    # range-partitioned: partition [lo, hi] intervals must not overlap
+    ordered = sorted((r.lo, r.hi) for r in spans)
+    for (_, hi_prev), (lo_next, _) in zip(ordered, ordered[1:]):
+        assert hi_prev < lo_next
+    assert out.count() == 8_000
 
 
 def test_ivf_rerank_recovers_ivf_topk(spark):
