@@ -50,6 +50,14 @@ PROBED = [
     "m5_agg_maintenance",
     "sim_ann_ivf_rerank_topk",
     "sim_batch_topk",
+    # round-6 additions: the CDC/SCD2/checksum migration family
+    # (m4 rides the events replication — user_id kept, so per-key
+    # changelog density grows 5x; m3 rides the customer replication —
+    # c_custkey kept, so every version chain grows 5x; m6 rides the
+    # orders replication — 5x rows through one md5+BIT_XOR scan)
+    "m3_scd2_history",
+    "m4_cdc_apply",
+    "m6_row_checksums",
 ]
 
 
@@ -57,7 +65,15 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--doc-reps", type=int, default=5)
     ap.add_argument("--vec-reps", type=int, default=10)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated subset of the probed query names to run",
+    )
     args = ap.parse_args()
+    probed = PROBED if args.only is None else [
+        n for n in args.only.split(",") if n in QUERIES
+    ]
 
     from pyspark.sql import functions as F
 
@@ -116,6 +132,17 @@ def main() -> int:
         reps = r if reps is None else reps.unionByName(r)
     reps.write.mode("overwrite").parquet(f"{DST}/events.parquet")
 
+    # customer x DOC_REPS for the SCD2 probe: replicas KEEP c_custkey,
+    # so every key's per-version row group grows 5x — the per-key window
+    # sort is the scaling dimension for history builds (the harsher
+    # direction vs growing the key population, which only widens the
+    # hash exchange).
+    cust = spark.read.parquet(f"{SRC}/customer.parquet")
+    reps = None
+    for k in range(args.doc_reps):
+        reps = cust if reps is None else reps.unionByName(cust)
+    reps.write.mode("overwrite").parquet(f"{DST}/customer.parquet")
+
     # part x DOC_REPS for the blocked-ER probe: replica k suffixes a
     # revision token onto the name, so every block gains 5x members and
     # cross-revision near-matches (edit distance 1) — per-block
@@ -129,7 +156,7 @@ def main() -> int:
         reps = r if reps is None else reps.unionByName(r)
     reps.write.mode("overwrite").parquet(f"{DST}/part.parquet")
 
-    for name in PROBED:
+    for name in probed:
         fn = QUERIES[name]
         # warm the plan shape at base scale, like bench.py does
         fn(spark, SRC).count()
