@@ -203,15 +203,18 @@ def main() -> None:
                     print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     def _release_persisted_rdds() -> None:
-        """Free localCheckpoint storage left by the previous query.
+        """Free cached/persisted storage left by the previous query.
 
         The dedup/embedding operators materialize multiply-consumed
-        aggregations via lazy localCheckpoint; those RDDs stay persisted
-        for the session (operators/materialize.py documents why). With
-        68 queries in one session the leftovers accumulate executor
-        memory and their eviction/GC churn bleeds into LATER queries'
-        measurements — each measured query should start from the same
-        storage state."""
+        aggregations via persist (operators/materialize.py), and the
+        iterative operators leave localCheckpoint RDDs; both stay
+        resident for the session. With 124 queries in one session the
+        leftovers accumulate executor memory and their eviction/GC churn
+        bleeds into LATER queries' measurements — each measured query
+        should start from the same storage state. clearCache drops the
+        CacheManager entries (persist path); the RDD sweep drops
+        checkpoint storage the cache clear does not know about."""
+        spark.catalog.clearCache()
         jsc = spark.sparkContext._jsc
         for rdd in jsc.getPersistentRDDs().values():
             rdd.unpersist(False)

@@ -8,9 +8,10 @@ surface; this is engine-extension surface built Spark-first:
 - the graph is an EDGE LIST DataFrame ``(src, dst)`` — no driver-side
   adjacency, no vertex collection; every iteration is a join + hash
   aggregation that shuffles on the vertex key;
-- each iteration's rank frame is materialized (lazy localCheckpoint via
-  operators/materialize.py) so lineage doesn't grow exponentially — the
-  same discipline as connected components (operators/dedup.py);
+- the edge frame persists once for all iterations (plan-level cache, no
+  driver-side toRdd planning); rank frames localCheckpoint every third
+  iteration so lineage stays bounded on long runs — the same discipline
+  as connected components (operators/dedup.py);
 - the non-normalized Google formulation ``r' = 0.15 + 0.85 * sum(r/deg)``
   avoids a global node-count scalar entirely (no driver collect, no
   one-row crossJoin);
@@ -33,8 +34,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-from mysql2psql_spark.operators.materialize import materialize
 
 # 1e-9 contribution grain: fine enough that 3-iteration ranks are
 # stable, exact as BIGINT up to rank sums of ~9e9 (2^63 / 1e9).
@@ -111,10 +110,11 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85) -> DataFra
         )
         # Each rank frame has exactly one consumer (the next iteration,
         # or the caller), so no materialization is needed for reuse;
-        # checkpoint only every third iteration to bound lineage depth
-        # on long runs, never the final one (read once by its consumer).
+        # TRUNCATE LINEAGE (a real localCheckpoint — persist would keep
+        # the nested plan growing) only every third iteration on long
+        # runs, never the final one (read once by its consumer).
         if i < iters - 1 and i % 3 == 2:
-            ranks = materialize(nxt)
+            ranks = nxt.localCheckpoint(eager=False)
         else:
             ranks = nxt
     return ranks

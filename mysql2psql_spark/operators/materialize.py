@@ -6,51 +6,56 @@ ABOVE its last exchange, so without materialization the producing
 pipeline re-executes once per consumer (measured: 4 FileScans + 4
 shingle Generates in the sf0.1 ngram-dedup plan before this helper).
 
-``materialize`` is a lazy ``localCheckpoint``: the frame's partitions
-persist executor-local (memory-and-disk) at first use, lineage is
-truncated, every other consumer reads the stored partitions, and no
-bytes travel to the driver. At 100 TB the checkpoint is sized by the
-frame itself (e.g. one array row per doc), vs. re-scanning the corpus
-per consumer without it.
+``materialize`` is ``persist(MEMORY_AND_DISK)``: at plan time Spark's
+CacheManager swaps an InMemoryRelation in for every consumer, the frame
+computes once inside whatever job first touches it, and no bytes travel
+to the driver. Through round 5 this was a lazy ``localCheckpoint``
+instead; round 6 measured that each lazy checkpoint costs a full
+``toRdd`` physical-planning pass on the DRIVER at build time (~0.3-0.5 s
+per call — 3 calls in the ngram pipeline were ~half its wall at sf0.1)
+while persist reaches the same compute-once behavior for free:
+interleaved 5-run medians at sf0.1 were ngram-jaccard 1.43-1.53 s
+(checkpoint) vs 0.78-0.86 s (persist), containment 1.78-2.10 vs
+0.74-0.85, minhash 1.02-1.29 vs 0.91-0.95. persist is also strictly
+safer operationally: lineage is KEPT, so a lost executor recomputes the
+partitions instead of failing the job (localCheckpoint storage is
+non-reliable and truncates lineage — the round-5 caveat about dynamic
+allocation disappears with this change).
 
-Caveats (and why they are accepted):
+What persist does NOT give you is lineage truncation: an ITERATIVE
+operator whose plan nests per round (connected components, PageRank on
+long runs) still needs a real ``localCheckpoint`` at some cadence —
+those call it directly (operators/dedup.py, operators/graph.py) and
+document the cadence.
 
-- localCheckpoint storage is NON-RELIABLE: losing an executor (crash or
-  dynamic-allocation decommission) loses its partitions and fails the
-  job, because lineage was truncated. On a static-allocation batch
-  cluster (this engine's target) that equals ordinary task-failure
-  semantics at the job level; under aggressive dynamic allocation,
-  replace with ``df.persist(StorageLevel.MEMORY_AND_DISK)`` +
-  an explicit action — persist keeps lineage so lost partitions
-  recompute instead of failing the job.
-- Checkpointed RDDs hold executor memory/disk until the session ends.
-  Operators that are called repeatedly in one long-lived session should
-  release them via :func:`unmaterialize` once the result has been
-  consumed (the query-per-call pattern of this engine's bench/driver
-  makes per-call accumulation a non-issue: each checkpoint is a few MB
-  per 100k docs and the session is per-run).
+Persisted frames hold executor memory/disk until released: operators
+that are called repeatedly in one long-lived session should release
+via :func:`unmaterialize` once the result has been consumed (the
+query-per-call pattern of this engine's bench/driver makes per-call
+accumulation a non-issue; bench.py additionally clears all cache
+between measured queries).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
 
 
 def materialize(df: DataFrame) -> DataFrame:
-    """Compute a multiply-consumed frame ONCE (lazy localCheckpoint)."""
-    return df.localCheckpoint(eager=False)
+    """Compute a multiply-consumed frame ONCE (persist MEMORY_AND_DISK)."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def unmaterialize(df: DataFrame) -> None:
     """Release a frame returned by :func:`materialize` (best-effort).
 
-    Frees the executor-side storage of the checkpointed RDD. Safe to
-    call after every consumer has finished; a later re-use of the frame
-    would fail (lineage is gone), so only call on operator-internal
-    frames that do not escape."""
+    Frees the cached partitions and the CacheManager entry. Safe to call
+    after every consumer has finished; unlike the old checkpoint-based
+    release, a later re-use of the frame RECOMPUTES (lineage is kept)
+    instead of failing."""
     try:
-        df.rdd.unpersist(False)
+        df.unpersist(False)
     except Exception:
-        # never let cleanup break the query path (e.g. the checkpoint
-        # was never triggered because no consumer ran)
+        # never let cleanup break the query path
         pass

@@ -16,7 +16,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mysql2psql_spark.operators.graph import pagerank, undirected_edges
-from mysql2psql_spark.operators.materialize import materialize
 from mysql2psql_spark.queries import query
 from mysql2psql_spark.sources import load_table
 
@@ -109,9 +108,13 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the s/c namespaces are disjoint, so the undirected degree of a
     # supplier node is just its distinct-partner count in the pair frame
     # (and symmetrically for customers) — two aggregates over ONE
-    # materialized distinct-pair frame, skipping the edge-union shuffle
-    # entirely
-    pair = materialize(_pair_frame(spark, sf_dir))
+    # persisted distinct-pair frame, skipping the edge-union shuffle
+    # entirely. persist, not localCheckpoint: both consumers live in the
+    # same job, so the plan-time InMemoryRelation gives the reuse without
+    # a driver-side toRdd planning pass (see operators/graph.py::pagerank)
+    from pyspark.storagelevel import StorageLevel
+
+    pair = _pair_frame(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     deg = pair.groupBy(F.col("s").alias("src")).agg(F.count("*").alias("deg")).unionByName(
         pair.groupBy(F.col("c").alias("src")).agg(F.count("*").alias("deg"))
     )
