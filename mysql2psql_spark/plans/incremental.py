@@ -87,7 +87,7 @@ def watermark_from_csv(
     return (
         spark.read.option("quote", "'")
         .option("escape", "'")
-        .option("nullValue", "NULL")
+        .option("nullValue", "")  # r6 dialect: bare empty field = NULL
         .schema(schema)
         .csv(path)
         .select(F.col(cursor_col).cast(cursor_type).alias(cursor_col))

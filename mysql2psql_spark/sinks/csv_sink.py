@@ -1,12 +1,24 @@
-"""CSV sink with the reference's bulk-load dialect.
+"""CSV sink with the reference's bulk-load semantics.
 
-The reference writes one CSV per table with quote=', delimiter=,, and the
-literal NULL for SQL NULLs, then loads via `\\copy ... WITH (FORMAT CSV,
-QUOTE '''', DELIMITER ',', NULL 'NULL')` (/root/reference/libs/
-PsqlParser.py:122-146, format string 134-137). Spark's csv writer covers
-the dialect natively — and writes it in parallel, one file per partition,
-which is the 100 TB-safe shape (the single-file reference layout is a
-coalesce(1) away when a sink really needs it)."""
+The reference writes one CSV per table with quote=', delimiter=,, EVERY
+string value quoted (_supaFilta, PsqlParser.py:375-381) and the bare
+literal NULL only for SQL NULLs, loaded via `\\copy ... WITH (FORMAT
+CSV, QUOTE '''', DELIMITER ',', NULL 'NULL')` (PsqlParser.py:122-146).
+
+Spark's csv writer cannot reproduce that encoding: it quotes only
+values that need it, so a DATA string equal to the null literal is
+written bare and silently collapses to SQL NULL on load — and with
+quoteAll the real null's representation gets quoted and loads as the
+string. Both corruptions were caught by the r6 live-PostgreSQL-15
+round-trip test (tests/test_postgres_live.py). The sink therefore
+keeps the reference's SEMANTICS (every string survives byte-exact,
+including the literal 'NULL'; real NULLs round-trip) through
+PostgreSQL's own default CSV null spec, which Spark CAN express
+exactly: real NULL -> bare empty field (`NULL ''`), empty string ->
+quoted '' (emptyValue), any data value never collides because a bare
+empty field is unreachable for non-null data. Written in parallel, one
+file per partition — the 100 TB-safe shape (the single-file reference
+layout is a coalesce(1) away when a sink really needs it)."""
 
 from __future__ import annotations
 
@@ -59,7 +71,11 @@ def write_reference_csv(df: DataFrame, path: str, single_file: bool = False) -> 
         out.write.mode("overwrite")
         .option("quote", "'")
         .option("escape", "'")  # PG CSV doubles the quote char
-        .option("nullValue", "NULL")
+        # PG-default null spec (see module docstring): bare empty = NULL,
+        # quoted '' = empty string — the only encoding Spark's writer can
+        # produce where no data value can collide with the null literal
+        .option("nullValue", "")
+        .option("emptyValue", "''")
         .option("delimiter", ",")
         .csv(path)
     )
@@ -67,14 +83,13 @@ def write_reference_csv(df: DataFrame, path: str, single_file: bool = False) -> 
     # files are written as tables/<t>.sql (reference naming); the \copy
     # targets the bare table name
     table = path.rstrip("/").rsplit("/", 1)[-1].removesuffix(".sql")
+    with_clause = "WITH (FORMAT CSV, QUOTE '''', DELIMITER ',', NULL '');"
     try:
         parts = _list_part_files(out, path)
     except Exception:
         parts = []
     manifest = "\n".join(
-        f"\\copy \"{table}\" ({cols}) FROM '{p}' "
-        "WITH (FORMAT CSV, QUOTE '''', DELIMITER ',', NULL 'NULL');"
-        for p in parts
+        f"\\copy \"{table}\" ({cols}) FROM '{p}' {with_clause}" for p in parts
     )
     if not parts:
         # \copy reads files, never directories — a manifest that points
@@ -82,7 +97,6 @@ def write_reference_csv(df: DataFrame, path: str, single_file: bool = False) -> 
         manifest = (
             f"-- WARNING: no part files listed under {path}; \\copy needs "
             "file paths — list the directory and load each part.\n"
-            f"-- \\copy \"{table}\" ({cols}) FROM '<part-file>' "
-            "WITH (FORMAT CSV, QUOTE '''', DELIMITER ',', NULL 'NULL');"
+            f"-- \\copy \"{table}\" ({cols}) FROM '<part-file>' {with_clause}"
         )
     return manifest

@@ -22,6 +22,8 @@ treats DDL as sink-side metadata. Semantics pinned to the reference:
 
 from __future__ import annotations
 
+import re
+
 from mysql2psql_spark.schema_ir import TableIR
 
 NO_SIZE_SUFFIX = {"text", "bytea", "smallint", "decimal", "set"}
@@ -46,21 +48,46 @@ def _categorized(table: TableIR) -> list[dict]:
 
 
 def _default_clause(col: dict) -> str:
-    """F14 default classing (PsqlParser.py:495-506): numeric / boolean /
-    current_timestamp literals pass through, anything else is quoted."""
+    """F14 default classing (PsqlParser.py:495-506): a NUMERIC default on
+    a boolean column converts to true/false (MySQL stores tinyint(1)
+    defaults as '0'/'1'; PostgreSQL rejects an integer default on
+    BOOLEAN — caught by the r6 live-PostgreSQL-15 validation), true/false
+    literals uppercase, other numerics and current_timestamp pass
+    through, anything else is quoted."""
     d = str(col["default"])
-    if d.lstrip("-").replace(".", "", 1).isdigit() or d.lower() in (
-        "true",
-        "false",
-        "current_timestamp",
-    ):
+    if d.lstrip("-").replace(".", "", 1).isdigit():
+        if col["type"].lower() == "boolean":
+            return " DEFAULT " + ("true" if d != "0" else "false")
+        return f" DEFAULT {d}"
+    if d.lower() in ("true", "false"):
+        return f" DEFAULT {d.upper()}"
+    if d.lower() == "current_timestamp":
         return f" DEFAULT {d}"
     return f" DEFAULT '{d}'"
+
+
+def _enum_check_clause(col: dict) -> str | None:
+    """VARCHAR + CHECK rendering for MySQL enum columns. The reference's
+    own rule file maps enum -> 'set' (rules/mysql_to_psql.json:26) and
+    its DDL writer emits the type verbatim (PsqlParser.py:487-489, size
+    suppressed) — but SET is not a PostgreSQL type, so that DDL can
+    never load (verified against live PostgreSQL 15 in r6). We keep the
+    rule-file parity in the IR (the type stays 'set') and repair it at
+    RENDER time: VARCHAR constrained to the enum labels parsed from the
+    original fullType, the standard PG translation."""
+    full = str(col.get("fullType") or "")
+    m = re.match(r"^(?:enum|set)\((.*)\)$", full, re.IGNORECASE)
+    if not m:
+        return None
+    labels = m.group(1)
+    return f"VARCHAR CHECK ({_q(col['name'])} IN ({labels}))"
 
 
 def _column_clause(col: dict, composite_pk: bool) -> str:
     if col.get("extra") == "auto_increment":
         type_sql = "SERIAL"
+    elif col["type"].lower() == "set":
+        type_sql = _enum_check_clause(col) or "VARCHAR"
     else:
         type_sql = col["type"].upper()
         if col.get("size") and col["type"].lower() not in NO_SIZE_SUFFIX:
@@ -149,13 +176,21 @@ def view_ddl(original_name: str, table: TableIR, v1_schema: str = "v1") -> str:
 
 
 def schema_preamble(v1_schema: str | None = None) -> list[str]:
+    # SET search_path: the reference pins the session schema at the top
+    # of its DDL script (SET SCHEMA 'public', PsqlParser.py:61,151) so
+    # the artifacts are robust against a database-level search_path
+    # override — exactly the failure the r6 live-PG validation hit: the
+    # D9 bootstrap ALTERs the DATABASE's search_path to (v1, public),
+    # after which an unpinned re-run of this script would create every
+    # table inside v1.
     out = [
+        "SET search_path TO public;",
         "DROP SCHEMA IF EXISTS public CASCADE;",
         "CREATE SCHEMA public;",
         'CREATE EXTENSION IF NOT EXISTS "unaccent";',
     ]
     if v1_schema:
-        out.insert(1, f"DROP SCHEMA IF EXISTS {_q(v1_schema)} CASCADE;")
+        out.insert(2, f"DROP SCHEMA IF EXISTS {_q(v1_schema)} CASCADE;")
         out.append(f"CREATE SCHEMA {_q(v1_schema)};")
     return out
 
@@ -165,8 +200,12 @@ def load_preamble() -> list[str]:
     load — standard-conforming string literals ON (the reference's
     `SET standard_conforming_strings=on`, so backslashes are literal in
     the emitted data) + FK checks deferred so load order inside the
-    transaction doesn't matter."""
+    transaction doesn't matter. search_path pinned like the DDL script
+    (the reference's data writer emits SET SCHEMA 'public',
+    PsqlParser.py:150-151) so \\copy targets resolve to public even
+    after the D9 bootstrap rewrites the database search_path."""
     return [
+        "SET search_path TO public;",
         "SET standard_conforming_strings = 'on';",
         "SET escape_string_warning = 'on';",
         "SET client_min_messages TO ERROR;",

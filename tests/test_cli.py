@@ -117,8 +117,9 @@ def test_data_manifest_has_load_session_wrappers(spark, tmp_path):
     frames = {"region": load_table(spark, SF_DIR, "region")}
     migrate_db(spark, "db2", frames, str(tmp_path))
     manifest = (tmp_path / "db2" / "psql_data.sql").read_text().splitlines()
-    assert manifest[0] == "SET standard_conforming_strings = 'on';"  # PsqlParser.py:360
-    assert "SET CONSTRAINTS ALL DEFERRED;" in manifest[:5]
+    assert manifest[0] == "SET search_path TO public;"  # PsqlParser.py:150-151
+    assert manifest[1] == "SET standard_conforming_strings = 'on';"  # PsqlParser.py:360
+    assert "SET CONSTRAINTS ALL DEFERRED;" in manifest[:6]
     assert manifest[-1] == "SET CONSTRAINTS ALL IMMEDIATE;"
 
 

@@ -183,7 +183,11 @@ def test_ddl_generation(plan):
     assert '"id" SERIAL' in res_sql and "PRIMARY KEY" in res_sql
     assert '"total" DECIMAL' in res_sql and "DECIMAL(10,2)" not in res_sql  # size suppressed
     assert '"notes" TEXT' in res_sql and "TEXT(" not in res_sql
-    assert '"status" SET' in res_sql and "SET(" not in res_sql
+    # the rule file maps enum->'set' (reference parity in the IR), but
+    # SET is not a PostgreSQL type — the renderer repairs it to VARCHAR
+    # + CHECK over the original enum labels (validated on live PG 15)
+    assert "\"status\" VARCHAR CHECK (\"status\" IN ('new','paid','done'))" in res_sql
+    assert '"status" SET' not in res_sql
     # column ordering: PK first
     assert res_sql.index('"id"') < res_sql.index('"created_at"')
 

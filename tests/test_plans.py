@@ -110,12 +110,23 @@ def test_range_join_broadcasts_interval_side(spark):
 
 def test_prefix_filter_materializes_shingle_agg_once(spark):
     """The ngram-Jaccard plan must NOT re-execute the corpus shingle
-    pass per self-join consumer: after the localCheckpoint fix the
-    executed plan reads the materialized per-doc aggregation (scans of
-    the raw documents parquet appear at most once)."""
+    pass per self-join consumer. Since the r6 persist-based materialize,
+    every consumer reads an InMemoryTableScan of ONE shared
+    InMemoryRelation (whose printed form embeds the producing FileScan,
+    so the raw scan count equals the relation count — what matters is
+    that no UN-cached parquet scan remains, and that the cache really
+    has multiple consumers)."""
+    # deterministic cache state: earlier tests in the session may have
+    # cached overlapping plan fragments, which NEST in the printed plan
+    # (a cached relation's body shows another cached relation's FileScan)
+    # and make raw node counts order-dependent
+    spark.catalog.clearCache()
     df = QUERIES["dedup_ngram_jaccard"](spark, SF_DIR_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("FileScan parquet") <= 1, plan[:3000]
+    n_scans = plan.count("FileScan parquet")
+    n_cached = plan.count("InMemoryRelation")
+    assert n_scans <= max(1, n_cached), plan[:3000]
+    assert plan.count("InMemoryTableScan") >= 2, plan[:3000]
 
 
 def test_keyset_pagination_pushes_cursor_and_takes_ordered(spark):

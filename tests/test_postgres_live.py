@@ -1,0 +1,251 @@
+"""Live PostgreSQL dialect validation — the target engine actually runs.
+
+Round 6: the sandbox ships a configured PostgreSQL 15 cluster, so the
+dialect surfaces that embedded Derby could never validate finally load
+for real: the generated DDL grammar (D1-D10), the \\copy manifest +
+reference CSV quoting (S8/S9/F12), the enum/boolean-default renderings,
+and full value round-trip of a migration against the source parquet.
+This is the verdict's carried-over item #2 (live dialect validation),
+closed for the PostgreSQL half; MySQL remains absent from the sandbox.
+
+Every test SKIPS unless a local server accepts TCP connections as role
+``graft`` (password ``graft``, database ``graft_test``) — the driver's
+environment may not have the cluster running, and these tests must
+never break the suite there. Bootstrap used this round:
+
+    pg_ctlcluster 15 main start
+    su postgres -c "psql -c \\"CREATE ROLE graft LOGIN SUPERUSER PASSWORD 'graft';\\""
+    su postgres -c "psql -c 'CREATE DATABASE graft_test OWNER graft;'"
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import subprocess
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+_ENV = {**os.environ, "PGPASSWORD": "graft"}
+_PSQL = ["psql", "-h", "127.0.0.1", "-U", "graft", "-d", "graft_test", "-v", "ON_ERROR_STOP=1"]
+
+
+def _psql(*args: str, check: bool = True) -> subprocess.CompletedProcess:
+    r = subprocess.run(
+        [*_PSQL, *args], capture_output=True, text=True, env=_ENV, cwd="/tmp", timeout=120
+    )
+    if check:
+        assert r.returncode == 0, f"psql failed: {r.stderr}"
+    return r
+
+
+def _scalar(sql: str) -> str:
+    return _psql("-tA", "-c", sql).stdout.strip()
+
+
+def _pg_available() -> bool:
+    if shutil.which("psql") is None:
+        return False
+    try:
+        r = subprocess.run(
+            [*_PSQL, "-tA", "-c", "SELECT 1"],
+            capture_output=True, text=True, env=_ENV, cwd="/tmp", timeout=10,
+        )
+        return r.returncode == 0 and r.stdout.strip() == "1"
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    not _pg_available(), reason="no live PostgreSQL (role graft / db graft_test)"
+)
+
+
+def test_cli_artifacts_load_and_roundtrip(spark, tmp_path):
+    """psql_tables.sql + psql_data.sql produced by the real migration
+    pipeline must load into live PostgreSQL with ON_ERROR_STOP, and the
+    loaded values must equal the source parquet (counts, integer and
+    decimal sums, timestamp extremes, string boundaries)."""
+    import duckdb
+
+    from mysql2psql_spark.cli import migrate_db
+    from mysql2psql_spark.sources import load_table
+
+    tables = ["nation", "region", "customer", "orders", "lineitem"]
+    frames = {t: load_table(spark, SF_DIR, t) for t in tables}
+    migrate_db(spark, "livedb", frames, str(tmp_path))
+    base = tmp_path / "livedb"
+
+    _psql("-f", str(base / "psql_tables.sql"))
+    load = _psql("-f", str(base / "psql_data.sql"))
+    copies = [ln for ln in load.stdout.splitlines() if ln.startswith("COPY ")]
+    assert len(copies) == len(tables), load.stdout
+
+    con = duckdb.connect()
+    checks = [
+        ("SELECT COUNT(*) || '|' || SUM(o_orderkey) || '|' || ROUND(SUM({cast}), 2) FROM orders",
+         "o_totalprice"),
+        ("SELECT COUNT(*) || '|' || MIN(l_shipdate) || '|' || MAX(l_shipdate) FROM lineitem", None),
+        ("SELECT COUNT(*) || '|' || MIN(c_name) || '|' || MAX(c_name) FROM customer", None),
+    ]
+    for tmpl, money in checks:
+        pg_sql = tmpl.format(cast=money) if money else tmpl
+        duck_sql = tmpl.format(cast=f"CAST({money} AS DECIMAL(18,4))") if money else tmpl
+        table = pg_sql.rsplit(" FROM ", 1)[1]
+        duck_sql = duck_sql.replace(
+            f"FROM {table}", f"FROM read_parquet('{SF_DIR}/{table}.parquet')"
+        )
+        assert _scalar(pg_sql) == str(con.execute(duck_sql).fetchone()[0]), pg_sql
+
+
+def test_fixture_ddl_grammar_applies(spark):
+    """The FIXTURES §B reservation schema's full DDL artifact chain —
+    preamble, SERIAL PKs, composite PK, boolean default (rendered
+    true/false, not the MySQL '1'), enum-as-VARCHAR-CHECK, sequences,
+    FKs, indexes, v1 compatibility views — must APPLY on live PG and
+    behave: the CHECK rejects a non-enum value, the sequence starts at
+    the migrated auto_increment, the boolean default fires, the v1 view
+    maps renamed columns."""
+    from mysql2psql_spark import schema_ir as ir
+    from mysql2psql_spark.plans.migration import plan_migration
+    from mysql2psql_spark.sinks import ddl
+
+    reservation = ir.new_table(
+        "reservation",
+        [
+            ir.new_column("id", "int", nullable=False, extra="auto_increment", is_pk=True),
+            ir.new_column("is_active", "tinyint", full_type="tinyint(1)", nullable=False, default="1"),
+            ir.new_column("notes", "mediumtext"),
+            ir.new_column("status", "enum", full_type="enum('new','paid','done')", size="8"),
+        ],
+        auto_increment=1000,
+    )
+    reminder = ir.new_table(
+        "reservation_reminder",
+        [
+            ir.new_column("id", "int", nullable=False, extra="auto_increment", is_pk=True),
+            ir.new_column("resa_id", "int", nullable=True),
+            ir.new_column("legacy_col", "varchar", size="50"),
+        ],
+    )
+    composite = ir.new_table(
+        "composite_pk_t",
+        [
+            ir.new_column("a", "int", nullable=False, is_pk=True),
+            ir.new_column("b", "smallint", nullable=False, is_pk=True),
+            ir.new_column("payload", "varchar", size="100"),
+        ],
+        indexes={"idx_payload": ["payload"]},
+    )
+    schema = ir.new_schema([reservation, reminder, composite])
+    changes = {
+        "tables": {
+            "reservation_reminder": {
+                "name": "reminder",
+                "columns": {
+                    "resa_id": {"name": "reservation_id", "reference": "reservation (id)"},
+                    "legacy_col": "_SKIP_",
+                },
+            }
+        }
+    }
+    plan = plan_migration(schema, schema_changes=changes)
+    lines = ddl.schema_preamble("v1")
+    for t in plan.ir_converted["tables"].values():
+        lines.append(ddl.drop_table_ddl(t))
+        lines.append(ddl.create_table_ddl(t))
+    for t in plan.ir_converted["tables"].values():
+        lines += ddl.sequence_ddl(t)
+        lines += ddl.fk_constraint_ddl(t)
+        lines += ddl.create_index_ddl(t)
+    for orig, t in plan.ir_converted["tables"].items():
+        lines.append(ddl.view_ddl(orig, t, "v1"))
+    _psql("-c", "\n".join(lines))
+
+    # boolean default fires; enum CHECK accepts labels
+    _psql("-c", "INSERT INTO reservation (notes, status) VALUES ('n1', 'paid');")
+    assert _scalar("SELECT is_active FROM reservation LIMIT 1") == "t"
+    # SERIAL starts at the migrated auto_increment watermark
+    assert _scalar("SELECT id FROM reservation LIMIT 1") == "1000"
+    # enum CHECK rejects a non-label
+    bad = _psql("-c", "INSERT INTO reservation (notes, status) VALUES ('n2', 'bogus');", check=False)
+    assert bad.returncode != 0 and "check" in bad.stderr.lower(), bad.stderr
+    # FK enforces: reminder pointing at a missing reservation fails
+    bad_fk = _psql("-c", "INSERT INTO reminder (reservation_id) VALUES (999999);", check=False)
+    assert bad_fk.returncode != 0 and "foreign key" in bad_fk.stderr.lower(), bad_fk.stderr
+    # v1 compatibility view maps the renamed column back
+    _psql("-c", "INSERT INTO reminder (reservation_id) VALUES (1000);")
+    assert _scalar('SELECT resa_id FROM "v1"."reservation_reminder" LIMIT 1') == "1000"
+    # composite PK enforced
+    _psql("-c", "INSERT INTO composite_pk_t VALUES (1, 1, 'x');")
+    dup = _psql("-c", "INSERT INTO composite_pk_t VALUES (1, 1, 'y');", check=False)
+    assert dup.returncode != 0 and "duplicate key" in dup.stderr.lower(), dup.stderr
+
+
+def test_reference_csv_quoting_through_copy(spark, tmp_path):
+    """Hostile text must survive the CSV dialect through a real \\copy:
+    embedded single quotes, double quotes, commas, newlines, unicode,
+    the literal string NULL (must stay a string), the empty string
+    (quoted '' -> empty, not NULL), and a real NULL (bare empty field).
+    This test CAUGHT the r5 dialect corruption: with the old
+    NULL-'NULL' spec, Spark wrote the literal string NULL unquoted and
+    it collapsed to SQL NULL on load."""
+    from mysql2psql_spark.sinks import write_reference_csv
+
+    rows = [
+        (1, "plain"),
+        (2, "comma, inside"),
+        (3, "single ' quote"),
+        (4, 'double " quote'),
+        (5, "new\nline"),
+        (6, "ünïcødé ≠ ascii"),
+        (7, "NULL"),  # the literal string — must round-trip as a string
+        (8, None),  # a real NULL
+        (9, ""),  # empty string — distinct from NULL on the PG side
+    ]
+    df = spark.createDataFrame(rows, "id int, payload string")
+    out = os.path.join(str(tmp_path), "hostile.sql")  # reference naming
+    manifest = write_reference_csv(df.coalesce(1), out, single_file=True)
+    part = glob.glob(f"{out}/part-*.csv")[0]
+    assert part in manifest and manifest.startswith('\\copy "hostile"')
+
+    _psql("-c", "DROP TABLE IF EXISTS hostile; CREATE TABLE hostile (id INT, payload TEXT);")
+    # apply the generated manifest line VERBATIM — it is the artifact
+    _psql("-c", manifest)
+
+    assert _scalar("SELECT COUNT(*) FROM hostile") == "9"
+    assert _scalar("SELECT payload FROM hostile WHERE id = 3") == "single ' quote"
+    assert _scalar("SELECT payload FROM hostile WHERE id = 4") == 'double " quote'
+    assert _scalar("SELECT payload FROM hostile WHERE id = 5") == "new\nline"
+    assert _scalar("SELECT payload FROM hostile WHERE id = 6") == "ünïcødé ≠ ascii"
+    assert _scalar("SELECT payload FROM hostile WHERE id = 7") == "NULL"
+    assert _scalar("SELECT payload IS NULL FROM hostile WHERE id = 8") == "t"
+    assert _scalar("SELECT payload = '' FROM hostile WHERE id = 9") == "t"
+
+
+def test_user_bootstrap_grammar(spark):
+    """D9: the generated CREATE ROLE / GRANT / ALTER DEFAULT PRIVILEGES
+    bootstrap must apply on live PG (against the v1 schema created by
+    the preamble), including the $-escaped password path."""
+    from mysql2psql_spark.sinks import ddl
+
+    _psql("-c", "DROP OWNED BY graft_probe; DROP ROLE IF EXISTS graft_probe;", check=False)
+    # the grant battery assumes the infra group role pre-exists (the
+    # reference hardcodes 'b7group_user', PsqlParser.py:330); mirror
+    # that environment with a scratch group role
+    _psql("-c", "CREATE ROLE graft_probe_grp;", check=False)
+    sql = ddl.user_bootstrap_sql(
+        "graft_probe", "pa$$word", "graft_test", group_role="graft_probe_grp"
+    )
+    _psql("-c", "\n".join(ddl.schema_preamble("v1")))
+    _psql("-c", sql)
+    assert _scalar("SELECT COUNT(*) FROM pg_roles WHERE rolname = 'graft_probe'") == "1"
+    # the bootstrap transferred database ownership and rewrote the
+    # database-level search_path (per the reference) — undo both so the
+    # scratch database is clean for other tests
+    _psql("-c", "ALTER DATABASE graft_test OWNER TO graft;")
+    _psql("-c", "ALTER DATABASE graft_test RESET search_path;")
+    _psql("-c", "DROP OWNED BY graft_probe; DROP ROLE graft_probe; DROP ROLE graft_probe_grp;")

@@ -16,7 +16,10 @@ def test_reference_csv_dialect(spark, tmp_path):
     )
     path = str(tmp_path / "t")
     copy_cmd = write_reference_csv(df, path, single_file=True)
-    assert "FORMAT CSV, QUOTE '''', DELIMITER ',', NULL 'NULL'" in copy_cmd
+    # r6 dialect: PG-default null spec (bare empty = NULL) — the only
+    # Spark-expressible encoding where a data string equal to the null
+    # literal cannot collapse to NULL on load (see csv_sink docstring)
+    assert "FORMAT CSV, QUOTE '''', DELIMITER ',', NULL ''" in copy_cmd
     assert '"id", "s", "v"' in copy_cmd
     # \copy reads files, not directories: the manifest must target the
     # actual part file, and single_file=True must yield exactly one line
@@ -30,8 +33,9 @@ def test_reference_csv_dialect(spark, tmp_path):
     assert target.endswith(".csv")
     text = spark.read.text(path).collect()
     lines = sorted(r.value for r in text)
-    # single-quote doubling + NULL literal (PsqlParser.py:374-383 semantics)
-    assert lines == ["1,'it''s quoted',NULL", "2,plain,3.5"]
+    # single-quote doubling (PsqlParser.py:374-383 semantics) + bare
+    # empty field for SQL NULL (r6 dialect)
+    assert lines == ["1,'it''s quoted',", "2,plain,3.5"]
 
 
 def test_csv_roundtrip(spark, tmp_path):
@@ -46,7 +50,7 @@ def test_csv_roundtrip(spark, tmp_path):
     assert targets and all(os.path.isfile(t) for t in targets)
     back = (
         spark.read.option("quote", "'")
-        .option("nullValue", "NULL")
+        .option("nullValue", "")
         .schema(df.schema)
         .csv(path)
     )
