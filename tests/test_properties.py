@@ -168,3 +168,50 @@ def test_m5_merge_invariant_under_any_cut(spark_prop, orders, cut_day):
     }
     full = {r.o_custkey: (r.n, r.s) for r in agg(df).collect()}
     assert merged == full
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_paths_agree(spark_prop, raw_pairs):
+    """Path equivalence property (r6): for ARBITRARY pair graphs, the
+    driver union-find (small-graph gate) and the distributed min-label
+    rounds must produce identical (node -> min reachable id) labelings,
+    and both must match a pure-Python BFS model."""
+    from mysql2psql_spark.operators.dedup import connected_components
+
+    spark = spark_prop
+    # normalize to doc_a < doc_b like the dedup operators emit
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in raw_pairs})
+    df = spark.createDataFrame(pairs, "doc_a BIGINT, doc_b BIGINT")
+
+    # pure-Python reachability model
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for start in adj:
+        seen, stack = {start}, [start]
+        while stack:
+            n = stack.pop()
+            for m in adj[n]:
+                if m not in seen:
+                    seen.add(m)
+                    stack.append(m)
+        want[start] = min(seen)
+
+    got_driver = {
+        r.doc_id: r.cluster_id for r in connected_components(df).collect()
+    }
+    got_dist = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert got_driver == want
+    assert got_dist == want
