@@ -74,7 +74,9 @@ def test_cli_artifacts_load_and_roundtrip(spark, tmp_path):
     from mysql2psql_spark.cli import migrate_db
     from mysql2psql_spark.sources import load_table
 
-    tables = ["nation", "region", "customer", "orders", "lineitem"]
+    # includes the corpus tables: documents (free text) and events
+    # (nanosecond-origin timestamps through load_table's conversion)
+    tables = ["nation", "region", "customer", "orders", "lineitem", "documents", "events"]
     frames = {t: load_table(spark, SF_DIR, t) for t in tables}
     migrate_db(spark, "livedb", frames, str(tmp_path))
     base = tmp_path / "livedb"
@@ -90,6 +92,12 @@ def test_cli_artifacts_load_and_roundtrip(spark, tmp_path):
          "o_totalprice"),
         ("SELECT COUNT(*) || '|' || MIN(l_shipdate) || '|' || MAX(l_shipdate) FROM lineitem", None),
         ("SELECT COUNT(*) || '|' || MIN(c_name) || '|' || MAX(c_name) FROM customer", None),
+        # corpus text round-trips byte-exact: total length + md5 of the
+        # concatenated id-ordered text stream
+        ("SELECT COUNT(*) || '|' || SUM(LENGTH(text)) || '|' || "
+         "MD5(STRING_AGG(text, '\x01' ORDER BY doc_id)) FROM documents", None),
+        ("SELECT COUNT(*) || '|' || SUM(user_id) || '|' || MIN(ts) || '|' || MAX(ts) FROM events",
+         None),
     ]
     for tmpl, money in checks:
         pg_sql = tmpl.format(cast=money) if money else tmpl
