@@ -158,6 +158,56 @@ HEADLINE = [
     "a7_value_percentiles",
     "sim_batch_topk",
     "m6_row_checksums",
+    # round-6: complete registry coverage — the remaining (mostly
+    # sub-0.5 s) catalog/function/text micro-queries, so the bench is
+    # the FULL perf surface and no query can rot unmeasured
+    "s1_catalog_tables",
+    "s2_catalog_columns",
+    "s3_catalog_column_lists",
+    "s5_namespace_list",
+    "s6_point_lookup",
+    "s4_scan_projection",
+    "p1_filter_pushdown",
+    "p3_rename_project",
+    "p6_conditional_rewrite",
+    "j3_semi_join",
+    "j4_repair_join",
+    "a2_distinct",
+    "a3_grouped_stats",
+    "w2_lag_delta",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "agg_cube",
+    "agg_approx_distinct",
+    "p4_skip_columns",
+    "w4_analytic_functions",
+    "text_token_count",
+    "text_fingerprint",
+    "text_bpe_token_count",
+    "text_stratified_sample",
+    "text_repetition",
+    "text_length_histogram",
+    "text_sample_k_per_stratum",
+    "text_duplicate_spans",
+    "text_unigram_surprisal",
+    # deliberate exact all-pairs baseline anchor (~12 s at sf0.1, the
+    # recall ground truth the LSH/IVF paths are judged against) — its
+    # quadratic cost is BY DESIGN and documented; included so even the
+    # anchor can't rot unmeasured
+    "dedup_embedding_cosine",
+    "stream_dedup_first",
+    "f_json_typed_struct",
+    "quality_quarantine",
+    "f1_concat_reference",
+    "f5_interval_shift",
+    "f6_boolean_coercion",
+    "f7_zero_date_handling",
+    "f8_zero_datetime_handling",
+    "f10_blob_empty",
+    "f9_fk_zero_to_null",
+    "f11_time_guard",
+    "sim_cosine_scores",
 ]
 
 
