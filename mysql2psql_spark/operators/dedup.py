@@ -545,7 +545,7 @@ def connected_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 25,
-    driver_threshold: int = 2_000_000,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every node in `pairs`: cluster_id = the
     smallest doc id reachable through the near-dup graph — the canonical
@@ -555,8 +555,10 @@ def connected_components(
     gate-on-measured-size discipline as the interval broadcast in
     operators/rangejoin.py):
 
-    - ``<= driver_threshold`` directed edges (default 2M, ~32 MB of id
-      pairs): collect the edge list and run union-find on the driver.
+    - ``<= driver_threshold`` directed edges (default 1M — ~16 MB of raw
+      id pairs, a few hundred MB as Python Row objects, which is the
+      binding constraint): collect the edge list and run union-find on
+      the driver.
       The near-dup graph is corpus-RARE (pairs, not documents), so this
       is the common case; each distributed round otherwise costs more in
       Catalyst plan analysis + job scheduling than the whole union-find
@@ -584,6 +586,12 @@ def connected_components(
     # — a distinct here is a pure extra shuffle. Duplicate INPUT pairs
     # would only duplicate join rows under the min-aggregate (same
     # result, wasted work), never change the labels.
+    # null-id guard (row-local, no shuffle): the dedup operators never
+    # emit null ids, but this operator is generic — a null would silently
+    # vanish in the distributed path's join while raising a TypeError in
+    # the driver union-find's id comparison; drop them identically in
+    # both paths
+    pairs = pairs.filter(F.col(id_a).isNotNull() & F.col(id_b).isNotNull())
     edges_raw = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

@@ -40,16 +40,25 @@ from pyspark.sql import functions as F
 _SCALE = 1_000_000_000
 
 
-def undirected_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
+def undirected_edges(
+    pairs: DataFrame, a: str, b: str, pairs_distinct: bool = False
+) -> DataFrame:
     """Distinct bidirectional edge list from a (a, b) pair frame.
 
     Both directions are materialized rows (src, dst): PageRank then sees
     every endpoint as a node with out-degree >= 1, so there is no
     dangling-mass correction term to carry.
-    """
+
+    ``pairs_distinct=True`` skips the dedup shuffle when the caller
+    guarantees the pair frame is already distinct AND the two id
+    namespaces are disjoint (then (a,b) and (b,a) copies can never
+    collide, so the union is distinct by construction) — one full
+    edge-list exchange saved; the r5 connected-components edge path
+    applied the same reasoning."""
     ab = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     ba = pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
-    return ab.unionByName(ba).distinct()
+    out = ab.unionByName(ba)
+    return out if pairs_distinct else out.distinct()
 
 
 def degrees(edges: DataFrame) -> DataFrame:

@@ -82,7 +82,10 @@ def _step(prev: str, out: str) -> str:
     """,
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = undirected_edges(_pair_frame(spark, sf_dir), "s", "c")
+    # _pair_frame is distinct and the supplier(2k)/customer(2k+1)
+    # namespaces are disjoint -> the doubled edge list is distinct by
+    # construction; skip the dedup exchange
+    edges = undirected_edges(_pair_frame(spark, sf_dir), "s", "c", pairs_distinct=True)
     ranks = pagerank(edges, iters=3, damping=0.85)
     return ranks.select(
         F.when(F.col("node") % 2 == 0, "supplier")
