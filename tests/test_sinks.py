@@ -66,7 +66,10 @@ def test_run_concurrent_and_timer(spark):
             for t in ("region", "nation", "customer")
         ]
         results = run_concurrent(spark, jobs, max_parallel=3)
-    assert results == {"region": 5, "nation": 25, "customer": 150}
+    # scale-agnostic: compare against sequential counts so the suite can
+    # be pointed at any SF_DIR as a stress run
+    want = {t: load_table(spark, SF_DIR, t).count() for t in ("region", "nation", "customer")}
+    assert results == want
     assert timer.report()["extract"] > 0
 
 
