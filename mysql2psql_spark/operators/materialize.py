@@ -22,6 +22,13 @@ partitions instead of failing the job (localCheckpoint storage is
 non-reliable and truncates lineage — the round-5 caveat about dynamic
 allocation disappears with this change).
 
+At the 5x-replica probe scale the two storage paths converge (interleaved
+medians: simhash 2.2 s both; minhash 3.1 persist vs 2.6 checkpoint —
+inside this host's run-to-run spread): the columnar cache encode cost
+grows with data while the driver-side planning saving is constant. The
+crossover favors persist everywhere the frame is same-job-consumed, and
+the lineage-kept failure semantics break the tie at cluster scale.
+
 What persist does NOT give you is lineage truncation: an ITERATIVE
 operator whose plan nests per round (connected components, PageRank on
 long runs) still needs a real ``localCheckpoint`` at some cadence —
