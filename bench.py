@@ -269,16 +269,26 @@ def main() -> None:
         for rdd in jsc.getPersistentRDDs().values():
             rdd.unpersist(False)
 
+    # SPARK_GRAFT_BENCH_REPEAT=N records the per-query MEDIAN of N runs
+    # instead of a single shot. Single-run totals on this host span up to
+    # 3x for identical code under ambient load (documented across rounds
+    # 4-6); medians are the number that compares across rounds. Default 1
+    # keeps the driver protocol unchanged.
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")))
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        _release_persisted_rdds()
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        n = 0
+        for _ in range(repeat):
+            _release_persisted_rdds()
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(sorted(samples)[len(samples) // 2], 3)
         print(f"# {name}: {times[name]:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
