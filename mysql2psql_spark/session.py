@@ -52,6 +52,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # ContextCleaner reclaims shuffle files / broadcast blocks only
+        # when the DRIVER garbage-collects the corresponding references;
+        # a 16g driver heap under a many-hundred-query session may not
+        # GC for the default 30min periodicGC interval, so state
+        # accumulates and late-session queries pay eviction/GC spikes
+        # (observed r6: a ~670-execution session showed 4-7s medians on
+        # queries that measure 1.5s fresh). 5min bounds the accumulation
+        # for long-running sessions — the same setting a long-lived
+        # cluster driver wants.
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.ui.enabled", "false")
         # bucketed-table warehouse (co-located joins); kept off the repo tree
         .config(
