@@ -154,18 +154,24 @@ def migrate_db(
                 # dual-sink: persist the transformed frame so the CSV and
                 # JSONL writes consume ONE computation (without it the
                 # second write re-runs the whole source scan + transform
-                # per table); freed immediately after both sinks commit
+                # per table); freed once both sinks finish — in a finally
+                # so a failed write can't leak the cache entry for the
+                # rest of the session
                 out = out.persist()
-            path = os.path.join(base, "tables", f"{table['name']}.sql")
-            manifest[key] = write_reference_csv(out, path, single_file=True)
-            if export_jsonl:
-                # sibling JSONL export of the SAME transformed frame
-                # (sources/jsonl.py documents why a corpus pipeline wants
-                # it next to the \copy CSV)
-                from mysql2psql_spark.sources.jsonl import write_jsonl
+                try:
+                    path = os.path.join(base, "tables", f"{table['name']}.sql")
+                    manifest[key] = write_reference_csv(out, path, single_file=True)
+                    # sibling JSONL export of the SAME transformed frame
+                    # (sources/jsonl.py documents why a corpus pipeline
+                    # wants it next to the \copy CSV)
+                    from mysql2psql_spark.sources.jsonl import write_jsonl
 
-                write_jsonl(out, os.path.join(base, "jsonl", table["name"]))
-                out.unpersist(False)
+                    write_jsonl(out, os.path.join(base, "jsonl", table["name"]))
+                finally:
+                    out.unpersist(False)
+            else:
+                path = os.path.join(base, "tables", f"{table['name']}.sql")
+                manifest[key] = write_reference_csv(out, path, single_file=True)
 
         jobs = [(k, (lambda k=k: dump(k))) for k in plan.ir_converted["tables"] if k in frames]
         run_concurrent(spark, jobs, max_parallel=threads or 4)

@@ -66,7 +66,12 @@ def degrees(edges: DataFrame) -> DataFrame:
     return edges.groupBy("src").agg(F.count("*").alias("deg"))
 
 
-def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
     """Non-normalized PageRank: ``r'(v) = (1-d) + d * sum_{u->v} r(u)/deg(u)``
     with r0 = 1.0, run for ``iters`` synchronous iterations.
 
@@ -74,6 +79,18 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85) -> DataFra
     each edge's contribution is ``floor((rank/deg) * 1e9)`` — an exact
     BIGINT — summed exactly (order-free), and the damped update is
     floor-truncated back to the 1e-9 grid.
+
+    Cache-release contract: the (src, dst, deg) edge frame persists for
+    the whole run and the FINAL rank frame still reads it lazily, so it
+    cannot be unpersisted here without forfeiting the reuse (unlike
+    connected components, whose convergence counts execute eagerly and
+    let it release before returning). Long-lived sessions that call this
+    repeatedly should pass ``caches=[]``: the persisted frame is
+    appended and the caller unpersists it once ranks are consumed —
+    lineage is kept, so even an early release only costs recompute,
+    never correctness. With ``caches=None`` the frame stays registered
+    in the CacheManager until ``spark.catalog.clearCache()`` (the
+    bench/driver per-query pattern) or session end.
     """
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
@@ -93,6 +110,8 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85) -> DataFra
     edges = edges.withColumn("deg", F.count(F.lit(1)).over(w)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if caches is not None:
+        caches.append(edges)
     ranks = (
         edges.select(F.col("src").alias("node"))
         .distinct()

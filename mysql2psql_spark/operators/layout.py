@@ -93,9 +93,13 @@ def compact_files(
     if cluster_by is not None:
         key = F.col(cluster_by) if isinstance(cluster_by, str) else cluster_by
         return df.repartitionByRange(n_files, key).sortWithinPartitions(key)
-    # unclustered merge: coalesce (no shuffle) when the input is merely
-    # being narrowed; a full round-robin shuffle only when the target is
-    # WIDER than the source (coalesce cannot grow a partition count)
-    if n_files < df.rdd.getNumPartitions():
-        return df.coalesce(n_files)
+    # unclustered merge: always a round-robin repartition. An earlier cut
+    # used coalesce when narrowing, but (a) coalesce inserts no shuffle
+    # boundary, so compacting an EXPENSIVE upstream pipeline to few files
+    # computes that pipeline at n_files-way parallelism — nearly serially
+    # for small targets — and (b) deciding "is this narrowing?" needs the
+    # current partition count via df.rdd, a driver-side toRdd physical
+    # planning pass (the same cost materialize.py documents). The
+    # repartition shuffle moves only the rows being written — one pass of
+    # the output — while keeping every upstream stage at full width.
     return df.repartition(n_files)

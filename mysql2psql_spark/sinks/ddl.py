@@ -67,20 +67,34 @@ def _default_clause(col: dict) -> str:
 
 
 def _enum_check_clause(col: dict) -> str | None:
-    """VARCHAR + CHECK rendering for MySQL enum columns. The reference's
-    own rule file maps enum -> 'set' (rules/mysql_to_psql.json:26) and
-    its DDL writer emits the type verbatim (PsqlParser.py:487-489, size
-    suppressed) — but SET is not a PostgreSQL type, so that DDL can
-    never load (verified against live PostgreSQL 15 in r6). We keep the
-    rule-file parity in the IR (the type stays 'set') and repair it at
-    RENDER time: VARCHAR constrained to the enum labels parsed from the
-    original fullType, the standard PG translation."""
+    """VARCHAR + CHECK rendering for MySQL enum/set columns. The
+    reference's own rule file maps enum -> 'set'
+    (rules/mysql_to_psql.json:26) and its DDL writer emits the type
+    verbatim (PsqlParser.py:487-489, size suppressed) — but SET is not a
+    PostgreSQL type, so that DDL can never load (verified against live
+    PostgreSQL 15 in r6). We keep the rule-file parity in the IR (the
+    type stays 'set') and repair it at RENDER time, distinguishing the
+    ORIGINAL MySQL type via fullType:
+
+    - ``enum('a','b')`` stores exactly one label per row -> VARCHAR
+      constrained with ``IN (labels)``;
+    - ``set('a','b')`` stores a COMMA-JOINED combination ('a,b'), so an
+      IN-check would reject valid multi-valued rows mid-\\copy (a
+      data-dependent load abort, worse than a DDL failure) -> VARCHAR
+      constrained per element: ``string_to_array(col, ',') <@
+      ARRAY[labels]`` — subquery-free (legal in a CHECK), NULL passes
+      (SQL CHECK semantics), and '' yields the empty array, which is
+      contained in any set, matching MySQL's empty-SET value."""
     full = str(col.get("fullType") or "")
-    m = re.match(r"^(?:enum|set)\((.*)\)$", full, re.IGNORECASE)
+    m = re.match(r"^(enum|set)\((.*)\)$", full, re.IGNORECASE)
     if not m:
         return None
-    labels = m.group(1)
-    return f"VARCHAR CHECK ({_q(col['name'])} IN ({labels}))"
+    kind, labels = m.group(1).lower(), m.group(2)
+    if kind == "enum":
+        return f"VARCHAR CHECK ({_q(col['name'])} IN ({labels}))"
+    return (
+        f"VARCHAR CHECK (string_to_array({_q(col['name'])}, ',') <@ ARRAY[{labels}])"
+    )
 
 
 def _column_clause(col: dict, composite_pk: bool) -> str:

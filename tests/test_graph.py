@@ -70,6 +70,23 @@ def test_rank_deterministic_under_repartition(spark):
     assert r1 == r7
 
 
+def test_pagerank_cache_release_contract(spark):
+    """``caches=[]`` hands the persisted edge frame to the caller for
+    release (the long-lived-session leak fix): the handle is the persisted
+    frame, unpersist drops the cache entry, and — because persist keeps
+    lineage — re-collecting the ranks AFTER release still recomputes the
+    same values."""
+    pairs = [("hub", f"leaf{i}") for i in range(4)]
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    handles: list = []
+    ranks = pagerank(undirected_edges(df, "a", "b"), caches=handles)
+    got = {r["node"]: r["rank"] for r in ranks.collect()}
+    assert len(handles) == 1 and handles[0].is_cached
+    handles[0].unpersist(False)
+    assert not handles[0].is_cached
+    assert {r["node"]: r["rank"] for r in ranks.collect()} == got
+
+
 def test_degrees_bidirectional(spark):
     pairs = [("a", "b"), ("a", "c")]
     df = spark.createDataFrame(pairs, ["x", "y"])

@@ -220,6 +220,29 @@ def test_ddl_generation(plan):
     assert "WITH CASCADED CHECK OPTION" in view
 
 
+def test_set_column_ddl_allows_multivalue():
+    """A true MySQL SET column stores comma-joined combinations ('a,b'),
+    so the enum-style IN(...) CHECK would reject valid multi-valued rows
+    mid-\\copy — the r7 advice finding. SET renders as a per-element
+    containment CHECK instead; ENUM keeps the IN(...) form."""
+    t = ir.new_table(
+        "tagged",
+        [
+            ir.new_column("id", "int", nullable=False, is_pk=True),
+            ir.new_column("tags", "set", full_type="set('red','green','blue')"),
+            ir.new_column("state", "set", full_type="enum('on','off')"),
+        ],
+    )
+    sql = ddl.create_table_ddl(t)
+    assert (
+        "\"tags\" VARCHAR CHECK (string_to_array(\"tags\", ',') "
+        "<@ ARRAY['red','green','blue'])" in sql
+    )
+    assert "\"tags\" VARCHAR CHECK (\"tags\" IN" not in sql
+    # enum fullType untouched by the set fix
+    assert "\"state\" VARCHAR CHECK (\"state\" IN ('on','off'))" in sql
+
+
 def test_ir_json_roundtrip(plan):
     s = ir.to_json(plan.ir_converted)
     assert ir.from_json(s) == plan.ir_converted

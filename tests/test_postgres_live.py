@@ -234,6 +234,34 @@ def test_reference_csv_quoting_through_copy(spark, tmp_path):
     assert _scalar("SELECT payload = '' FROM hostile WHERE id = 9") == "t"
 
 
+def test_set_column_multivalue_loads_live():
+    """MySQL SET columns store comma-joined combinations; the generated
+    CHECK must ACCEPT 'red,blue', '' and NULL on live PG while rejecting
+    a combination containing a non-member element (the r7 advice fix —
+    the previous enum-style IN CHECK aborted the load on the first
+    multi-valued row, a data-dependent failure)."""
+    from mysql2psql_spark import schema_ir as ir
+    from mysql2psql_spark.sinks import ddl
+
+    t = ir.new_table(
+        "set_probe",
+        [
+            ir.new_column("id", "int", nullable=False, is_pk=True),
+            ir.new_column("tags", "set", full_type="set('red','green','blue')"),
+        ],
+    )
+    _psql("-c", "DROP TABLE IF EXISTS set_probe;")
+    _psql("-c", ddl.create_table_ddl(t))
+    _psql(
+        "-c",
+        "INSERT INTO set_probe VALUES (1, 'red,blue'), (2, ''), (3, NULL), (4, 'green');",
+    )
+    bad = _psql("-c", "INSERT INTO set_probe VALUES (5, 'red,bogus');", check=False)
+    assert bad.returncode != 0 and "check" in bad.stderr.lower(), bad.stderr
+    assert _scalar("SELECT COUNT(*) FROM set_probe") == "4"
+    _psql("-c", "DROP TABLE set_probe;")
+
+
 def test_user_bootstrap_grammar(spark):
     """D9: the generated CREATE ROLE / GRANT / ALTER DEFAULT PRIVILEGES
     bootstrap must apply on live PG (against the v1 schema created by
