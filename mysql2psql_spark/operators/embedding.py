@@ -147,9 +147,33 @@ def table_keys_sql(
 
 
 def exact_cosine_pairs(
-    emb: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
-    """All-pairs cosine >= threshold, id_a < id_b. Exact baseline."""
+    """All-pairs cosine >= threshold, id_a < id_b. Exact baseline —
+    quadratic BY DESIGN (the recall anchor the LSH/IVF tiers are graded
+    against), and therefore gated on the COUNTED corpus size so no
+    caller can accidentally run the anchor at production scale (the same
+    measure-then-choose discipline as connected_components' driver gate,
+    operators/dedup.py). The default 100k rows bounds the self-join at
+    ~5e9 candidate pairs — hours of cluster work, the outer limit of
+    "deliberate benchmark run"; beyond it this raises and points at the
+    corpus-linear alternatives (lsh_cosine_pairs, semantic_dedup,
+    ivf_topk). ``max_rows=None`` disables the gate for callers who have
+    genuinely decided to pay the quadratic cost. The count is one column
+    scan — noise next to the n^2 join it protects against."""
+    if max_rows is not None:
+        n = emb.count()
+        if n > max_rows:
+            raise ValueError(
+                f"exact_cosine_pairs is an all-pairs O(n^2) baseline; corpus has "
+                f"{n} rows (> max_rows={max_rows}). Use lsh_cosine_pairs or "
+                f"semantic_dedup for near-dup pairs at scale, or pass "
+                f"max_rows=None to force the exact run."
+            )
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))

@@ -181,6 +181,25 @@ def test_embedding_lsh_recall_on_near_dups(spark):
     assert len(missed) <= len(exact) * 0.02, f"LSH recall too low, missed {missed}"
 
 
+def test_exact_cosine_pairs_scale_gate(spark):
+    """The all-pairs anchor must REFUSE corpora above its counted size
+    gate (so nobody accidentally runs the O(n^2) baseline at production
+    scale) while still running under the gate and with the explicit
+    ``max_rows=None`` override."""
+    import pytest
+
+    from mysql2psql_spark.operators.embedding import exact_cosine_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(20)],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="lsh_cosine_pairs"):
+        exact_cosine_pairs(emb, 0.9, max_rows=10)
+    assert exact_cosine_pairs(emb, -1.0, max_rows=20).count() == 190  # 20C2
+    assert exact_cosine_pairs(emb, -1.0, max_rows=None).count() == 190
+
+
 def test_ann_topk_matches_brute_force_head(spark):
     """ANN with a generous Hamming budget must contain the true top-1 and
     mostly agree with brute force on the testdata corpus."""
