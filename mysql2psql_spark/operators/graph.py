@@ -47,18 +47,29 @@ def undirected_edges(
 
     Both directions are materialized rows (src, dst): PageRank then sees
     every endpoint as a node with out-degree >= 1, so there is no
-    dangling-mass correction term to carry.
+    dangling-mass correction term to carry. The doubling is an
+    ``explode`` over a two-struct array — ONE scan of the pair frame,
+    where the r7 two-select union re-executed the pair frame's producing
+    plan (join + distinct upstream in the flagship query) once per
+    direction unless exchange reuse happened to fire.
 
     ``pairs_distinct=True`` skips the dedup shuffle when the caller
-    guarantees the pair frame is already distinct AND the two id
-    namespaces are disjoint (then (a,b) and (b,a) copies can never
-    collide, so the union is distinct by construction) — one full
-    edge-list exchange saved; the r5 connected-components edge path
-    applied the same reasoning."""
-    ab = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-    ba = pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
-    out = ab.unionByName(ba)
-    return out if pairs_distinct else out.distinct()
+    guarantees either that the pair frame is already distinct AND the
+    two id namespaces are disjoint (then (a,b) and (b,a) copies can
+    never collide, so the doubled list is distinct by construction), or
+    that a downstream operator dedupes (``pagerank(dedup_edges=True)``
+    folds the dedup into its one build shuffle) — one full edge-list
+    exchange saved; the r5 connected-components edge path applied the
+    same reasoning."""
+    out = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+                F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    return out if pairs_distinct else out.dropDuplicates(["src", "dst"])
 
 
 def degrees(edges: DataFrame) -> DataFrame:
@@ -70,7 +81,8 @@ def pagerank(
     edges: DataFrame,
     iters: int = 3,
     damping: float = 0.85,
-    caches: list[DataFrame] | None = None,
+    caches: "list[DataFrame] | CacheHandle | None" = None,
+    dedup_edges: bool = False,
 ) -> DataFrame:
     """Non-normalized PageRank: ``r'(v) = (1-d) + d * sum_{u->v} r(u)/deg(u)``
     with r0 = 1.0, run for ``iters`` synchronous iterations.
@@ -80,25 +92,42 @@ def pagerank(
     BIGINT — summed exactly (order-free), and the damped update is
     floor-truncated back to the 1e-9 grid.
 
+    ``dedup_edges=True`` accepts an edge list that still contains
+    duplicate (src, dst) rows and dedupes it HERE, inside the one build
+    shuffle (below) — callers whose raw edges are cheap to produce but
+    whose dedup would cost a dedicated exchange (the flagship query's
+    lineitem x orders pair frame) skip their own ``distinct``.
+
     Cache-release contract: the (src, dst, deg) edge frame persists for
     the whole run and the FINAL rank frame still reads it lazily, so it
     cannot be unpersisted here without forfeiting the reuse (unlike
     connected components, whose convergence counts execute eagerly and
     let it release before returning). Long-lived sessions that call this
-    repeatedly should pass ``caches=[]``: the persisted frame is
-    appended and the caller unpersists it once ranks are consumed —
-    lineage is kept, so even an early release only costs recompute,
-    never correctness. With ``caches=None`` the frame stays registered
-    in the CacheManager until ``spark.catalog.clearCache()`` (the
-    bench/driver per-query pattern) or session end.
+    repeatedly should pass a ``materialize.CacheHandle`` (context
+    manager; a plain ``list`` still works via the same ``append``
+    contract): the persisted frame is registered on it and the caller
+    releases once ranks are consumed — lineage is kept, so even an
+    early release only costs recompute, never correctness. With
+    ``caches=None`` the frame stays registered in the CacheManager until
+    ``spark.catalog.clearCache()`` (the bench/driver per-query pattern)
+    or session end.
     """
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
-    # out-degree is a static edge attribute: attach it ONCE — as a count
-    # over a src-partitioned window (one shuffle, no self-join) — and
-    # persist the (src, dst, deg) frame, which every iteration (plus the
-    # rank-0 seed) consumes. persist, NOT localCheckpoint: each lazy
+    # out-degree is a static edge attribute: attach it ONCE and persist
+    # the (src, dst, deg) frame, which every iteration (plus the rank-0
+    # seed) consumes. The build costs exactly ONE edge-scale exchange:
+    # an explicit hash repartition on src, after which BOTH the optional
+    # (src, dst) dedup and the src-windowed degree count are
+    # exchange-free — hash(src) co-locates every (src, dst) group
+    # (HashPartitioning on a subset of the keys satisfies the
+    # ClusteredDistribution both operators require). The r7 shape
+    # (upstream distinct + window) paid two edge-scale exchanges for the
+    # same frame; interleaved 5-run medians at sf0.1: 3.02 s -> 2.64 s
+    # for the flagship query. The persisted frame REMAINS hash(src)
+    # partitioned, so each iteration's rank join needs no edge-side
+    # exchange either. persist, NOT localCheckpoint: each lazy
     # localCheckpoint costs a full toRdd physical-planning pass on the
     # driver at BUILD time (measured r6: 3 checkpoints = 3.9 s of driver
     # planning vs 1.25 s of actual execution at sf0.1), while persist
@@ -107,6 +136,9 @@ def pagerank(
     # lost executor recomputes instead of failing — strictly better
     # under dynamic allocation, see operators/materialize.py).
     w = Window.partitionBy("src")
+    edges = edges.repartition("src")
+    if dedup_edges:
+        edges = edges.dropDuplicates(["src", "dst"])
     edges = edges.withColumn("deg", F.count(F.lit(1)).over(w)).persist(
         StorageLevel.MEMORY_AND_DISK
     )

@@ -54,6 +54,53 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
+class CacheHandle:
+    """Caller-controlled release of operator-persisted frames.
+
+    Operators whose RESULT still reads a persisted frame lazily (e.g.
+    ``pagerank``: the final rank frame re-joins the persisted edge frame
+    on every action) cannot unpersist internally without forfeiting the
+    reuse. They accept a handle and register their persisted frames on
+    it; the caller releases once the result has been consumed::
+
+        with CacheHandle() as caches:
+            ranks = pagerank(edges, caches=caches)
+            ranks.write.parquet(out)        # consume inside the block
+        # all operator-persisted frames released here
+
+    ``release`` is idempotent and exception-safe; because the operators
+    persist (lineage KEPT) rather than checkpoint, even a too-early
+    release only costs recompute on later actions, never correctness.
+    ``append`` is the registration hook, so a plain ``list`` still
+    satisfies the operator-side contract (the pre-round-8 accumulator
+    convention) — but the handle is the recommended caller API: it can
+    be used as a context manager and cannot be mistaken for data.
+    """
+
+    def __init__(self) -> None:
+        self.frames: list[DataFrame] = []
+
+    def append(self, df: DataFrame) -> None:
+        """Register an operator-persisted frame for later release."""
+        self.frames.append(df)
+
+    def release(self, blocking: bool = False) -> None:
+        """Unpersist every registered frame (idempotent, best-effort)."""
+        frames, self.frames = self.frames, []
+        for df in frames:
+            try:
+                df.unpersist(blocking)
+            except Exception:
+                pass  # never let cleanup break the caller
+
+    def __enter__(self) -> "CacheHandle":
+        return self
+
+    def __exit__(self, *exc: object) -> bool:
+        self.release()
+        return False
+
+
 def unmaterialize(df: DataFrame) -> None:
     """Release a frame returned by :func:`materialize` (best-effort).
 

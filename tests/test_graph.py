@@ -71,20 +71,51 @@ def test_rank_deterministic_under_repartition(spark):
 
 
 def test_pagerank_cache_release_contract(spark):
-    """``caches=[]`` hands the persisted edge frame to the caller for
-    release (the long-lived-session leak fix): the handle is the persisted
-    frame, unpersist drops the cache entry, and — because persist keeps
-    lineage — re-collecting the ranks AFTER release still recomputes the
-    same values."""
+    """``CacheHandle`` (context manager) releases the operator-persisted
+    edge frame once ranks are consumed (the long-lived-session leak fix):
+    inside the block the frame is cached, on exit the cache entry drops,
+    and — because persist keeps lineage — re-collecting the ranks AFTER
+    release still recomputes the same values. A plain list still
+    satisfies the operator-side ``append`` contract (pre-r8 convention)."""
+    from mysql2psql_spark.operators.materialize import CacheHandle
+
     pairs = [("hub", f"leaf{i}") for i in range(4)]
     df = spark.createDataFrame(pairs, ["a", "b"])
+    with CacheHandle() as handle:
+        ranks = pagerank(undirected_edges(df, "a", "b"), caches=handle)
+        got = {r["node"]: r["rank"] for r in ranks.collect()}
+        assert len(handle.frames) == 1 and handle.frames[0].is_cached
+        cached = handle.frames[0]
+    assert not cached.is_cached and handle.frames == []
+    handle.release()  # idempotent
+    assert {r["node"]: r["rank"] for r in ranks.collect()} == got
+
+    # legacy list accumulator still works
     handles: list = []
-    ranks = pagerank(undirected_edges(df, "a", "b"), caches=handles)
-    got = {r["node"]: r["rank"] for r in ranks.collect()}
+    pagerank(undirected_edges(df, "a", "b"), caches=handles).collect()
     assert len(handles) == 1 and handles[0].is_cached
     handles[0].unpersist(False)
-    assert not handles[0].is_cached
-    assert {r["node"]: r["rank"] for r in ranks.collect()} == got
+
+
+def test_pagerank_dedup_edges_matches_prededuped(spark):
+    """``dedup_edges=True`` on a duplicate-bearing raw edge list yields
+    bit-identical ranks to pre-deduped input (the dedup rides the one
+    build shuffle — the flagship-query shape)."""
+    pairs = [("hub", f"leaf{i}") for i in range(4)]
+    raw = spark.createDataFrame(pairs * 3, ["a", "b"])  # duplicated pairs
+    clean = spark.createDataFrame(pairs, ["a", "b"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            undirected_edges(raw, "a", "b", pairs_distinct=True),
+            dedup_edges=True,
+        ).collect()
+    }
+    ref = {
+        r["node"]: r["rank"]
+        for r in pagerank(undirected_edges(clean, "a", "b")).collect()
+    }
+    assert got == ref == _ref_pagerank(pairs)
 
 
 def test_degrees_bidirectional(spark):
