@@ -592,9 +592,22 @@ def connected_components(
     # the driver union-find's id comparison; drop them identically in
     # both paths
     pairs = pairs.filter(F.col(id_a).isNotNull() & F.col(id_b).isNotNull())
+    # explode-based doubling: ONE scan of the pair frame. The r7
+    # two-select union executed the producing pipeline once per
+    # direction before the persist materialized — for LSH-generated
+    # pairs that pipeline is the bucket join + exact verify, by far the
+    # most expensive input this operator sees (hot-key probe, r8: the
+    # union cost ~5 s of the skewed dedup_clusters wall by itself).
     edges_raw = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Size the ITERATION to the graph, not the corpus: every round
@@ -620,16 +633,21 @@ def connected_components(
     # stored partitions), but the blocking convergence-check JOB runs only
     # every second round — r5 paid one eager checkpoint + one count job
     # per round, and at small graph sizes the per-job overhead (not the
-    # join work) dominated. Convergence granularity coarsens to 2 rounds,
-    # which is lossless: min-label propagation is monotone, so "no label
-    # moved across a 2-round batch" implies the 1-round fixpoint too.
-    # ``label0`` (the label at batch start) rides through the batch as an
-    # 8-byte column so the check needs no extra join.
+    # join work) dominated. ``label0`` (each round records its OWN
+    # pre-update label, so after the batch executes it holds the label
+    # before the batch's LAST round) rides through as an 8-byte column
+    # and the check tests only that last round's movement — lossless
+    # (one deterministic round producing no change IS the fixpoint) and
+    # one batch tighter than the r7 batch-start comparison, which on an
+    # already-converged-in-round-1 graph still saw round-1 movement and
+    # forced a whole redundant batch (hot-key probe, r8: the 1.1M-edge
+    # complete component converges in round 1; batch-start label0 ran 4
+    # rounds + 2 checks, per-round label0 runs 2 rounds + 1 check).
     rounds_per_check = 2
     done = 0
     while done < max_iter:
         batch = min(rounds_per_check, max_iter - done)
-        cur = labels.withColumn("label0", F.col("label"))
+        cur = labels
         for _ in range(batch):
             # explicit aliases: a batch round joins a frame against an
             # aggregate DERIVED from the same frame (attribute ids
@@ -649,7 +667,7 @@ def connected_components(
                     F.least(
                         F.col("c.label"), F.coalesce(F.col("m.nmin"), F.col("c.label"))
                     ).alias("label"),
-                    F.col("c.label0").alias("label0"),
+                    F.col("c.label").alias("label0"),
                 )
                 .repartition(n_part, "node")
                 .localCheckpoint(eager=False)
