@@ -26,6 +26,11 @@ parameters.json is accepted in the reference's exact format (mysql/psql
 credentials feed the JDBC URLs; `threads` caps concurrent table jobs;
 `v1_schema_name` switches stage [7] on). Rule files are accepted in the
 reference's exact formats, including its sample files' trailing commas.
+
+Engine-extension serving mode (no reference counterpart): --ann-probes
+runs the batch-ANN pipeline stage instead of a migration — probe
+vectors parquet in, exact top-k neighbors parquet out, one corpus pass
+for the whole batch (operators/similarity.py::batch_topk).
 """
 
 from __future__ import annotations
@@ -293,6 +298,26 @@ def main(argv: list[str] | None = None) -> int:
         "training-corpus interchange export)",
     )
     p.add_argument(
+        "--ann-probes",
+        default=None,
+        metavar="PROBES_PARQUET",
+        help="batch-ANN serving mode: read probe vectors (probe_id|vec_id "
+        "+ embedding) from this parquet, score them against the source's "
+        "embeddings table in ONE corpus pass, write (probe_id, vec_id, "
+        "cos_sim, rnk) parquet to --ann-out; no migration runs",
+    )
+    p.add_argument(
+        "--ann-topk", type=int, default=3, metavar="K",
+        help="neighbors per probe in --ann-probes mode (default 3)",
+    )
+    p.add_argument(
+        "--ann-out",
+        default=None,
+        metavar="DIR",
+        help="output parquet dir for --ann-probes mode "
+        "(default <out>/<db>/ann_topk.parquet)",
+    )
+    p.add_argument(
         "--incremental",
         default=None,
         metavar="CURSOR_COL",
@@ -326,6 +351,48 @@ def main(argv: list[str] | None = None) -> int:
 
             return read_tables(spark, config, db, args.tables)
         p.error(f"unknown --source {args.source}")
+
+    if args.ann_probes:
+        # batch-ANN serving as a pipeline stage: probe parquet in ->
+        # top-k parquet out, one corpus pass for the whole batch
+        # (operators/similarity.py::batch_topk — the sim_batch_topk
+        # shape). Standalone like --from-dump: no migration runs.
+        from mysql2psql_spark.operators.similarity import batch_topk
+        from mysql2psql_spark.sources.parquet import load_table
+
+        if not args.source.startswith("parquet:"):
+            p.error("--ann-probes requires --source parquet:<dir>")
+        src = args.source.removeprefix("parquet:")
+        emb = load_table(spark, src, "embeddings")
+        probes = spark.read.parquet(args.ann_probes)
+        probe_id = "probe_id" if "probe_id" in probes.columns else "vec_id"
+        out_path = args.ann_out or os.path.join(
+            args.out, args.database, "ann_topk.parquet"
+        )
+        result = batch_topk(
+            emb,
+            probes,
+            k=args.ann_topk,
+            probe_id_col=probe_id,
+            # probe ids are interpreted in the corpus id space: a probe
+            # re-submitted from the corpus must not return itself
+            exclude_self=True,
+        )
+        result.write.mode("overwrite").parquet(out_path)
+        n = spark.read.parquet(out_path).count()
+        print(
+            json.dumps(
+                {
+                    "ann_topk": {
+                        "probes": probes.count(),
+                        "k": args.ann_topk,
+                        "rows": n,
+                        "out": out_path,
+                    }
+                }
+            )
+        )
+        return 0
 
     if args.from_dump:
         # S7: the deprecated dump-file mode is a standalone conversion —

@@ -62,6 +62,56 @@ def cosine_pairs_df(pairs: DataFrame, round_to: int = 6) -> Column | DataFrame:
     )
 
 
+def batch_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors for EVERY probe in ONE corpus pass — the
+    batch serving stage (queries arrive in batches; the corpus scan is
+    the dominant cost at scale, so batching divides it by the batch
+    size). Returns (probe_id, vec_id, cos_sim, rnk) with rnk 1..k,
+    ordered by cos_sim desc with id tiebreak.
+
+    The probe frame is small by construction and broadcast: the corpus
+    never shuffles for the scoring; the only exchange is the per-probe
+    window rank over |probes| partitions, each carrying the corpus
+    scores for one probe. ``exclude_self=True`` drops the probe's own
+    corpus row (probe ids drawn from the corpus id space); pass False
+    when probes live in a separate id namespace.
+    """
+    from pyspark.sql.window import Window as W
+
+    pairs = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+    ).crossJoin(
+        F.broadcast(
+            probes.select(
+                F.col(probe_id_col).alias("id_b"), F.col(probe_vec_col).alias("v_b")
+            )
+        )
+    )
+    if exclude_self:
+        pairs = pairs.filter(F.col("id_a") != F.col("id_b"))
+    scored = cosine_pairs_df(pairs)
+    w = W.partitionBy("id_b").orderBy(F.col("cos_sim").desc(), "id_a")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("id_b").alias("probe_id"),
+            F.col("id_a").alias("vec_id"),
+            "cos_sim",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 def brute_force_scores(
     embeddings: DataFrame,
     query_vectors: DataFrame,

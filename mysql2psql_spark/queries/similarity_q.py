@@ -185,28 +185,11 @@ def sim_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
-    from mysql2psql_spark.operators.similarity import cosine_pairs_df
+    from mysql2psql_spark.operators.similarity import batch_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b")
+        F.col("vec_id").alias("probe_id"), "embedding"
     )
-    pairs = (
-        emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
-        .crossJoin(F.broadcast(probes))
-        .filter(F.col("id_a") != F.col("id_b"))
-    )
-    scored = cosine_pairs_df(pairs)
-    w = W.partitionBy("id_b").orderBy(F.col("cos_sim").desc(), "id_a")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .select(
-            F.col("id_b").alias("probe_id"),
-            F.col("id_a").alias("vec_id"),
-            "cos_sim",
-            F.col("rnk").cast("int").alias("rnk"),
-        )
-    )
+    # same one-pass shape the CLI serving mode (--ann-probes) ships
+    return batch_topk(emb, probes, k=3)

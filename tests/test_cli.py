@@ -229,3 +229,48 @@ def test_cli_export_jsonl_sibling_artifacts(spark, tmp_path):
     # the rename from schema_changes is applied in the export too
     assert all("nation_name" in o for o in objs)
     assert all("n_name" not in o for o in objs)
+
+
+def test_cli_ann_serving_mode(spark, tmp_path, capsys):
+    """--ann-probes: probe parquet in -> top-k parquet out in one corpus
+    pass, exact against a DuckDB brute-force oracle on the same tables."""
+    from mysql2psql_spark.cli import main as cli_main
+
+    probes_path = str(tmp_path / "probes.parquet")
+    (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter("vec_id < 3")
+        .selectExpr("vec_id AS probe_id", "embedding")
+        .write.parquet(probes_path)
+    )
+    rc = cli_main(
+        ["anndb", "--source", f"parquet:{SF_DIR}", "--out", str(tmp_path / "out"),
+         "--ann-probes", probes_path, "--ann-topk", "2"]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["ann_topk"] == {
+        "probes": 3,
+        "k": 2,
+        "rows": 6,
+        "out": str(tmp_path / "out" / "anndb" / "ann_topk.parquet"),
+    }
+    got = duckdb.sql(
+        f"SELECT * FROM read_parquet('{summary['ann_topk']['out']}/*.parquet')"
+        " ORDER BY probe_id, rnk"
+    ).fetchall()
+    want = duckdb.sql(f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM read_parquet('{SF_DIR}/embeddings.parquet')),
+        scored AS (
+          SELECT p.vec_id AS probe_id, e.vec_id,
+                 ROUND(LIST_COSINE_SIMILARITY(e.v, p.v), 6) AS cos_sim
+          FROM e CROSS JOIN (SELECT * FROM e WHERE vec_id < 3) p
+          WHERE e.vec_id != p.vec_id)
+        SELECT probe_id, vec_id, cos_sim, CAST(rnk AS INT) AS rnk
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rnk
+              FROM scored)
+        WHERE rnk <= 2 ORDER BY probe_id, rnk
+    """).fetchall()
+    assert got == want
