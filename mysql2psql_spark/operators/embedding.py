@@ -163,14 +163,19 @@ def exact_cosine_pairs(
     "deliberate benchmark run"; beyond it this raises and points at the
     corpus-linear alternatives (lsh_cosine_pairs, semantic_dedup,
     ivf_topk). ``max_rows=None`` disables the gate for callers who have
-    genuinely decided to pay the quadratic cost. The count is one column
-    scan — noise next to the n^2 join it protects against."""
+    genuinely decided to pay the quadratic cost. The guard scan is
+    BOUNDED: counting ``limit(max_rows + 1)`` stops the scan as soon as
+    max_rows + 1 rows exist (CollectLimit short-circuits), so an
+    over-limit production corpus pays ~max_rows rows of scan to be
+    refused instead of a full corpus pass; under the limit it costs the
+    same small count as before (ADVICE r7 flagged the unconditional
+    full count inside the timed region)."""
     if max_rows is not None:
-        n = emb.count()
+        n = emb.limit(max_rows + 1).count()
         if n > max_rows:
             raise ValueError(
                 f"exact_cosine_pairs is an all-pairs O(n^2) baseline; corpus has "
-                f"{n} rows (> max_rows={max_rows}). Use lsh_cosine_pairs or "
+                f"more than max_rows={max_rows} rows. Use lsh_cosine_pairs or "
                 f"semantic_dedup for near-dup pairs at scale, or pass "
                 f"max_rows=None to force the exact run."
             )
