@@ -274,3 +274,30 @@ def test_cli_ann_serving_mode(spark, tmp_path, capsys):
         WHERE rnk <= 2 ORDER BY probe_id, rnk
     """).fetchall()
     assert got == want
+
+
+def test_cli_ann_probes_accepts_vec_id_column(spark, tmp_path, capsys):
+    """--ann-probes falls back to `vec_id` when the probe parquet has no
+    `probe_id` column (probes exported straight from an embeddings
+    table)."""
+    from mysql2psql_spark.cli import main as cli_main
+
+    probes_path = str(tmp_path / "probes.parquet")
+    (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter("vec_id = 0")
+        .select("vec_id", "embedding")
+        .write.parquet(probes_path)
+    )
+    rc = cli_main(
+        ["anndb", "--source", f"parquet:{SF_DIR}", "--out", str(tmp_path / "out"),
+         "--ann-probes", probes_path, "--ann-topk", "1",
+         "--ann-out", str(tmp_path / "topk.parquet")]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["ann_topk"]["rows"] == 1
+    row = duckdb.sql(
+        f"SELECT probe_id, vec_id, rnk FROM read_parquet('{tmp_path}/topk.parquet/*.parquet')"
+    ).fetchall()[0]
+    assert row[0] == 0 and row[1] != 0 and row[2] == 1

@@ -828,3 +828,30 @@ def test_p8_impute_surfaces_unimputable_segments(spark):
     assert out[1] == (False, 100.0)
     assert out[2] == (True, 100.0)
     assert out[3] == (True, None)  # surfaced, not dropped
+
+
+def test_batch_topk_namespaces_and_self_exclusion(spark):
+    """batch_topk: exclude_self drops only the probe's own corpus row;
+    exclude_self=False keeps it (separate-namespace probes); ranks are
+    dense 1..k with the documented cos-desc, id-asc tiebreak."""
+    from mysql2psql_spark.operators.similarity import batch_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    probes = corpus.filter("vec_id = 1").selectExpr(
+        "vec_id AS probe_id", "embedding"
+    )
+    got = {
+        (r.probe_id, r.rnk): (r.vec_id, r.cos_sim)
+        for r in batch_topk(corpus, probes, k=3).collect()
+    }
+    # self (vec_id=1) excluded: 2 corpus rows remain
+    assert got == {(1, 1): (3, 0.707107), (1, 2): (2, 0.0)}
+    got_all = {
+        (r.probe_id, r.rnk): r.vec_id
+        for r in batch_topk(corpus, probes, k=3, exclude_self=False).collect()
+    }
+    # separate-namespace mode keeps the identical vector at rank 1
+    assert got_all == {(1, 1): 1, (1, 2): 3, (1, 3): 2}
