@@ -103,3 +103,43 @@ def compact_files(
     # repartition shuffle moves only the rows being written — one pass of
     # the output — while keeping every upstream stage at full width.
     return df.repartition(n_files)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Persist ``df`` as a BUCKETED table: rows hash-distributed into
+    ``n_buckets`` files per partition by ``keys`` (and, with ``sort``,
+    sorted by them inside each bucket).
+
+    This is the co-located-join layout for 100 TB fact tables: two
+    tables bucketed on the same keys with the same bucket count join
+    with NO exchange on either side (and no sort, when both were
+    written sorted) — Spark's scan reports the bucket spec as its
+    output partitioning, so EnsureRequirements inserts nothing. A fact
+    table that is joined on the same key by many downstream queries
+    pays its distribution shuffle ONCE at write time instead of once
+    per query; the reference's secondary indexes (SURVEY §2 D7,
+    libs/PsqlParser.py:405-420) have exactly this role on the
+    PostgreSQL side. Aggregations grouping by a superset of ``keys``
+    are likewise exchange-free.
+
+    Bucketing requires the table-catalog write path (``saveAsTable``;
+    plain ``.parquet(path)`` silently drops the bucket spec — Spark
+    refuses the combination instead). The bucket count is a layout
+    contract: readers only get the exchange-free join between tables
+    whose counts MATCH (or divide, with
+    ``spark.sql.bucketing.coalesceBucketsInJoin.enabled``), so fix it
+    fleet-wide per key domain (pick ~(table size / 128 MB) at the
+    LARGEST table that will join, and reuse that count everywhere).
+    """
+    w = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table)

@@ -855,3 +855,33 @@ def test_batch_topk_namespaces_and_self_exclusion(spark):
     }
     # separate-namespace mode keeps the identical vector at rank 1
     assert got_all == {(1, 1): 1, (1, 2): 3, (1, 3): 2}
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Two tables written via write_bucketed on the same key/count join
+    with NO Exchange in the physical plan (the pay-the-shuffle-once-at-
+    write-time contract), and the join result matches the plain join."""
+    from mysql2psql_spark.operators.layout import write_bucketed
+
+    a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+    ta, tb = "bkt_a_t", "bkt_b_t"
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(a, ta, ["k"], 4)
+        write_bucketed(b, tb, ["k"], 4)
+        # disable broadcast so the join exercises the bucketed SMJ path
+        # (at real fact-table sizes neither side is broadcastable —
+        # that's the regime bucketing exists for; at test size the
+        # planner would otherwise just broadcast and skip the buckets)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(ta).join(spark.table(tb), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        got = {(r.k, r.va, r.vb) for r in joined.collect()}
+        assert got == {(i, i * 2, i * 3) for i in range(1000)}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
