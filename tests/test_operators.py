@@ -885,3 +885,20 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_connected_components_long_chain_distributed(spark):
+    """A 12-node path (diameter 11) through the distributed path: the
+    per-round convergence check (r8) must keep running batches until the
+    min label reaches the far end — an early stop would strand suffix
+    nodes on intermediate labels."""
+    from mysql2psql_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "doc_a bigint, doc_b bigint"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert got == {i: 1 for i in range(1, 13)}
