@@ -366,6 +366,11 @@ def main(argv: list[str] | None = None) -> int:
         emb = load_table(spark, src, "embeddings")
         probes = spark.read.parquet(args.ann_probes)
         probe_id = "probe_id" if "probe_id" in probes.columns else "vec_id"
+        if probe_id not in probes.columns or "embedding" not in probes.columns:
+            p.error(
+                f"--ann-probes parquet must have (probe_id|vec_id, embedding) "
+                f"columns; found {probes.columns}"
+            )
         out_path = args.ann_out or os.path.join(
             args.out, args.database, "ann_topk.parquet"
         )

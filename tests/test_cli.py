@@ -301,3 +301,19 @@ def test_cli_ann_probes_accepts_vec_id_column(spark, tmp_path, capsys):
         f"SELECT probe_id, vec_id, rnk FROM read_parquet('{tmp_path}/topk.parquet/*.parquet')"
     ).fetchall()[0]
     assert row[0] == 0 and row[1] != 0 and row[2] == 1
+
+
+def test_cli_ann_probes_rejects_bad_schema(spark, tmp_path):
+    """A probe parquet without (probe_id|vec_id, embedding) must fail
+    with a clear argparse error, not an opaque analyzer exception."""
+    import pytest
+
+    from mysql2psql_spark.cli import main as cli_main
+
+    probes_path = str(tmp_path / "bad.parquet")
+    spark.range(3).selectExpr("id AS foo").write.parquet(probes_path)
+    with pytest.raises(SystemExit):
+        cli_main(
+            ["anndb", "--source", f"parquet:{SF_DIR}", "--out", str(tmp_path / "o"),
+             "--ann-probes", probes_path]
+        )
