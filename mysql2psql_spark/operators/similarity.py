@@ -71,6 +71,7 @@ def batch_topk(
     probe_id_col: str = "probe_id",
     probe_vec_col: str = "embedding",
     exclude_self: bool = True,
+    fanout: int = 64,
 ) -> DataFrame:
     """Exact top-k neighbors for EVERY probe in ONE corpus pass — the
     batch serving stage (queries arrive in batches; the corpus scan is
@@ -79,11 +80,19 @@ def batch_topk(
     ordered by cos_sim desc with id tiebreak.
 
     The probe frame is small by construction and broadcast: the corpus
-    never shuffles for the scoring; the only exchange is the per-probe
-    window rank over |probes| partitions, each carrying the corpus
-    scores for one probe. ``exclude_self=True`` drops the probe's own
-    corpus row (probe ids drawn from the corpus id space); pass False
-    when probes live in a separate id namespace.
+    never shuffles for the scoring. The rank is TWO-PHASE: a local
+    row_number inside (probe, hash-bucket-of-candidate) partitions —
+    ``fanout`` buckets per probe, so the full |corpus| x |probes| score
+    exchange spreads over |probes| * fanout partitions — then a global
+    rank per probe over the <= fanout * k surviving rows. A single
+    per-probe window would funnel the ENTIRE corpus's scores for one
+    probe into one task (a guaranteed sort-spill straggler at corpus
+    scale); two-phase is exact for row_number because any global top-k
+    row is necessarily in its bucket's top-k under the same total order
+    (cos_sim desc, id asc — deterministic tiebreak). ``exclude_self=
+    True`` drops the probe's own corpus row (probe ids drawn from the
+    corpus id space); pass False when probes live in a separate id
+    namespace.
     """
     from pyspark.sql.window import Window as W
 
@@ -99,7 +108,14 @@ def batch_topk(
     if exclude_self:
         pairs = pairs.filter(F.col("id_a") != F.col("id_b"))
     scored = cosine_pairs_df(pairs)
-    w = W.partitionBy("id_b").orderBy(F.col("cos_sim").desc(), "id_a")
+    order = [F.col("cos_sim").desc(), F.col("id_a")]
+    if fanout > 1:
+        bucket = F.pmod(F.xxhash64("id_a"), F.lit(fanout))
+        wl = W.partitionBy(F.col("id_b"), bucket).orderBy(*order)
+        scored = scored.withColumn("lrnk", F.row_number().over(wl)).filter(
+            F.col("lrnk") <= k
+        )
+    w = W.partitionBy("id_b").orderBy(*order)
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
