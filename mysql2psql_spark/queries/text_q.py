@@ -535,9 +535,19 @@ def text_sample_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     d = load_table(spark, sf_dir, "documents")
-    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    # TWO-PHASE rank (r8, same shape as operators/similarity.py::
+    # batch_topk): a single per-lang window funnels the whole corpus's
+    # rows for one language into one task — a straggler at corpus scale
+    # when languages are few. Rank locally inside (lang, hash-bucket)
+    # first (any global top-40 row is in its bucket's top-40 under the
+    # same total order), then rank the <= 64*40 survivors per lang.
+    order = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+    wl = W.partitionBy("lang", F.pmod(F.xxhash64("doc_id"), F.lit(64))).orderBy(*order)
+    w = W.partitionBy("lang").orderBy(*order)
     return (
         d.select("doc_id", "lang")
+        .withColumn("lrn", F.row_number().over(wl))
+        .filter(F.col("lrn") <= 40)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 40)
         .select("doc_id", "lang")
