@@ -822,6 +822,11 @@ def o4_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w5_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale caveat (deliberate): percent_rank/cume_dist are inherently
+    # total-order per partition key — with few event types each window
+    # partition carries that type's whole event stream through one task.
+    # The corpus-scale variant is approx_percentile-threshold bucketing;
+    # kept exact here because the driver differential hashes every rank.
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("event_type").orderBy("value", "event_id")
     return e.select(

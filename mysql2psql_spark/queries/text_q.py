@@ -1012,6 +1012,14 @@ def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale caveat (deliberate): exact NTILE needs every row's global
+    # rank within its language — an inherent total-order computation, so
+    # the per-lang window partition carries that language's whole corpus
+    # through one task (unlike the top-k windows, which two-phase; rank
+    # 41 can be discarded early, a tertile boundary cannot). The corpus-
+    # scale variant of this gate is approx thresholds (percentile_approx
+    # on the length distribution, then a row-local CASE) — kept exact
+    # here because the driver differential hashes every assignment.
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
