@@ -1,4 +1,5 @@
-"""Graph analytics over DataFrame edge lists: PageRank and degrees.
+"""Graph analytics over DataFrame edge lists: PageRank, degrees,
+triangle counts.
 
 Authority scoring over a link graph is a standard corpus-quality signal
 for training-data pipelines (OPIC/PageRank-style weights over a web
@@ -178,3 +179,45 @@ def pagerank(
         else:
             ranks = nxt
     return ranks
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over an undirected graph given as
+    a DIRECTED (src, dst) edge list carrying both directions (the
+    ``undirected_edges`` output). Returns (node, n_triangles): the
+    number of triangles each node belongs to; the global triangle count
+    is ``sum(n_triangles) / 3``.
+
+    Scale shape — canonical orientation then wedge-close: each
+    undirected edge is kept once as (lo, hi); wedges (a < b < c) come
+    from joining the oriented list with itself on the middle vertex, and
+    a wedge closes iff its (a, c) chord is itself an oriented edge — an
+    inner join back to the (distinct) edge list, so every triangle is
+    found EXACTLY once with no post-hoc dedup. All three steps are
+    hash-partitioned joins on vertex keys; nothing is quadratic in the
+    graph (wedge count is sum of C(deg, 2) over the orientation, the
+    standard node-iterator bound). Skewed hubs bound the wedge side:
+    id-orientation caps a < b < c enumeration at the ordered degree, and
+    AQE's skew split handles residual hot vertices (the r8 hot-key probe
+    pattern).
+
+    The triangle count is an engine-extension graph-quality signal
+    (spam/link-farm detection weights densely-clustered neighborhoods;
+    the reference has no graph surface).
+    """
+    und = edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    ab = und.alias("ab")
+    bc = und.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("bc")
+    wedges = ab.join(bc, F.col("ab.b") == F.col("bc.b")).select(
+        F.col("ab.a").alias("a"), F.col("ab.b").alias("b"), F.col("bc.c").alias("c")
+    )
+    chord = und.select(F.col("a"), F.col("b").alias("c"))
+    tri = wedges.join(chord, ["a", "c"])
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return per_node

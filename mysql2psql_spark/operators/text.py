@@ -258,3 +258,44 @@ def hash_sample(key: Column, rate_percent: Column) -> Column:
     draws need. md5 (not xxhash64) so SQL oracles reproduce it exactly."""
     bucket = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 100
     return bucket < rate_percent
+
+
+def approx_strata(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    n_strata: int = 3,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Attach a 1-based ``stratum`` column: which of ``n_strata``
+    per-group score bands each row falls in (1 = lowest scores) — the
+    CORPUS-SCALE variant of exact per-group NTILE
+    (queries/text_q.py::text_quality_buckets documents the trade).
+
+    Exact NTILE needs every row's global rank inside its group, which
+    funnels a whole group through one window task. This shape never
+    ranks: per-group cut points come from one ``percentile_approx``
+    aggregation (a mergeable KLL-style sketch — map-side combined, so
+    the exchange carries one sketch per group per partition, not rows),
+    the cut table (|groups| rows) broadcasts, and the band is a
+    row-local comparison. Guarantees are the sketch's: each cut is a
+    true (p +/- 1/accuracy)-quantile, so band POPULATIONS can deviate
+    proportionally, and band assignment is always monotone in the score
+    (a higher score never lands in a lower stratum — the comparison is
+    against the same broadcast cuts for every row).
+    """
+    probs = [i / n_strata for i in range(1, n_strata)]
+    cuts = df.groupBy(group_col).agg(
+        F.percentile_approx(score_col, probs, accuracy).alias("cuts")
+    )
+    stratum = F.lit(1) + F.aggregate(
+        F.col("cuts"),
+        F.lit(0),
+        lambda acc, c: acc
+        + F.when(F.col(score_col) > c, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return (
+        df.join(F.broadcast(cuts), group_col)
+        .withColumn("stratum", stratum.cast("int"))
+        .drop("cuts")
+    )

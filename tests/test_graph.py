@@ -123,3 +123,50 @@ def test_degrees_bidirectional(spark):
     df = spark.createDataFrame(pairs, ["x", "y"])
     deg = {r["src"]: r["deg"] for r in degrees(undirected_edges(df, "x", "y")).collect()}
     assert deg == {"a": 2, "b": 1, "c": 1}
+
+
+def _ref_triangles(pairs):
+    """Brute-force per-node triangle counts."""
+    import itertools
+
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {n: 0 for n in adj}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                counts[n] += 1
+    return {n: c for n, c in counts.items() if c}
+
+
+def test_triangles_matches_bruteforce(spark):
+    from mysql2psql_spark.operators.graph import triangles
+
+    # K4 plus a pendant and a disconnected edge: K4 has 4 triangles,
+    # each K4 node in 3; pendant and isolated pair in none
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("d", "e"), ("x", "y")]
+    df = spark.createDataFrame(pairs, ["u", "v"])
+    got = {
+        r.node: r.n_triangles
+        for r in triangles(undirected_edges(df, "u", "v")).collect()
+    }
+    assert got == _ref_triangles(pairs) == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangles_random_graph(spark):
+    import random
+
+    from mysql2psql_spark.operators.graph import triangles
+
+    rng = random.Random(7)
+    nodes = list(range(30))
+    pairs = list({tuple(sorted(rng.sample(nodes, 2))) for _ in range(120)})
+    df = spark.createDataFrame(pairs, ["u", "v"])
+    got = {
+        r.node: r.n_triangles
+        for r in triangles(undirected_edges(df, "u", "v")).collect()
+    }
+    assert got == _ref_triangles(pairs)

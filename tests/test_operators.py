@@ -902,3 +902,29 @@ def test_connected_components_long_chain_distributed(spark):
         for r in connected_components(pairs, driver_threshold=0).collect()
     }
     assert got == {i: 1 for i in range(1, 13)}
+
+
+def test_approx_strata_monotone_and_balanced(spark):
+    """approx_strata: per-group bands are monotone in the score and,
+    at high sketch accuracy on clean data, population-balanced; the
+    no-window scale twin of exact NTILE (text_quality_buckets)."""
+    from mysql2psql_spark.operators.text import approx_strata
+
+    rows = [(g, i, float(i)) for g in ("en", "de") for i in range(300)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, score double")
+    out = approx_strata(df, "lang", "score", n_strata=3).collect()
+    by_group: dict = {}
+    for r in out:
+        by_group.setdefault(r.lang, []).append((r.score, r.stratum))
+    assert set(by_group) == {"en", "de"}
+    for vals in by_group.values():
+        vals.sort()
+        # monotone: stratum never decreases as score rises
+        strata = [s for _, s in vals]
+        assert strata == sorted(strata)
+        assert set(strata) == {1, 2, 3}
+        # balanced within sketch tolerance on 300 distinct values
+        from collections import Counter
+
+        c = Counter(strata)
+        assert all(80 <= c[k] <= 120 for k in (1, 2, 3)), c
