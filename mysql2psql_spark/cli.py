@@ -311,6 +311,15 @@ def main(argv: list[str] | None = None) -> int:
         help="neighbors per probe in --ann-probes mode (default 3)",
     )
     p.add_argument(
+        "--ann-include-self",
+        action="store_true",
+        help="in --ann-probes mode, keep corpus rows whose vec_id equals "
+        "the probe's id (exclude_self=False): REQUIRED when probe ids "
+        "live in a separate id namespace from corpus vec_ids, where the "
+        "default self-exclusion would silently drop the corpus row that "
+        "happens to share the number — possibly the true rank-1 neighbor",
+    )
+    p.add_argument(
         "--ann-out",
         default=None,
         metavar="DIR",
@@ -379,24 +388,41 @@ def main(argv: list[str] | None = None) -> int:
             probes,
             k=args.ann_topk,
             probe_id_col=probe_id,
-            # probe ids are interpreted in the corpus id space: a probe
-            # re-submitted from the corpus must not return itself
-            exclude_self=True,
+            # by default probe ids are interpreted in the corpus id
+            # space: a probe re-submitted from the corpus must not
+            # return itself; --ann-include-self switches to the
+            # separate-namespace contract (operator docstring)
+            exclude_self=not args.ann_include_self,
         )
-        result.write.mode("overwrite").parquet(out_path)
-        n = spark.read.parquet(out_path).count()
-        print(
-            json.dumps(
-                {
-                    "ann_topk": {
-                        "probes": probes.count(),
-                        "k": args.ann_topk,
-                        "rows": n,
-                        "out": out_path,
+        # ONE pass for serving + summary: persist the top-k frame, let
+        # the write job compute-and-cache it, then take both summary
+        # counts from the cache in a single tiny aggregation (the r8
+        # shape re-read the output parquet and ran a separate
+        # probes.count() — two extra jobs per invocation, ADVICE r8).
+        from pyspark.sql import functions as F
+        from pyspark.storagelevel import StorageLevel
+
+        result = result.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            result.write.mode("overwrite").parquet(out_path)
+            counts = result.agg(
+                F.count("*").alias("rows"),
+                F.count_distinct(F.col(probe_id)).alias("probes"),
+            ).collect()[0]
+            print(
+                json.dumps(
+                    {
+                        "ann_topk": {
+                            "probes": counts["probes"],
+                            "k": args.ann_topk,
+                            "rows": counts["rows"],
+                            "out": out_path,
+                        }
                     }
-                }
+                )
             )
-        )
+        finally:
+            result.unpersist()
         return 0
 
     if args.from_dump:

@@ -181,12 +181,22 @@ def pagerank(
     return ranks
 
 
-def triangles(edges: DataFrame) -> DataFrame:
+def triangles(edges: DataFrame, dedup_edges: bool = True) -> DataFrame:
     """Per-node triangle participation over an undirected graph given as
     a DIRECTED (src, dst) edge list carrying both directions (the
     ``undirected_edges`` output). Returns (node, n_triangles): the
     number of triangles each node belongs to; the global triangle count
     is ``sum(n_triangles) / 3``.
+
+    The oriented edge list MUST be distinct: duplicate edges multiply
+    the wedge and chord joins QUADRATICALLY, silently overcounting every
+    affected triangle (ADVICE r8). The default ``dedup_edges=True``
+    therefore dedupes the oriented (lo, hi) list here — one small
+    exchange relative to the wedge join, and the very shuffle the wedge
+    join's own ``a``-side repartition would pay anyway. Pass ``False``
+    ONLY when the input is already distinct per direction (e.g. the
+    ``undirected_edges(..., pairs_distinct=False)`` default output,
+    which dedupes internally) — mirroring ``pagerank(dedup_edges=...)``.
 
     Scale shape — canonical orientation then wedge-close: each
     undirected edge is kept once as (lo, hi); wedges (a < b < c) come
@@ -208,6 +218,8 @@ def triangles(edges: DataFrame) -> DataFrame:
     und = edges.filter(F.col("src") < F.col("dst")).select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     )
+    if dedup_edges:
+        und = und.dropDuplicates(["a", "b"])
     ab = und.alias("ab")
     bc = und.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("bc")
     wedges = ab.join(bc, F.col("ab.b") == F.col("bc.b")).select(

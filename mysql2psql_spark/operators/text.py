@@ -283,19 +283,27 @@ def approx_strata(
     proportionally, and band assignment is always monotone in the score
     (a higher score never lands in a lower stratum — the comparison is
     against the same broadcast cuts for every row).
+
+    Rows with a NULL score get a NULL stratum (they have no place in a
+    score ordering — surfacing them beats silently binning them into
+    band 1, ADVICE r8); a group whose scores are ALL NULL likewise gets
+    NULL strata (its cuts array is NULL). The internal cut-points column
+    is collision-safe against caller columns.
     """
     probs = [i / n_strata for i in range(1, n_strata)]
+    cuts_col = "__approx_strata_cuts__"
     cuts = df.groupBy(group_col).agg(
-        F.percentile_approx(score_col, probs, accuracy).alias("cuts")
+        F.percentile_approx(score_col, probs, accuracy).alias(cuts_col)
     )
-    stratum = F.lit(1) + F.aggregate(
-        F.col("cuts"),
+    band = F.lit(1) + F.aggregate(
+        F.col(cuts_col),
         F.lit(0),
         lambda acc, c: acc
         + F.when(F.col(score_col) > c, F.lit(1)).otherwise(F.lit(0)),
     )
+    stratum = F.when(F.col(score_col).isNotNull(), band.cast("int"))
     return (
         df.join(F.broadcast(cuts), group_col)
-        .withColumn("stratum", stratum.cast("int"))
-        .drop("cuts")
+        .withColumn("stratum", stratum)
+        .drop(cuts_col)
     )

@@ -1,0 +1,158 @@
+"""Interleaved-median bench: the committed measurement artifact for
+cross-round perf attribution on this host.
+
+Why this exists (r8 verdict #1): single bench artifacts on this host —
+even repeat=3 medians — are corrupted by ambient load spikes that
+ROTATE across queries between runs (BENCH_r08 read untouched
+``text_unigram_surprisal`` at 3.93 s vs its 0.33 s committed r7 floor,
+while r8-changed queries improved in the same artifact). Sequential
+per-query repeats sit inside one ambient window, so a spike poisons all
+of a query's samples at once. This harness instead runs the query set
+ROUND-ROBIN (query A rep 1, query B rep 1, ..., query A rep 2, ...) so
+each query's samples are spread across the whole session: an ambient
+window inflates at most one sample per query, which the median then
+discards. Per-rep host load averages are recorded so the artifact
+itself shows the conditions it was measured under.
+
+Output: ``BENCH_INTERLEAVED.json`` at the repo root (committed — unlike
+the driver-overwritten, gitignored BENCH_FULL.json), carrying per-query
+raw samples, medians, the recorded comparison floors, and the
+floor-ratio verdict per query.
+
+Usage::
+
+    python scripts/interleave_bench.py [--reps 7] [--queries a,b,c]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mysql2psql_spark.queries import QUERIES
+from mysql2psql_spark.session import get_spark
+
+# Comparison floors: committed r7 medians (BENCH_r07.json tail where it
+# survived the bounded capture; the r8 VERDICT's quoted values for the
+# rest — both are committed artifacts).
+FLOORS = {
+    "dedup_clusters": 1.90,
+    "text_unigram_surprisal": 0.325,
+    "dedup_keep_canonical": 2.01,
+    "graph_pagerank": 3.31,
+    "graph_degree_distribution": 1.85,
+    "dedup_embedding_cosine": 11.02,
+    "dedup_minhash_lsh": 1.52,
+    "s4_scan_projection": 0.151,
+}
+
+# The r8-flagged set (weak: clusters + surprisal; watch: pagerank),
+# their family neighbors, the O(n^2) anchor, and two untouched controls
+# whose floors bracket the time scale (one ~0.15 s scan, one ~1.5 s
+# shuffle pipeline).
+DEFAULT_QUERIES = [
+    "dedup_clusters",
+    "text_unigram_surprisal",
+    "dedup_keep_canonical",
+    "graph_pagerank",
+    "graph_degree_distribution",
+    "dedup_minhash_lsh",
+    "s4_scan_projection",
+    "dedup_embedding_cosine",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=7)
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument(
+        "--out",
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_INTERLEAVED.json",
+        ),
+    )
+    args = ap.parse_args()
+    names = [n for n in args.queries.split(",") if n]
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        ap.error(f"unknown queries: {unknown}")
+
+    spark = get_spark(app_name="mysql2psql_spark_interleave_bench")
+
+    # Same warmup discipline as bench.py: parquet footers, codegen
+    # machinery, Python worker pool, then each query's own plan shape at
+    # the smallest SF so Janino compile never lands in a measurement.
+    spark.read.parquet(f"{args.sf_dir}/lineitem.parquet").count()
+    from pyspark.sql import functions as F
+
+    small = spark.range(1000).select((F.col("id") % 10).alias("k"), F.col("id").alias("v"))
+    dim = spark.range(10).select(F.col("id").alias("k"))
+    small.join(dim.hint("broadcast"), "k").groupBy("k").agg(F.sum("v")).collect()
+
+    def _ident(batches):
+        yield from batches
+
+    spark.range(64).repartition(32).mapInPandas(_ident, "id long").count()
+    warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
+    for n in names:
+        QUERIES[n](spark, warm_dir).count()
+
+    def _release() -> None:
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
+
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    loads: list[float] = []
+    t_start = time.time()
+    for rep in range(args.reps):
+        loads.append(round(os.getloadavg()[0], 2))
+        for n in names:
+            _release()
+            t0 = time.perf_counter()
+            QUERIES[n](spark, args.sf_dir).count()
+            dt = time.perf_counter() - t0
+            samples[n].append(round(dt, 3))
+            print(f"# rep {rep + 1}/{args.reps} {n}: {dt:.3f}s", file=sys.stderr)
+
+    out = {
+        "metric": "interleaved_medians",
+        "protocol": (
+            "round-robin interleave: one sample per query per rep, state "
+            "released (clearCache + persistent-RDD sweep) before every "
+            "sample, plan shapes pre-warmed at sf0.001"
+        ),
+        "sf_dir": args.sf_dir,
+        "reps": args.reps,
+        "wall_sec": round(time.time() - t_start, 1),
+        "loadavg_per_rep": loads,
+        "queries": {},
+    }
+    for n in names:
+        med = statistics.median(samples[n])
+        row = {"samples": samples[n], "median": round(med, 3)}
+        if n in FLOORS:
+            row["floor_r7"] = FLOORS[n]
+            row["ratio_vs_floor"] = round(med / FLOORS[n], 3)
+        out["queries"][n] = row
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps({n: out["queries"][n].get("ratio_vs_floor") for n in names}))
+    print(f"# wrote {args.out}", file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

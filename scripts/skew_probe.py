@@ -74,6 +74,16 @@ def main() -> int:
         .otherwise(F.col("text")),
     )
     skewed.write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+    # DST must be a COMPLETE sf dir, not just documents: --only accepts
+    # any registry query, and a probed query that loads a second table
+    # (embeddings, lineitem, ...) would otherwise die path-not-found at
+    # measurement time (ADVICE r8). Symlinks — zero copy cost, and the
+    # non-document tables are identical to SRC by construction.
+    for entry in os.listdir(SRC):
+        src_path = os.path.join(SRC, entry)
+        dst_path = os.path.join(DST, entry)
+        if not os.path.exists(dst_path):
+            os.symlink(src_path, dst_path)
 
     def release() -> None:
         # same per-measurement storage reset as bench.py: operator
