@@ -208,6 +208,11 @@ HEADLINE = [
     "f9_fk_zero_to_null",
     "f11_time_guard",
     "sim_cosine_scores",
+    # round-10: the three operators that waited two rounds for a driver
+    # row (VERDICT r8 #2 / r9 #1)
+    "graph_triangles",
+    "text_approx_strata",
+    "o6_bucketed_join",
 ]
 
 

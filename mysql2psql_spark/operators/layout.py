@@ -113,6 +113,7 @@ def write_bucketed(
     sort: bool = True,
     mode: str = "overwrite",
     fmt: str = "parquet",
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` as a BUCKETED table: rows hash-distributed into
     ``n_buckets`` files per partition by ``keys`` (and, with ``sort``,
@@ -138,8 +139,16 @@ def write_bucketed(
     ``spark.sql.bucketing.coalesceBucketsInJoin.enabled``), so fix it
     fleet-wide per key domain (pick ~(table size / 128 MB) at the
     LARGEST table that will join, and reuse that count everywhere).
+
+    ``path`` pins the table data to an explicit location (external
+    table) instead of the session warehouse — callers running under a
+    DEFAULT-configured session (warehouse = ``$PWD/spark-warehouse``)
+    pass a scratch path so layout experiments never litter the caller's
+    working tree.
     """
     w = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *keys)
     if sort:
         w = w.sortBy(*keys)
+    if path is not None:
+        w = w.option("path", path)
     w.saveAsTable(table)

@@ -920,6 +920,61 @@ def o5_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# O6: bucketed co-located join — the write-time layout contract of
+# operators/layout.py::write_bucketed exercised end-to-end: orders and
+# lineitem are persisted ONCE per session as bucketed tables hashed on the
+# join key (the reference's D7 secondary indexes, libs/PsqlParser.py:405-
+# 420, play this pay-once-at-write role on the PostgreSQL side), and the
+# join then runs with NO exchange on either side — the scan's bucket spec
+# IS the join's required distribution, so EnsureRequirements inserts
+# nothing (plan pinned in tests/test_operators.py::
+# test_bucketed_join_is_exchange_free). At 100 TB this is THE fact-join
+# strategy: every downstream orderkey join is exchange-free forever. The
+# oracle is the plain join — bucketing must not change a single value.
+# ---------------------------------------------------------------------------
+@query(
+    "o6_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE)
+             AS sum_price
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def o6_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    from mysql2psql_spark.operators.layout import write_bucketed
+
+    # table identity carries the sf dir, so warmup (sf0.001) and measured
+    # (sf0.1) runs in one bench session get distinct layouts; the write
+    # runs once per session (the pay-the-shuffle-once contract — within a
+    # session, repeat runs measure the exchange-free join, which is the
+    # steady-state a production table amortizes to). Data lands under
+    # /tmp (external-table path), never the caller's cwd warehouse.
+    tag = _re.sub(r"\W+", "_", sf_dir.strip("/"))
+    t_orders, t_lines = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    scratch = f"/tmp/mysql2psql_spark_bucketed/{tag}"
+    if not spark.catalog.tableExists(t_orders):
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        write_bucketed(o, t_orders, ["o_orderkey"], 8, path=f"{scratch}/orders")
+    if not spark.catalog.tableExists(t_lines):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+        )
+        write_bucketed(li, t_lines, ["o_orderkey"], 8, path=f"{scratch}/lineitem")
+    joined = spark.table(t_orders).join(spark.table(t_lines), "o_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        _money(F.sum(_dec("l_extendedprice"))).alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # A6: winsorized statistics — per-group p05/p95 clipping (the standard
 # outlier-robust feature-prep transform) with EXACT interpolated
 # percentiles: Spark's `percentile` and DuckDB's `quantile_cont` use the

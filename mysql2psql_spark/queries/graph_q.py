@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mysql2psql_spark.operators.graph import pagerank, undirected_edges
+from mysql2psql_spark.operators.graph import pagerank, triangles, undirected_edges
 from mysql2psql_spark.queries import query
 from mysql2psql_spark.sources import load_table
 
@@ -139,3 +139,54 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("node_type"),
         F.col("deg").alias("degree"),
     ).agg(F.count("*").alias("n_nodes"))
+
+
+@query(
+    "graph_triangles",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT DISTINCT a.p AS a, b.p AS b
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+    w AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a),
+    t AS (SELECT w.a, w.b, w.c FROM w JOIN e ON e.a = w.a AND e.b = w.c),
+    pn AS (SELECT node, COUNT(*) AS n FROM (
+             SELECT a AS node FROM t
+             UNION ALL SELECT b AS node FROM t
+             UNION ALL SELECT c AS node FROM t) u GROUP BY node)
+    SELECT CAST(n // 100 AS BIGINT) AS tri_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(n) AS BIGINT) AS sum_triangles
+    FROM pn GROUP BY 1
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle-participation histogram over the part co-order graph
+    (parts are adjacent iff some order contains both) — the clustering
+    signal of operators/graph.py::triangles in an AGGREGATED shape: the
+    per-node counts roll up into width-100 participation buckets, so the
+    result stays ~20 rows however large the graph (the flagship
+    supplier<->customer graph is bipartite — zero triangles — hence this
+    co-occurrence projection; 413,718 triangles at sf0.01, ~1.88M probed
+    at sf0.1).
+
+    Scale shape: the edge list is built per order — groupBy(l_orderkey)
+    collects each order's distinct part set (bounded at 7 parts/order),
+    then two partition-local explodes enumerate the a < b pairs, so the
+    only edge-build exchange is the one order-keyed groupBy. The
+    wedge-close itself is operators/graph.py::triangles (canonical
+    orientation, hash joins on vertex keys, dedup_edges folds the
+    cross-order duplicate pairs away)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    parts = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    edges = (
+        parts.select(F.col("ps"), F.explode("ps").alias("src"))
+        .select("src", F.explode("ps").alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
+    )
+    per_node = triangles(edges, dedup_edges=True)
+    return per_node.groupBy(
+        F.expr("CAST(n_triangles DIV 100 AS BIGINT)").alias("tri_bucket")
+    ).agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("n_triangles").cast("bigint").alias("sum_triangles"),
+    )

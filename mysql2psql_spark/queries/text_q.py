@@ -1404,3 +1404,53 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-scale stratification: the scale-safe twin of text_quality_buckets.
+# That query's exact NTILE funnels each language's whole corpus through one
+# window task (documented caveat at text_quality_buckets); this one never
+# ranks — per-language cut points come from ONE percentile_approx
+# aggregation (mergeable sketch, map-side combined), the |langs|-row cut
+# table broadcasts, and each row's stratum is a row-local comparison
+# (operators/text.py::approx_strata). The oracle exploits that the sketch
+# is EXACT below its accuracy budget (group sizes here << 10,000): Spark's
+# exact-case quantile is the value at 1-based rank ceil(p*n), probed
+# across group sizes 5..218 before committing; DuckDB reproduces it with
+# ROW_NUMBER. Strata are monotone in score by construction (same broadcast
+# cuts for every row), NULL scores get NULL strata (ADVICE r8 pin).
+# ---------------------------------------------------------------------------
+@query(
+    "text_approx_strata",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang, CAST(LENGTH(text) AS DOUBLE) AS score FROM documents
+    ),
+    r AS (
+      SELECT lang, score,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM s WHERE score IS NOT NULL
+    ),
+    cuts AS (
+      SELECT lang,
+             MAX(CASE WHEN rn = CAST(CEIL(n / 3.0) AS BIGINT) THEN score END) AS c1,
+             MAX(CASE WHEN rn = CAST(CEIL(2.0 * n / 3.0) AS BIGINT) THEN score END) AS c2
+      FROM r GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang,
+           CASE WHEN s.score IS NULL THEN NULL
+                ELSE CAST(1 + (CASE WHEN s.score > c.c1 THEN 1 ELSE 0 END)
+                            + (CASE WHEN s.score > c.c2 THEN 1 ELSE 0 END) AS INT)
+           END AS stratum
+    FROM s LEFT JOIN cuts c USING (lang)
+    """,
+)
+def text_approx_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2psql_spark.operators.text import approx_strata
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").cast("double").alias("score")
+    )
+    out = approx_strata(d, "lang", "score", n_strata=3, accuracy=10_000)
+    return out.select("doc_id", "lang", "stratum")
