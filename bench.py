@@ -300,10 +300,20 @@ def main() -> None:
         print(f"# {name}: {times[name]:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+    # anchors are deliberate O(n^2) ground-truth baselines (recall
+    # oracles), ~12% of the headline sum: report them on their own line
+    # item so cross-round drift in the PIPELINE total isn't dominated by
+    # one by-design-quadratic query (VERDICT r8 #7 / r9 #5). "value"
+    # stays the all-queries total for cross-round continuity.
+    anchors = {"dedup_embedding_cosine"}
+    anchor_total = round(sum(v for k, v in times.items() if k in anchors), 3)
+    pipeline_total = round(total - anchor_total, 3)
     full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "pipeline_sec": pipeline_total,
+        "anchor_sec": anchor_total,
         "queries": times,
         "sf": float(sf),
         "repeat": repeat,
@@ -322,6 +332,8 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "pipeline_sec": pipeline_total,
+                "anchor_sec": anchor_total,
                 "n_queries": len(times),
                 "sf": float(sf),
                 "repeat": repeat,

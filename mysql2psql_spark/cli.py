@@ -405,15 +405,24 @@ def main(argv: list[str] | None = None) -> int:
         result = result.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             result.write.mode("overwrite").parquet(out_path)
+            # two distinct serving-log facts (ADVICE r9): probes_in is the
+            # input batch size (a probe with ZERO surviving neighbors —
+            # e.g. a self-excluded singleton — still counts as served);
+            # probes_matched is how many produced >=1 result row. The
+            # aggregate binds to the operator's FIXED output column
+            # 'probe_id', never the input column name — with a vec_id-named
+            # probe file the old F.col(probe_id) bound to the result's
+            # NEIGHBOR id column and silently counted neighbors.
             counts = result.agg(
                 F.count("*").alias("rows"),
-                F.count_distinct(F.col(probe_id)).alias("probes"),
+                F.count_distinct(F.col("probe_id")).alias("probes_matched"),
             ).collect()[0]
             print(
                 json.dumps(
                     {
                         "ann_topk": {
-                            "probes": counts["probes"],
+                            "probes_in": probes.count(),
+                            "probes_matched": counts["probes_matched"],
                             "k": args.ann_topk,
                             "rows": counts["rows"],
                             "out": out_path,

@@ -191,9 +191,12 @@ def triangles(edges: DataFrame, dedup_edges: bool = True) -> DataFrame:
     The oriented edge list MUST be distinct: duplicate edges multiply
     the wedge and chord joins QUADRATICALLY, silently overcounting every
     affected triangle (ADVICE r8). The default ``dedup_edges=True``
-    therefore dedupes the oriented (lo, hi) list here — one small
-    exchange relative to the wedge join, and the very shuffle the wedge
-    join's own ``a``-side repartition would pay anyway. Pass ``False``
+    therefore dedupes the oriented (lo, hi) list here. The dedup is its
+    own exchange — dropDuplicates clusters on the (a, b) PAIR hash,
+    which satisfies neither wedge-join side's single-vertex clustering
+    (ADVICE r9 corrected an earlier claim of exchange reuse) — but it
+    is edge-scale, small next to the wedge join it protects from
+    quadratic overcounting. Pass ``False``
     ONLY when the input is already distinct per direction (e.g. the
     ``undirected_edges(..., pairs_distinct=False)`` default output,
     which dedupes internally) — mirroring ``pagerank(dedup_edges=...)``.

@@ -82,7 +82,13 @@ def main() -> int:
     for entry in os.listdir(SRC):
         src_path = os.path.join(SRC, entry)
         dst_path = os.path.join(DST, entry)
-        if not os.path.exists(dst_path):
+        # lexists, not exists: a dangling symlink (SRC contents changed
+        # since the last run) reads as absent to exists(), and the
+        # recreate would die FileExistsError (ADVICE r9) — drop stale
+        # links and relink
+        if os.path.lexists(dst_path) and not os.path.exists(dst_path):
+            os.unlink(dst_path)
+        if not os.path.lexists(dst_path):
             os.symlink(src_path, dst_path)
 
     def release() -> None:

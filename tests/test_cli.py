@@ -250,7 +250,8 @@ def test_cli_ann_serving_mode(spark, tmp_path, capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["ann_topk"] == {
-        "probes": 3,
+        "probes_in": 3,
+        "probes_matched": 3,
         "k": 2,
         "rows": 6,
         "out": str(tmp_path / "out" / "anndb" / "ann_topk.parquet"),
@@ -297,10 +298,51 @@ def test_cli_ann_probes_accepts_vec_id_column(spark, tmp_path, capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["ann_topk"]["rows"] == 1
+    # the probe count must bind to the operator's fixed OUTPUT probe_id
+    # column — with a vec_id-named probe file, F.col("vec_id") would bind
+    # to the result's NEIGHBOR id column and count neighbors (ADVICE r9)
+    assert summary["ann_topk"]["probes_in"] == 1
+    assert summary["ann_topk"]["probes_matched"] == 1
     row = duckdb.sql(
         f"SELECT probe_id, vec_id, rnk FROM read_parquet('{tmp_path}/topk.parquet/*.parquet')"
     ).fetchall()[0]
     assert row[0] == 0 and row[1] != 0 and row[2] == 1
+
+
+def test_cli_ann_zero_neighbor_probe_counts(spark, tmp_path, capsys):
+    """A probe whose every candidate is self-excluded produces ZERO result
+    rows but still counts as SERVED: probes_in reports the input batch,
+    probes_matched the probes with >=1 neighbor (VERDICT r9 #6)."""
+    from mysql2psql_spark.cli import main as cli_main
+
+    src = tmp_path / "src"
+    one = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter("vec_id = 0")
+        .select("vec_id", "embedding")
+    )
+    one.write.parquet(str(src / "embeddings.parquet"))
+    probes_path = str(tmp_path / "probes.parquet")
+    one.selectExpr("vec_id AS probe_id", "embedding").write.parquet(probes_path)
+    rc = cli_main(
+        ["anndb", "--source", f"parquet:{src}", "--out", str(tmp_path / "out"),
+         "--ann-probes", probes_path, "--ann-topk", "3"]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["ann_topk"]["probes_in"] == 1
+    assert summary["ann_topk"]["probes_matched"] == 0
+    assert summary["ann_topk"]["rows"] == 0
+    # --ann-include-self flips the contract: the id-colliding corpus row
+    # is a legitimate neighbor in a separate probe-id namespace (r9 flag)
+    rc = cli_main(
+        ["anndb", "--source", f"parquet:{src}", "--out", str(tmp_path / "out2"),
+         "--ann-probes", probes_path, "--ann-topk", "3", "--ann-include-self"]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["ann_topk"]["probes_matched"] == 1
+    assert summary["ann_topk"]["rows"] == 1
 
 
 def test_cli_ann_probes_rejects_bad_schema(spark, tmp_path):

@@ -170,3 +170,24 @@ def test_triangles_random_graph(spark):
         for r in triangles(undirected_edges(df, "u", "v")).collect()
     }
     assert got == _ref_triangles(pairs)
+
+
+def test_triangles_duplicate_edges_not_overcounted(spark):
+    """A duplicate-bearing edge list (the ADVICE r8 scenario: raw
+    co-occurrence pairs repeat across groups) must count each triangle
+    once — dedup_edges=True (the r9 default) folds the duplicates away
+    before the wedge join, where they would multiply QUADRATICALLY."""
+    from mysql2psql_spark.operators.graph import triangles
+
+    base = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")]
+    dup = base * 3 + [("b", "a"), ("c", "a")]  # repeats + reversed repeats
+    df = spark.createDataFrame(dup, ["u", "v"])
+    edges = df.select(
+        df.u.alias("src"), df.v.alias("dst")
+    ).union(df.select(df.v.alias("src"), df.u.alias("dst")))
+    got = {r.node: r.n_triangles for r in triangles(edges).collect()}
+    assert got == _ref_triangles(base) == {"a": 1, "b": 1, "c": 1}
+    # dedup_edges=False on the same duplicate-bearing list overcounts —
+    # the guard exists precisely because this failure is silent
+    raw = {r.node: r.n_triangles for r in triangles(edges, dedup_edges=False).collect()}
+    assert raw["a"] > 1

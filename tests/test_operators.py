@@ -928,3 +928,23 @@ def test_approx_strata_monotone_and_balanced(spark):
 
         c = Counter(strata)
         assert all(80 <= c[k] <= 120 for k in (1, 2, 3)), c
+
+
+def test_approx_strata_null_scores(spark):
+    """NULL-score rows get NULL strata (not silently band 1 — the r9
+    semantics change, ADVICE r8), and a group whose scores are ALL NULL
+    keeps its rows with NULL strata rather than vanishing."""
+    from mysql2psql_spark.operators.text import approx_strata
+
+    rows = (
+        [("en", i, float(i)) for i in range(30)]
+        + [("en", 100, None), ("en", 101, None)]
+        + [("xx", 200, None), ("xx", 201, None)]  # all-NULL group
+    )
+    df = spark.createDataFrame(rows, "lang string, doc_id long, score double")
+    out = {r.doc_id: r.stratum for r in approx_strata(df, "lang", "score").collect()}
+    assert len(out) == 34  # every input row survives the cuts join
+    assert out[100] is None and out[101] is None
+    assert out[200] is None and out[201] is None
+    scored = [out[i] for i in range(30)]
+    assert None not in scored and set(scored) == {1, 2, 3}
