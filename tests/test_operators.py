@@ -948,3 +948,36 @@ def test_approx_strata_null_scores(spark):
     assert out[200] is None and out[201] is None
     scored = [out[i] for i in range(30)]
     assert None not in scored and set(scored) == {1, 2, 3}
+
+
+def test_distribution_ranks_matches_window(spark):
+    """The two-phase rank decomposition (operators/analytics.py) equals
+    the exact PERCENT_RANK/CUME_DIST window bit-for-bit on a unique
+    ordering key — including with duplicate VALUES straddling any cut
+    (equal values always share a range bucket, so cut placement can
+    never split a tie across the offset boundary)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from mysql2psql_spark.operators.analytics import distribution_ranks
+
+    rows = [("a", i, float(i % 17)) for i in range(400)] + [
+        ("b", i, 1.0) for i in range(7)  # all-tied partition
+    ] + [("c", 0, 5.0)]  # single-row partition: pct_rank must be 0, not NaN
+    df = spark.createDataFrame(rows, "k string, id long, v double")
+    got = {
+        (r.k, r.id): (r.rank, r.n, round(r.pct_rank, 9), round(r.cume, 9))
+        for r in distribution_ranks(df, "k", ["v", "id"], n_buckets=8).collect()
+    }
+    w = W.partitionBy("k").orderBy("v", "id")
+    want = {
+        (r.k, r.id): (r.rank, r.n, round(r.pct_rank, 9), round(r.cume, 9))
+        for r in df.select(
+            "k", "id",
+            F.row_number().over(w).alias("rank"),
+            F.count("*").over(W.partitionBy("k")).alias("n"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        ).collect()
+    }
+    assert got == want
