@@ -283,21 +283,41 @@ def main() -> None:
     # DEFAULT is 3 — the committed per-round artifact is a median run;
     # set SPARK_GRAFT_BENCH_REPEAT=1 for a quick single-shot sweep.
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")))
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES.get(name)
-        if fn is None:
-            continue
-        samples = []
-        n = 0
-        for _ in range(repeat):
+    # PASS-INTERLEAVED medians (r10): run the whole headline list `repeat`
+    # times and take each query's median ACROSS passes, instead of running
+    # one query's reps back-to-back. Back-to-back reps sit within ~2 s of
+    # each other, so a single multi-second ambient event (another process,
+    # a page-cache storm, a GC on a co-tenant) spans ALL of a query's
+    # samples and corrupts its median — exactly the signature of the
+    # r8/r9 text_unigram_surprisal mystery (two driver artifacts at ~4 s
+    # vs a 0.68 s interleaved floor for untouched code; the committed
+    # PROBE_SESSION_AGE.json replayed the full 153-query prefix in one
+    # session and measured the query at 0.369 s in position, refuting
+    # session-age/GC-debt as the mechanism and leaving time-localized
+    # interference). Pass-interleaving puts minutes between one query's
+    # samples, so no single event can cover a median. Same total work,
+    # same metric semantics.
+    samples: dict[str, list[float]] = {}
+    rows: dict[str, int] = {}
+    for p in range(repeat):
+        for name in HEADLINE:
+            fn = QUERIES.get(name)
+            if fn is None:
+                continue
             _release_persisted_rdds()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = df.count()
-            samples.append(time.perf_counter() - t0)
-        times[name] = round(sorted(samples)[len(samples) // 2], 3)
-        print(f"# {name}: {times[name]:.3f}s rows={n}", file=sys.stderr)
+            rows[name] = df.count()
+            samples.setdefault(name, []).append(time.perf_counter() - t0)
+        print(f"# pass {p + 1}/{repeat} done", file=sys.stderr)
+    times: dict[str, float] = {}
+    for name, s in samples.items():
+        times[name] = round(sorted(s)[len(s) // 2], 3)
+        print(
+            f"# {name}: {times[name]:.3f}s rows={rows[name]} "
+            f"samples={[round(x, 3) for x in s]}",
+            file=sys.stderr,
+        )
 
     total = round(sum(times.values()), 3)
     # anchors are deliberate O(n^2) ground-truth baselines (recall
