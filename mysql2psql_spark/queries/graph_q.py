@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mysql2psql_spark.operators.graph import pagerank, triangles, undirected_edges
+from mysql2psql_spark.operators.graph import (
+    pagerank,
+    triangles_adjacency,
+    undirected_edges,
+)
 from mysql2psql_spark.queries import query
 from mysql2psql_spark.sources import load_table
 
@@ -172,10 +176,15 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the edge list is built per order — groupBy(l_orderkey)
     collects each order's distinct part set (bounded at 7 parts/order),
     then two partition-local explodes enumerate the a < b pairs, so the
-    only edge-build exchange is the one order-keyed groupBy. The
-    wedge-close itself is operators/graph.py::triangles (canonical
-    orientation, hash joins on vertex keys, dedup_edges folds the
-    cross-order duplicate pairs away)."""
+    only edge-build exchange is the one order-keyed groupBy. The count
+    itself is operators/graph.py::triangles_adjacency — this graph's
+    degree is bounded (max 222 at sf0.1) while its wedge count is not
+    (49M wedges from 1.2M edges), exactly the regime where the
+    adjacency-intersect shape wins: interleaved medians at sf0.1 read
+    2.15 s vs 6.7 s for the wedge-join triangles(); the raw cross-order
+    duplicate pairs vanish inside collect_set, so no dedup exchange
+    exists at all. Both operators are pinned equal to brute force in
+    tests/test_graph.py."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     parts = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
     edges = (
@@ -183,7 +192,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", F.explode("ps").alias("dst"))
         .filter(F.col("src") < F.col("dst"))
     )
-    per_node = triangles(edges, dedup_edges=True)
+    per_node = triangles_adjacency(edges)
     return per_node.groupBy(
         F.expr("CAST(n_triangles DIV 100 AS BIGINT)").alias("tri_bucket")
     ).agg(

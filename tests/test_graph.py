@@ -191,3 +191,27 @@ def test_triangles_duplicate_edges_not_overcounted(spark):
     # the guard exists precisely because this failure is silent
     raw = {r.node: r.n_triangles for r in triangles(edges, dedup_edges=False).collect()}
     assert raw["a"] > 1
+
+
+def test_triangles_adjacency_matches_bruteforce_and_wedge(spark):
+    """The adjacency-intersect formulation (operators/graph.py::
+    triangles_adjacency) equals brute force AND the wedge-join
+    triangles() on a random graph, including with duplicate raw pairs
+    (collect_set absorbs them — no dedup exchange exists in this
+    shape)."""
+    import random
+
+    from mysql2psql_spark.operators.graph import triangles, triangles_adjacency
+
+    rng = random.Random(11)
+    nodes = list(range(25))
+    pairs = list({tuple(sorted(rng.sample(nodes, 2))) for _ in range(100)})
+    dup = pairs * 2  # duplicate-bearing raw input
+    df = spark.createDataFrame(dup, ["u", "v"])
+    edges = df.select(df.u.alias("src"), df.v.alias("dst"))
+    got = {r.node: r.n_triangles for r in triangles_adjacency(edges).collect()}
+    wedge = {
+        r.node: r.n_triangles
+        for r in triangles(undirected_edges(df, "u", "v")).collect()
+    }
+    assert got == _ref_triangles(pairs) == wedge
