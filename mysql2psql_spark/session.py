@@ -62,6 +62,18 @@ def get_spark(
         # for long-running sessions — the same setting a long-lived
         # cluster driver wants.
         .config("spark.cleaner.periodicGC.interval", "5min")
+        # The whole-stage-codegen class cache holds 100 generated classes
+        # by default; a session cycling through this engine's ~170 query
+        # shapes (x several codegen units each) THRASHES it, so every
+        # execution of a big-plan query pays Janino recompiles (measured
+        # r10: graph_triangles in an 11-shape rotation reads 3.40 s
+        # median at the default vs 1.93 s at 5000 — ~1.5 s of recompile
+        # per sample; the cache state at each position of a fixed query
+        # order is deterministic, which made the thrash look like a
+        # reproducible per-query regression across driver rounds). 4096
+        # comfortably holds every shape; the compiled-class footprint is
+        # a few hundred MB of metaspace on a 16 GB driver.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         .config("spark.ui.enabled", "false")
         # bucketed-table warehouse (co-located joins); kept off the repo tree
         .config(

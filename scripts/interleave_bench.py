@@ -50,6 +50,12 @@ FLOORS = {
     "dedup_embedding_cosine": 11.02,
     "dedup_minhash_lsh": 1.52,
     "s4_scan_projection": 0.151,
+    # r10 registrations: floors are their first committed interleaved
+    # medians (this round, fresh-session 5-run medians at sf0.1 under a
+    # ~1.3x-ambient control) — the baseline future rounds compare against.
+    "graph_triangles": 1.87,
+    "text_approx_strata": 0.35,
+    "o6_bucketed_join": 0.47,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),
@@ -65,6 +71,10 @@ DEFAULT_QUERIES = [
     "dedup_minhash_lsh",
     "s4_scan_projection",
     "dedup_embedding_cosine",
+    # r10 registrations
+    "graph_triangles",
+    "text_approx_strata",
+    "o6_bucketed_join",
 ]
 
 
