@@ -199,3 +199,14 @@ def test_ivf_lists_partitioned_write_prunes_on_probe(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[[^\]]*cluster[^\]]*\]", plan), plan
     want = assigned.filter(F.col("cluster").isin([0, 3, 7, 11])).count()
     assert probe.count() == want
+
+
+def test_session_pins_codegen_cache_and_cleaner(spark):
+    """The engine session must keep the two long-session-health configs:
+    the codegen class cache sized above the registry's shape count (the
+    default 100 thrashes across ~170 shapes and every big-plan query
+    pays Janino recompiles per execution — the r10 root cause of the
+    cross-round bench drift) and the 5-min periodic GC that keeps
+    ContextCleaner reclaiming shuffle/broadcast state."""
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 1024
+    assert spark.conf.get("spark.cleaner.periodicGC.interval") == "5min"
