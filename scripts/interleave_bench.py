@@ -38,24 +38,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from mysql2psql_spark.queries import QUERIES
 from mysql2psql_spark.session import get_spark
 
-# Comparison floors: committed r7 medians (BENCH_r07.json tail where it
-# survived the bounded capture; the r8 VERDICT's quoted values for the
-# rest — both are committed artifacts).
+# Comparison floors: per query, min(r7 committed median, r10
+# post-codegen-fix interleaved median). The r7 numbers were measured in
+# full-session benches whose codegen cache THRASHED (SURVEY §13 r10 root
+# cause), so several overstated the code's true floor — the r10 re-run
+# with spark.sql.codegen.cache.maxEntries=4096 under loadavg 4.7-7.0 is
+# the honest baseline for multi-shape sessions. Future regressions are
+# judged against the lower of the two.
 FLOORS = {
-    "dedup_clusters": 1.90,
-    "text_unigram_surprisal": 0.325,
-    "dedup_keep_canonical": 2.01,
-    "graph_pagerank": 3.31,
-    "graph_degree_distribution": 1.85,
-    "dedup_embedding_cosine": 11.02,
-    "dedup_minhash_lsh": 1.52,
-    "s4_scan_projection": 0.151,
-    # r10 registrations: floors are their first committed interleaved
-    # medians (this round, fresh-session 5-run medians at sf0.1 under a
-    # ~1.3x-ambient control) — the baseline future rounds compare against.
+    "dedup_clusters": 1.50,            # r7 1.90 -> r10 post-fix 1.500
+    "text_unigram_surprisal": 0.325,   # r7 floor stands (r10: 0.432)
+    "dedup_keep_canonical": 1.80,      # r7 2.01 -> r10 post-fix 1.796
+    "graph_pagerank": 2.96,            # r7 3.31 -> r10 post-fix 2.958
+    "graph_degree_distribution": 1.12, # r7 1.85 -> r10 post-fix 1.118
+    "dedup_embedding_cosine": 11.02,   # r7 floor stands (r10: 11.107)
+    "dedup_minhash_lsh": 1.13,         # r7 1.52 -> r10 post-fix 1.133
+    "s4_scan_projection": 0.151,       # r7 floor stands (r10: 0.165)
+    # r10 registrations: first post-fix interleaved medians
     "graph_triangles": 1.87,
-    "text_approx_strata": 0.35,
-    "o6_bucketed_join": 0.47,
+    "text_approx_strata": 0.27,
+    "o6_bucketed_join": 0.28,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),

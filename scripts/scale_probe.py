@@ -58,6 +58,17 @@ PROBED = [
     "m3_scd2_history",
     "m4_cdc_apply",
     "m6_row_checksums",
+    # round-10 registrations: triangles rides the lineitem replication
+    # (5x raw pair volume into the SAME distinct graph — the collect_set
+    # dedup absorbs the multiplicity, so the triangle stages should stay
+    # ~flat while the edge build grows linearly); o6 rides lineitem +
+    # orders (5x fact rows through the bucketed write + exchange-free
+    # join); approx_strata rides documents (5x per-language density
+    # through the percentile sketch — sketch size is constant, so the
+    # aggregation should scale with the scan).
+    "graph_triangles",
+    "o6_bucketed_join",
+    "text_approx_strata",
 ]
 
 
