@@ -238,35 +238,71 @@ def triangles(edges: DataFrame, dedup_edges: bool = True) -> DataFrame:
     return per_node
 
 
-def triangles_adjacency(edges: DataFrame) -> DataFrame:
+def triangles_adjacency(edges: DataFrame, orient: str = "id") -> DataFrame:
     """Per-node triangle participation via ADJACENCY-ARRAY intersection —
     same contract as :func:`triangles` (directed edge list carrying both
     directions in, (node, n_triangles) out), chosen when per-node degree
-    is BOUNDED (co-occurrence graphs capped by group width, k-NN graphs,
-    …): interleaved 4-run medians at sf0.1 (1.2M edges, 49M wedges,
-    1.88M triangles) read 2.15 s vs 6.7 s for the wedge join, because no
-    wedge row ever materializes or shuffles.
+    is bounded or moderately skewed: interleaved medians at sf0.1 (1.2M
+    edges, 49M wedges, 1.88M triangles) read 2.15 s vs 6.7 s for the
+    wedge join, because no wedge row ever materializes or shuffles.
 
-    Shape: one hash aggregation builds the id-oriented adjacency list
-    (collect_set on the raw a < b pairs — the set dedupes, so no
+    Shape: one hash aggregation builds the oriented adjacency list
+    (collect_set on the raw oriented pairs — the set dedupes, so no
     separate dropDuplicates exchange), the oriented edge list is
-    recovered by EXPLODING it (each edge arrives carrying out(a) for
-    free), and one hash join attaches out(b). Each edge's triangle
-    closers are then ``array_intersect(out(a), out(b))`` — a row-local,
-    codegen'd set probe over arrays whose lengths the degree bound caps;
-    the join is inner because an edge whose head has no out-neighbors
-    closes nothing. Per-node counts: edge (a, b) with k closers adds k
-    to a, k to b, and 1 to every closer — one explode of
-    (2 + k)-element structs into the counting aggregate. Total work is
-    sum-of-degrees element probes, NOT sum-of-C(deg,2) wedge rows.
+    recovered by EXPLODING it (each edge arrives carrying out(u) for
+    free), and one hash join attaches out(v). Each edge's triangle
+    closers are then ``array_intersect(out(u), out(v))`` — a row-local,
+    codegen'd set probe; the join is inner because an edge whose head
+    has no out-neighbors closes nothing. Per-node counts: edge (u, v)
+    with k closers adds k to u, k to v, and 1 to every closer — one
+    explode of (2 + k)-element structs into the counting aggregate.
+    Total work is sum-of-degrees element probes, NOT sum-of-C(deg,2)
+    wedge rows.
 
-    The HUB caveat: a node's whole (higher-id) neighbor set must fit in
-    one array row. Fine up to ~1e6-degree hubs; for unbounded power-law
-    graphs use :func:`triangles`, whose wedge join never widens a row.
+    ``orient`` picks the vertex total order that directs each edge (any
+    consistent order finds every triangle exactly once, at its least
+    vertex):
+
+    - ``"id"`` (default): cheapest build (one aggregation, no degree
+      pass). Correct always, but out(u) is carried by EVERY edge u owns,
+      so the streamed bytes are sum(outdeg^2) — a LOW-id hub owns its
+      whole neighborhood and the duplication explodes quadratically.
+      Measured at sf0.1 with a 44k-degree hub on 30% of orders: 2.2 s
+      when the hub id is high (it owns nothing), 18.6 s when low.
+    - ``"degree"``: orient toward the higher (degree, id) endpoint —
+      hubs never own a list, out-degree is bounded ~sqrt(2m), and
+      streamed bytes are bounded m*sqrt(2m) (the classical
+      node-iterator++ guarantee). Degree comes from the RAW pair
+      multiset (no dedup pass needed — ANY consistent order is correct,
+      and raw multiplicity ranks hubs the same). Costs a degree
+      aggregation + two node-table joins: 3.5 s uniform / 3.4-4.3 s on
+      BOTH hub placements at sf0.1. Pick it whenever hub ids are not
+      known to be benign.
+
+    For unbounded power-law hubs (neighbor array too wide for one row)
+    use :func:`triangles`, whose wedge join never widens a row.
     """
     from mysql2psql_spark.operators.materialize import materialize
 
     raw = edges.filter(F.col("src") < F.col("dst"))
+    if orient == "degree":
+        deg = (
+            raw.select(F.explode(F.array("src", "dst")).alias("n"))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        da = deg.select(F.col("n").alias("src"), F.col("d").alias("_da"))
+        db = deg.select(F.col("n").alias("dst"), F.col("d").alias("_db"))
+        j = raw.join(da, "src").join(db, "dst")
+        src_first = (F.col("_da") < F.col("_db")) | (
+            (F.col("_da") == F.col("_db")) & (F.col("src") < F.col("dst"))
+        )
+        raw = j.select(
+            F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("src"),
+            F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+        )
+    elif orient != "id":
+        raise ValueError(f"orient must be 'id' or 'degree', got {orient!r}")
     # adj feeds BOTH sides of the closer join — materialize, or the whole
     # producing pipeline (edge scan + collect_set shuffle) executes twice
     # (measured: the unmaterialized first cut read 5.0 s vs 2.15 s at

@@ -215,3 +215,27 @@ def test_triangles_adjacency_matches_bruteforce_and_wedge(spark):
         for r in triangles(undirected_edges(df, "u", "v")).collect()
     }
     assert got == _ref_triangles(pairs) == wedge
+
+
+def test_triangles_adjacency_degree_orientation(spark):
+    """orient='degree' (the hub-shielded mode) finds exactly the same
+    per-node counts as orient='id' and brute force — any consistent
+    vertex total order counts each triangle once at its least vertex."""
+    import random
+
+    from mysql2psql_spark.operators.graph import triangles_adjacency
+
+    rng = random.Random(13)
+    nodes = list(range(20))
+    pairs = list({tuple(sorted(rng.sample(nodes, 2))) for _ in range(90)})
+    # add a low-id hub (node 0 connected to everything): the id-oriented
+    # worst case the degree orientation exists for
+    pairs = sorted(set(pairs) | {(0, n) for n in nodes if n != 0})
+    df = spark.createDataFrame(pairs, ["u", "v"])
+    edges = df.select(df.u.alias("src"), df.v.alias("dst"))
+    by_id = {r.node: r.n_triangles for r in triangles_adjacency(edges).collect()}
+    by_deg = {
+        r.node: r.n_triangles
+        for r in triangles_adjacency(edges, orient="degree").collect()
+    }
+    assert by_id == by_deg == _ref_triangles(pairs)
