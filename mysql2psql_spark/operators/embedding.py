@@ -440,29 +440,26 @@ def ann_topk_ivf(
     )
 
 
-def ann_topk_lsh(
+def lsh_scored_candidates(
     emb: DataFrame,
     probe_id: int,
-    k: int = 10,
     max_hamming: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: list[list[float]] | None = None,
 ) -> DataFrame:
-    """Approximate top-k by cosine: prune to signatures within
-    `max_hamming` of the probe's, exact-score the survivors.
+    """The shared candidate stage of hyperplane-LSH ANN: (id, hamming,
+    cos_sim) for every corpus row whose signature is within
+    ``max_hamming`` of the probe's — ONE Arrow matmul pass, cosine only
+    for survivors, hamming RETAINED so callers evaluating several
+    budgets at once (the ``sim_lsh_budget_sweep`` tuning curve) score
+    the corpus once at the widest budget and derive every tighter
+    budget by a row-local filter (budget-b candidates are exactly the
+    h <= b subset under the same signature).
 
     The probe's vector and signature are resolved DRIVER-SIDE (a bounded
     1-row collect, like ann_topk_ivf's centroid read) and enter the plan
-    as literals; the corpus side is ONE Arrow matmul pass that carries
-    the vector through alongside the signature — no corpus self-join, no
-    shuffle, and the signature pass executes exactly once (the previous
-    shape consumed the mapInPandas output from two filter subtrees,
-    which re-executes the matmul per consumer — there is no exchange for
-    the runtime stage cache to dedupe on). The scored set shrinks by the
-    bucket selectivity (~sum_{i<=h} C(B,i)/2^B of the corpus for random
-    data, much sharper for clustered data); final top-k is
-    TakeOrderedAndProject.
+    as literals; no corpus self-join, no shuffle.
     """
     planes = planes or hyperplanes()
     probe_row = emb.filter(F.col(id_col) == probe_id).select(vec_col).head()
@@ -478,12 +475,38 @@ def ann_topk_lsh(
     ).select(F.col(id_col), F.get("keys", 0).alias("sig"), F.col(vec_col))
     hamming = F.bit_count(F.col("sig").bitwiseXOR(F.lit(q_sig)))
     q_vec = F.array(*[F.lit(float(x)) for x in probe_row[0]])
+    return sig.filter(
+        (F.col(id_col) != probe_id) & (hamming <= max_hamming)
+    ).select(
+        F.col(id_col),
+        hamming.cast("int").alias("hamming"),
+        F.round(cosine(F.col(vec_col), q_vec), 6).alias("cos_sim"),
+    )
+
+
+def ann_topk_lsh(
+    emb: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    max_hamming: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k by cosine: prune to signatures within
+    `max_hamming` of the probe's, exact-score the survivors
+    (:func:`lsh_scored_candidates`), TakeOrderedAndProject the top k.
+    The signature pass executes exactly once (the pre-r5 shape consumed
+    the mapInPandas output from two filter subtrees, which re-executes
+    the matmul per consumer — there is no exchange for the runtime stage
+    cache to dedupe on). The scored set shrinks by the bucket
+    selectivity (~sum_{i<=h} C(B,i)/2^B of the corpus for random data,
+    much sharper for clustered data)."""
     return (
-        sig.filter((F.col(id_col) != probe_id) & (hamming <= max_hamming))
-        .select(
-            F.col(id_col),
-            F.round(cosine(F.col(vec_col), q_vec), 6).alias("cos_sim"),
+        lsh_scored_candidates(
+            emb, probe_id, max_hamming, id_col=id_col, vec_col=vec_col, planes=planes
         )
+        .select(F.col(id_col), "cos_sim")
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )

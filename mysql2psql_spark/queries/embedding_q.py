@@ -458,12 +458,27 @@ def sim_lsh_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mysql2psql_spark.queries.similarity_q import sim_cosine_topk
 
+    from mysql2psql_spark.operators.embedding import lsh_scored_candidates
+    from mysql2psql_spark.operators.materialize import materialize
+
     emb = load_table(spark, sf_dir, "embeddings")
     exact = sim_cosine_topk(spark, sf_dir).select("vec_id")
+    # score the corpus ONCE at the widest budget (hamming retained);
+    # each arm is then a row-local h <= b filter + top-k over the
+    # materialized candidate frame — budget-b candidates are exactly the
+    # h <= b subset, so the arms are identical to three independent
+    # ann_topk_lsh calls minus two signature+cosine corpus passes (the
+    # r10 rescan audit flagged this query at 5 parquet scans).
+    scored = materialize(
+        lsh_scored_candidates(emb, probe_id=0, max_hamming=8, planes=_PLANES)
+    )
     arms = None
     for budget in (4, 6, 8):
-        arm = ann_topk_lsh(emb, probe_id=0, k=10, max_hamming=budget, planes=_PLANES).select(
-            F.lit(budget).alias("budget"), "vec_id"
+        arm = (
+            scored.filter(F.col("hamming") <= budget)
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+            .limit(10)
+            .select(F.lit(budget).alias("budget"), "vec_id")
         )
         arms = arm if arms is None else arms.unionByName(arm)
     return (
