@@ -213,6 +213,10 @@ HEADLINE = [
     "graph_triangles",
     "text_approx_strata",
     "o6_bucketed_join",
+    # round-10 extension-surface additions: DSIR-style importance
+    # weights + deterministic label-propagation communities
+    "text_importance_weights",
+    "graph_label_propagation",
 ]
 
 

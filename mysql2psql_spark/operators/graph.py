@@ -341,3 +341,48 @@ def triangles_adjacency(edges: DataFrame, orient: str = "id") -> DataFrame:
         .select("s.node", "s.n")
     )
     return contrib.groupBy("node").agg(F.sum("n").cast("bigint").alias("n_triangles"))
+
+
+def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) over an undirected (src, dst)-both-directions edge list: every
+    vertex starts labeled with itself; each round it adopts the label
+    most frequent among its NEIGHBORS (not itself), ties broken toward
+    the smallest label so the result is deterministic and engine-portable
+    (the randomized-order variants of LPA are not). Returns (v, lbl)
+    after ``rounds`` synchronous rounds.
+
+    Engine extension — the reference has no graph surface; this is the
+    mode-label sibling of the min-label iteration inside
+    ``connected_components`` (operators/dedup.py), registered separately
+    because its fixed-round, tie-broken semantics admit an EXACT unrolled
+    SQL oracle where convergence-loop operators get rows-only checks.
+
+    Scale shape: each round is one neighbor-label join keyed on the edge
+    destination, one (v, lbl) hash agg with map-side partial counts, and
+    a per-vertex mode pick whose window sorts only a vertex's distinct
+    neighbor labels (bounded by degree — never the graph). The edge list
+    is consumed once per round plus once for the seed, so the caller-
+    visible frame is persisted here and released by the caller via
+    ``unmaterialize`` (or left to session teardown); labels frames chain
+    lineage only ``rounds`` deep — no checkpoint needed for small fixed
+    round counts.
+    """
+    from pyspark.sql.window import Window as W
+
+    from mysql2psql_spark.operators.materialize import materialize
+
+    und = materialize(edges.select(F.col("src").alias("v"), F.col("dst").alias("u")))
+    labels = und.select("v").distinct().withColumn("lbl", F.col("v"))
+    for _ in range(rounds):
+        nbr = und.join(
+            labels.select(F.col("v").alias("u"), "lbl"), "u"
+        ).select("v", "lbl")
+        counted = nbr.groupBy("v", "lbl").agg(F.count("*").alias("n"))
+        win = W.partitionBy("v").orderBy(F.col("n").desc(), F.col("lbl"))
+        labels = (
+            counted.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("v", "lbl")
+        )
+    return labels

@@ -199,3 +199,85 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_nodes"),
         F.sum("n_triangles").cast("bigint").alias("sum_triangles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities over the part co-order graph — the
+# community structure signal next to graph_triangles' clustering signal,
+# in the same AGGREGATED output shape (community-size histogram, ~tens of
+# rows however large the graph). Deterministic synchronous LPA (min-label
+# tie-break) admits an EXACT unrolled-CTE oracle, which the convergence-
+# loop operators (connected_components) cannot — this row is the driver's
+# exact-check window into the iterative-graph path.
+# ---------------------------------------------------------------------------
+_LPA_EDGE_SQL = """
+    op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT DISTINCT a.p AS a, b.p AS b
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+    und AS (SELECT a AS v, b AS u FROM e UNION ALL SELECT b AS v, a AS u FROM e),
+    l0 AS (SELECT v, v AS lbl FROM (SELECT DISTINCT v FROM und))
+"""
+
+_LPA_ROUND_SQL = """
+    {out} AS (
+      SELECT v, lbl FROM (
+        SELECT d.v, l.lbl,
+               ROW_NUMBER() OVER (PARTITION BY d.v
+                                  ORDER BY COUNT(*) DESC, l.lbl) AS rn
+        FROM und d JOIN {prev} l ON d.u = l.v
+        GROUP BY d.v, l.lbl
+      ) WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {_LPA_EDGE_SQL},
+    {_LPA_ROUND_SQL.format(out="r1", prev="l0")},
+    {_LPA_ROUND_SQL.format(out="r2", prev="r1")},
+    sz AS (SELECT lbl, COUNT(*) AS community_size FROM r2 GROUP BY lbl)
+    SELECT CAST(community_size AS BIGINT) AS community_size,
+           CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST(SUM(community_size) AS BIGINT) AS n_vertices
+    FROM sz GROUP BY 1
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous LPA rounds (operators/graph.py::label_propagation)
+    over the DISTINCT part co-order edges, rolled up into a community-size
+    histogram.
+
+    Scale shape: the edge build is the same one-exchange per-order
+    groupBy as graph_triangles (order part sets bounded at 7, two
+    partition-local explodes); the a < b pair dedup feeds
+    ``undirected_edges(pairs_distinct=True)`` so the doubling adds NO
+    second dedup exchange (forward and reversed copies cannot collide
+    under a < b). Each LPA round is one destination-keyed join + one
+    (v, lbl) hash agg + a degree-bounded per-vertex mode window — nothing
+    sorts or materializes the whole graph, and the undirected edge list
+    is persisted once for its rounds+1 consumers."""
+    from mysql2psql_spark.operators.graph import label_propagation
+    from mysql2psql_spark.operators.materialize import unmaterialize
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    parts = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    pairs = (
+        parts.select(F.col("ps"), F.explode("ps").alias("a"))
+        .select("a", F.explode("ps").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    und = undirected_edges(pairs, "a", "b", pairs_distinct=True)
+    labels = label_propagation(und, rounds=2)
+    sz = labels.groupBy("lbl").agg(F.count("*").alias("community_size"))
+    out = sz.groupBy("community_size").agg(
+        F.count("*").cast("bigint").alias("n_communities"),
+        F.sum("community_size").cast("bigint").alias("n_vertices"),
+    )
+    return out.select(
+        F.col("community_size").cast("bigint").alias("community_size"),
+        "n_communities",
+        "n_vertices",
+    )

@@ -1454,3 +1454,95 @@ def text_approx_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = approx_strata(d, "lang", "score", n_strata=3, accuracy=10_000)
     return out.select("doc_id", "lang", "stratum")
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every document by the
+# mean per-token log-ratio of a TARGET unigram LM (here the lang='en'
+# slice) over the RAW-corpus unigram LM, both Laplace-smoothed over the
+# shared corpus vocabulary. Docs whose token mix looks target-like score
+# high; importance resampling then keeps docs proportionally to exp(w).
+#
+# Scale shape: one vocabulary-sized hash-agg builds BOTH LMs in a single
+# pass (conditional count for the target slice), the scoring join is
+# token-keyed (map-side partial aggs on both sides), and the three corpus
+# scalars (token totals + vocab size) ride a 1-row broadcast — the mean
+# decomposes as (sum ln(tft+1) - sum ln(tfc+1))/n + ln(Tc+V) - ln(Tt+V),
+# so no per-token arithmetic ever touches a scalar subquery. The token
+# stream is scanned twice (LM build + rejoin) — the same deliberate trade
+# as text_unigram_surprisal: a pruned re-scan beats materializing the
+# exploded stream at corpus scale.
+# ---------------------------------------------------------------------------
+@query(
+    "text_importance_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+    ),
+    tf AS (
+      SELECT w,
+             COUNT(*) AS tfc,
+             COUNT(*) FILTER (WHERE lang = 'en') AS tft
+      FROM toks GROUP BY w
+    ),
+    scal AS (
+      SELECT CAST(SUM(tfc) AS DOUBLE) AS tc,
+             CAST(SUM(tft) AS DOUBLE) AS tt,
+             CAST(COUNT(*) AS DOUBLE) AS v
+      FROM tf
+    ),
+    per AS (
+      SELECT t.doc_id, t.lang,
+             COUNT(*) AS n_tokens,
+             SUM(LN(CAST(tf.tft + 1 AS DOUBLE))) AS slt,
+             SUM(LN(CAST(tf.tfc + 1 AS DOUBLE))) AS slc
+      FROM toks t JOIN tf USING (w)
+      GROUP BY t.doc_id, t.lang
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           -- + 0.0 normalizes IEEE -0.0 (DuckDB ROUND keeps the sign,
+           -- Spark's drops it; the driver hashes rendered values)
+           ROUND((slt - slc) / n_tokens
+                 + LN((SELECT tc + v FROM scal)) - LN((SELECT tt + v FROM scal)),
+                 6) + 0.0 AS dsir_logw
+    FROM per
+    """,
+)
+def text_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    tf = toks.groupBy("w").agg(
+        F.count("*").alias("tfc"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("tft"),
+    )
+    scal = tf.agg(
+        F.sum("tfc").cast("double").alias("tc"),
+        F.sum("tft").cast("double").alias("tt"),
+        F.count("*").cast("double").alias("v"),
+    )
+    per = (
+        toks.join(tf, "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.log(F.col("tft").cast("double") + 1.0)).alias("slt"),
+            F.sum(F.log(F.col("tfc").cast("double") + 1.0)).alias("slc"),
+        )
+    )
+    return per.crossJoin(F.broadcast(scal)).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (
+            F.round(
+                (F.col("slt") - F.col("slc")) / F.col("n_tokens")
+                + F.log(F.col("tc") + F.col("v"))
+                - F.log(F.col("tt") + F.col("v")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("dsir_logw"),
+    )

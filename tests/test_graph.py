@@ -239,3 +239,58 @@ def test_triangles_adjacency_degree_orientation(spark):
         for r in triangles_adjacency(edges, orient="degree").collect()
     }
     assert by_id == by_deg == _ref_triangles(pairs)
+
+
+def _ref_lpa(pairs, rounds):
+    """Pure-python synchronous LPA: mode of neighbor labels, ties to the
+    smallest label."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    labels = {v: v for v in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for v in adj:
+            c = Counter(labels[u] for u in adj[v])
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_matches_reference(spark):
+    """Two communities bridged by one edge: LPA labels must match the
+    deterministic pure-python reference, including the mode tie-break
+    toward the smaller label."""
+    import random
+
+    from mysql2psql_spark.operators.graph import label_propagation
+
+    rng = random.Random(7)
+    left = list(range(0, 10))
+    right = list(range(10, 20))
+    pairs = {tuple(sorted(rng.sample(left, 2))) for _ in range(40)}
+    pairs |= {tuple(sorted(rng.sample(right, 2))) for _ in range(40)}
+    pairs.add((9, 10))  # bridge
+    pairs = sorted(pairs)
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    und = undirected_edges(df, "a", "b", pairs_distinct=True)
+    for rounds in (1, 2, 3):
+        got = {r.v: r.lbl for r in label_propagation(und, rounds=rounds).collect()}
+        assert got == _ref_lpa(pairs, rounds), f"rounds={rounds}"
+
+
+def test_label_propagation_tie_breaks_to_smallest(spark):
+    """A vertex with two equally-frequent neighbor labels adopts the
+    smaller one — the determinism contract the SQL oracle unrolls."""
+    from mysql2psql_spark.operators.graph import label_propagation
+
+    # path 0-2-1: vertex 2 sees labels {0, 1} once each -> adopts 0
+    df = spark.createDataFrame([(0, 2), (1, 2)], ["a", "b"])
+    und = undirected_edges(df, "a", "b", pairs_distinct=True)
+    got = {r.v: r.lbl for r in label_propagation(und, rounds=1).collect()}
+    assert got[2] == 0
+    assert got == _ref_lpa([(0, 2), (1, 2)], 1)
