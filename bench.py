@@ -217,6 +217,7 @@ HEADLINE = [
     # weights + deterministic label-propagation communities
     "text_importance_weights",
     "graph_label_propagation",
+    "sim_ann_pq_adc_topk",
 ]
 
 

@@ -31,6 +31,7 @@ same signature + banding + verify logic in ANSI SQL.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -603,4 +604,120 @@ def ann_topk_ivf_rerank(
         .select(F.col("id_a").alias(id_col), "approx_score", "cos_sim")
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou et al. 2011): split each vector into m
+# subvectors, encode each against a small per-subspace codebook, search
+# with asymmetric-distance computation (ADC) — the memory-bound regime of
+# billion-scale ANN, complementing the IVF and LSH paths above.
+#
+# Exactness discipline: every element is first quantized to an integer
+# micro-grid — q(x) = round(x * 1e6) as BIGINT, computed identically by
+# Spark and the SQL oracle — after which ALL distances are pure int64
+# sums of squared differences: exact under any summation order, any
+# engine, and inside the Arrow kernel. (Same cross-engine integer-grid
+# discipline as pagerank's contributions; here it also makes the numpy
+# kernel bit-identical to the relational oracle by construction.)
+#
+# Why a pandas UDF for the encode (the one dense-numeric kernel in the
+# engine): the m*n_centroids distance argmin is 1,024 multiply-adds per
+# row at m=4, n=16, dim=64, and both built-in formulations measured
+# pathological on a 2,000-row corpus — higher-order-function folds
+# (aggregate(zip_with(...))) evaluate interpreted per element (~4 us/
+# element, 7.7 s/query), and flattening into per-element expressions
+# generates a 1,024-subexpression projection that Janino fails to
+# compile (InternalCompilerException at ~15k generated lines, falling
+# back to interpreted: 30 s/query). The Arrow-vectorized kernel does the
+# same int64 arithmetic in numpy at memory bandwidth. This is the
+# documented "built-ins genuinely can't express it efficiently" case
+# (SURVEY §2.12); the quantize step, ranking, and rerank stay JVM-side.
+# ---------------------------------------------------------------------------
+
+
+def quantize_elements(vec: Column, dim: int, scale: float = 1e6) -> Column:
+    """``round(x * scale)`` per element as ``array<bigint>`` — the
+    micro-grid quantization shared by the PQ operator and its oracle.
+
+    Emitted as a FLAT projection of ``dim`` small terms over the (once-
+    cast) array attribute: whole-stage codegen binds the cast array to a
+    local and evaluates 64 cheap scalar expressions; a ``transform()``
+    HOF would be interpreted per element per row."""
+    return F.array(
+        *[F.round(F.element_at(vec, d + 1) * scale).cast("bigint") for d in range(dim)]
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    codebook: list[list[list[int]]],
+    probe: list[int],
+    probe_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k: PQ-encode every corpus vector row-locally against the
+    broadcast ``codebook`` (m subspaces x n_centroids x sub_dim, already
+    on the integer micro-grid — quantize with :func:`quantize_elements`),
+    rank by the summed per-subspace LUT distances, exact-rerank the k
+    survivors. ``probe`` is the quantized probe vector.
+
+    Scale shape — the production PQ layout: NO shuffle touches the
+    corpus. Quantize is a flat JVM projection; encode+ADC is one Arrow
+    batch kernel per partition against the closure-broadcast codebook
+    (argmin ties break to the SMALLEST centroid id — np.argmin's first
+    minimum — which the oracle mirrors with ORDER BY d2n, c); the global
+    top-k is TakeOrderedAndProject (per-partition heads, never a full
+    sort); the exact rerank touches k rows. At 100 TB the cost is one
+    scan + k-row tail work, and the per-subspace codes are what a
+    serving layer would persist."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.window import Window as W
+
+    m = len(codebook)
+    n_centroids = len(codebook[0])
+    sub_dim = len(codebook[0][0])
+    dim = m * sub_dim
+    cb = np.asarray(codebook, dtype=np.int64)  # (m, nc, sub)
+    pv = np.asarray(probe, dtype=np.int64).reshape(m, sub_dim)
+    lut = ((cb - pv[:, None, :]) ** 2).sum(axis=-1)  # (m, nc) int64
+    j_idx = np.arange(m)
+
+    @pandas_udf("bigint")
+    def adc_udf(qemb: pd.Series) -> pd.Series:
+        if len(qemb) == 0:
+            return pd.Series([], dtype="int64")
+        x = np.stack(qemb.to_numpy()).astype(np.int64).reshape(-1, m, sub_dim)
+        d = ((x[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=-1)  # (N, m, nc)
+        codes = d.argmin(axis=-1)  # first min = smallest centroid id
+        return pd.Series(lut[j_idx[None, :], codes].sum(axis=1))
+
+    base = (
+        corpus.filter(F.col(id_col) != probe_id)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_emb"))
+        .select(F.col(id_col), quantize_elements(F.col("_emb"), dim).alias("_qemb"))
+    )
+    scored = (
+        base.select(F.col(id_col), "_qemb", adc_udf(F.col("_qemb")).alias("adc_d2n"))
+        .orderBy("adc_d2n", id_col)
+        .limit(k)
+    )
+    probe_lit = F.lit(probe).cast("array<bigint>")
+    ex = F.aggregate(
+        F.zip_with(F.col("_qemb"), probe_lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    win = W.orderBy("adc_d2n", id_col)
+    return (
+        scored.withColumn("ex_d2n", ex)
+        .withColumn("rnk", F.row_number().over(win).cast("int"))
+        .select(
+            id_col,
+            F.round(F.col("adc_d2n") / 1e12, 6).alias("adc_dist2"),
+            F.round(F.col("ex_d2n") / 1e12, 6).alias("exact_dist2"),
+            "rnk",
+        )
     )

@@ -193,3 +193,108 @@ def sim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same one-pass shape the CLI serving mode (--ann-probes) ships
     return batch_topk(emb, probes, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ADC search (operators/embedding.py::pq_adc_topk):
+# 4 subspaces x 16 centroids over the 64-dim embeddings; codebook = the
+# quantized subvectors of the 16 lowest-vec_id rows (a stand-in for an
+# offline k-means codebook — deterministic, so the oracle can rebuild
+# it), probe = the highest-vec_id row. Every element is first quantized
+# to the integer micro-grid q(x) = round(x*1e6)::BIGINT by BOTH engines;
+# all distances are then pure int64 sums of squared differences, making
+# the per-subspace argmin (ties -> smallest centroid id) and the ADC
+# ranking bit-identical between Spark's Arrow kernel and the oracle's
+# position-exploded GROUP BY — integer sums are exact under any order.
+# Output: ADC top-10 with the exact reranked distance beside the
+# quantized one (the recall diagnostic a serving layer logs).
+# ---------------------------------------------------------------------------
+_PQ_M, _PQ_NC, _PQ_SUB = 4, 16, 16
+
+
+@query(
+    "sim_ann_pq_adc_topk",
+    oracle=f"""
+    WITH el AS (
+      SELECT e.vec_id, t.i, CAST((t.i - 1) // {_PQ_SUB} AS INT) AS j,
+             CAST(ROUND(CAST(e.embedding[t.i] AS DOUBLE) * 1e6) AS BIGINT) AS qx
+      FROM embeddings e CROSS JOIN RANGE(1, {_PQ_M * _PQ_SUB} + 1) t(i)
+    ),
+    probe AS (SELECT MAX(vec_id) AS pid FROM embeddings),
+    cb AS (
+      SELECT vec_id AS c, i, j, qx FROM el
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_PQ_NC})
+    ),
+    enc AS (
+      SELECT el.vec_id, el.j, cb.c,
+             CAST(SUM((el.qx - cb.qx) * (el.qx - cb.qx)) AS BIGINT) AS d2n
+      FROM el JOIN cb ON el.i = cb.i
+      GROUP BY el.vec_id, el.j, cb.c
+    ),
+    codes AS (
+      SELECT vec_id, j, c FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2n, c) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT j, c, d2n FROM enc WHERE vec_id = (SELECT pid FROM probe)
+    ),
+    adc AS (
+      SELECT codes.vec_id, CAST(SUM(lut.d2n) AS BIGINT) AS adc_d2n
+      FROM codes JOIN lut ON codes.j = lut.j AND codes.c = lut.c
+      GROUP BY codes.vec_id
+    ),
+    topk AS (
+      SELECT vec_id, adc_d2n FROM adc
+      WHERE vec_id != (SELECT pid FROM probe)
+      ORDER BY adc_d2n, vec_id LIMIT 10
+    ),
+    exact AS (
+      SELECT a.vec_id,
+             CAST(SUM((a.qx - p.qx) * (a.qx - p.qx)) AS BIGINT) AS ex_d2n
+      FROM el a JOIN el p ON a.i = p.i AND p.vec_id = (SELECT pid FROM probe)
+      WHERE a.vec_id IN (SELECT vec_id FROM topk)
+      GROUP BY a.vec_id
+    )
+    SELECT t.vec_id,
+           ROUND(t.adc_d2n / 1e12, 6) AS adc_dist2,
+           ROUND(x.ex_d2n / 1e12, 6) AS exact_dist2,
+           CAST(ROW_NUMBER() OVER (ORDER BY t.adc_d2n, t.vec_id) AS INT) AS rnk
+    FROM topk t JOIN exact x USING (vec_id)
+    """,
+)
+def sim_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2psql_spark.operators.embedding import pq_adc_topk, quantize_elements
+
+    dim = _PQ_M * _PQ_SUB
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qframe = emb.select(
+        "vec_id",
+        quantize_elements(F.col("embedding").cast("array<double>"), dim).alias("qemb"),
+    )
+    # codebook + probe are ONE counted-small collect (n_centroids rows via
+    # a top-k scan + the 1 max-id probe row, unioned into a single job) —
+    # the same bounded-driver-state pattern as the IVF centroid build;
+    # quantization happens IN SPARK so the collected integers are exactly
+    # the engine's own grid. Sorted driver-side so the split does not
+    # depend on union collect order.
+    rows = sorted(
+        qframe.orderBy("vec_id")
+        .limit(_PQ_NC)
+        .unionAll(qframe.orderBy(F.col("vec_id").desc()).limit(1))
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    cb_rows, probe_row = rows[:_PQ_NC], rows[-1]
+    codebook = [
+        [[int(v) for v in row.qemb[j * _PQ_SUB : (j + 1) * _PQ_SUB]] for row in cb_rows]
+        for j in range(_PQ_M)
+    ]
+    return pq_adc_topk(
+        emb,
+        codebook,
+        [int(v) for v in probe_row.qemb],
+        probe_id=probe_row.vec_id,
+        k=10,
+    )

@@ -981,3 +981,70 @@ def test_distribution_ranks_matches_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_pq_adc_topk_matches_python_reference(spark):
+    """PQ encode + ADC rank against a pure-python reference on the same
+    integer micro-grid — pins the element quantization, the argmin
+    tie-break (first minimum = smallest centroid id), and the
+    exact-rerank column."""
+    import math
+    import random
+
+    from mysql2psql_spark.operators.embedding import pq_adc_topk
+
+    rng = random.Random(11)
+    dim, m, nc = 8, 2, 4
+    sub = dim // m
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)]) for i in range(40)
+    ]
+    # force an encode tie: vectors 30 and 31 identical, and centroid 2
+    # duplicates centroid 1 in subspace 0 so argmin sees equal distances
+    rows[31] = (31, list(rows[30][1]))
+
+    # element quantization: round-half-up of x*1e6, matching Spark ROUND
+    # (3-decimal inputs keep the product far from any .5 boundary)
+    def q(x):
+        return int(math.floor(x * 1e6 + 0.5)) if x >= 0 else -int(
+            math.floor(-x * 1e6 + 0.5)
+        )
+
+    qrows = {vid: [q(v) for v in vec] for vid, vec in rows}
+    codebook = [
+        [qrows[c][j * sub : (j + 1) * sub] for c in range(nc)] for j in range(m)
+    ]
+    codebook[0][2] = list(codebook[0][1])
+    probe_id = rows[-1][0]
+    probe = qrows[probe_id]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def ref():
+        scored = []
+        for vid, _ in rows:
+            if vid == probe_id:
+                continue
+            qv = qrows[vid]
+            adc = 0
+            for j in range(m):
+                s = qv[j * sub : (j + 1) * sub]
+                dists = [d2(s, codebook[j][c]) for c in range(nc)]
+                code = dists.index(min(dists))  # first min = smallest c
+                adc += d2(probe[j * sub : (j + 1) * sub], codebook[j][code])
+            scored.append((adc, vid, d2(qv, probe)))
+        scored.sort()
+        return [
+            (vid, round(adc / 1e12, 6), round(ex / 1e12, 6), r + 1)
+            for r, (adc, vid, ex) in enumerate(scored[:10])
+        ]
+
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = [
+        (r.vec_id, r.adc_dist2, r.exact_dist2, r.rnk)
+        for r in pq_adc_topk(df, codebook, probe, probe_id=probe_id, k=10)
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert got == ref()
