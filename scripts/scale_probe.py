@@ -69,6 +69,15 @@ PROBED = [
     "graph_triangles",
     "o6_bucketed_join",
     "text_approx_strata",
+    # round-10 late additions: label propagation rides the lineitem
+    # replication like triangles (5x raw pair volume, same distinct
+    # graph); DSIR importance weights ride documents (5x corpus through
+    # the hashed-ngram feature scan); PQ-ADC rides embeddings (10x
+    # vectors through the quantize projection + Arrow encode kernel —
+    # linear scan, no corpus shuffle).
+    "graph_label_propagation",
+    "text_importance_weights",
+    "sim_ann_pq_adc_topk",
 ]
 
 
