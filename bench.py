@@ -218,6 +218,7 @@ HEADLINE = [
     "text_importance_weights",
     "graph_label_propagation",
     "sim_ann_pq_adc_topk",
+    "sim_knn_label_audit",
 ]
 
 

@@ -721,3 +721,72 @@ def pq_adc_topk(
             "rnk",
         )
     )
+
+
+def knn_label_audit(
+    emb: DataFrame,
+    seeds: list[tuple[int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: float = 1e6,
+) -> DataFrame:
+    """Per-vector label-noise audit (the kNN-consistency core of Confident
+    Learning, Northcutt et al. 2021): inside each IVF cluster, find every
+    vector's k nearest neighbors on the integer micro-grid L2 metric
+    (:func:`quantize_elements` — exact int64, any engine) and compare the
+    neighborhood's majority label (ties -> smallest label; neighbor ties
+    -> smallest id) with the vector's own. Returns one row per vector:
+    ``(id, own_label, knn_label, is_flagged)``; vectors alone in their
+    cluster keep their own label and are never flagged.
+
+    Scale shape — the SemDeDup posture: one Arrow assignment pass
+    (:func:`ivf_assign`, no shuffle), ONE shuffle by cluster id, then a
+    partition-local numpy kernel per cluster — quadratic only within a
+    cluster, linear in the corpus for bounded cluster sizes. The kernel
+    is int64 end-to-end, so the audit is bit-identical to the relational
+    oracle under any partitioning."""
+    import pyspark.sql.types as T
+
+    dim = len(seeds[0][1])
+    assign = ivf_assign(emb, seeds, id_col=id_col, vec_col=vec_col)
+    q = emb.select(
+        id_col,
+        F.col(label_col).cast("int").alias("_lbl"),
+        quantize_elements(F.col(vec_col).cast("array<double>"), dim, scale).alias("_q"),
+    ).join(assign, id_col)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("own_label", T.IntegerType()),
+            T.StructField("knn_label", T.IntegerType()),
+            T.StructField("is_flagged", T.BooleanType()),
+        ]
+    )
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        ids = pdf[id_col].to_numpy()
+        labs = pdf["_lbl"].to_numpy()
+        if n == 1:
+            return pd.DataFrame(
+                {id_col: ids, "own_label": labs, "knn_label": labs,
+                 "is_flagged": [False]}
+            )
+        x = np.stack(pdf["_q"].to_numpy()).astype(np.int64)
+        # (n, n) int64 pairwise grid distances — n is a cluster, not the corpus
+        d = ((x[:, None, :] - x[None, :, :]) ** 2).sum(axis=-1)
+        maj = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            order = np.lexsort((ids, d[i]))  # by (d2, id) ascending
+            nn = [j for j in order if j != i][:k]
+            vals, counts = np.unique(labs[nn], return_counts=True)
+            maj[i] = vals[counts == counts.max()].min()  # tie -> smallest label
+        return pd.DataFrame(
+            {id_col: ids, "own_label": labs, "knn_label": maj,
+             "is_flagged": maj != labs}
+        )
+
+    return q.groupBy("cluster").applyInPandas(per_cluster, schema=out_schema)

@@ -298,3 +298,97 @@ def sim_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_id=probe_row.vec_id,
         k=10,
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN label-noise audit (operators/embedding.py::knn_label_audit): the
+# kNN-consistency core of Confident Learning over the embeddings table's
+# class labels — inside each IVF cluster (the same deterministic first-16
+# seed assignment every IVF query restates), each vector's 5 nearest
+# neighbors on the integer micro-grid vote; a vector whose neighborhood
+# majority disagrees with its own label is flagged. Output: per-label
+# vector counts, flag counts, and noise rate — the dataset-QA table a
+# training pipeline reviews before trusting its labels. All distances
+# are int64 micro-grid sums (the PQ discipline), the majority vote ties
+# to the smallest label, and neighbor rank ties to the smallest id, so
+# the Spark cluster-local numpy kernel and the oracle's relational
+# restatement agree bit-for-bit.
+# ---------------------------------------------------------------------------
+_KNN_K, _KNN_NC, _KNN_DIM = 5, 16, 64
+
+
+@query(
+    "sim_knn_label_audit",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    seeds AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < {_KNN_NC}),
+    assign AS (
+      SELECT e.vec_id, s.sid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(LIST_COSINE_SIMILARITY(e.v, s.sv), 6) DESC, s.sid
+             ) AS rn
+      FROM e CROSS JOIN seeds s
+    ),
+    clus AS (SELECT vec_id, sid FROM assign WHERE rn = 1),
+    el AS (
+      SELECT m.vec_id, t.i,
+             CAST(ROUND(CAST(m.embedding[t.i] AS DOUBLE) * 1e6) AS BIGINT) AS qx
+      FROM embeddings m CROSS JOIN RANGE(1, {_KNN_DIM} + 1) t(i)
+    ),
+    pairs AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM clus a JOIN clus b ON a.sid = b.sid AND a.vec_id != b.vec_id
+    ),
+    d AS (
+      SELECT p.a, p.b,
+             CAST(SUM((ea.qx - eb.qx) * (ea.qx - eb.qx)) AS BIGINT) AS d2
+      FROM pairs p
+      JOIN el ea ON ea.vec_id = p.a
+      JOIN el eb ON eb.vec_id = p.b AND eb.i = ea.i
+      GROUP BY p.a, p.b
+    ),
+    knn AS (
+      SELECT a, b FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY a ORDER BY d2, b) AS rn FROM d
+      ) WHERE rn <= {_KNN_K}
+    ),
+    votes AS (
+      SELECT k.a, e.label AS nlbl, COUNT(*) AS n
+      FROM knn k JOIN e ON e.vec_id = k.b
+      GROUP BY k.a, e.label
+    ),
+    maj AS (
+      SELECT a, nlbl FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY a ORDER BY n DESC, nlbl) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    ),
+    verdict AS (
+      SELECT e.vec_id, e.label AS own, COALESCE(m.nlbl, e.label) AS knn_lbl
+      FROM e LEFT JOIN maj m ON m.a = e.vec_id
+    )
+    SELECT CAST(own AS INT) AS label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN knn_lbl != own THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           ROUND(CAST(SUM(CASE WHEN knn_lbl != own THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS noise_rate
+    FROM verdict GROUP BY own
+    """,
+)
+def sim_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2psql_spark.operators.embedding import collect_seeds, knn_label_audit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = collect_seeds(emb, _KNN_NC, "vec_id", "embedding")
+    audit = knn_label_audit(emb, seeds, k=_KNN_K)
+    return audit.groupBy(F.col("own_label").alias("label")).agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(F.col("is_flagged").cast("bigint")).alias("n_flagged"),
+        F.round(
+            F.sum(F.col("is_flagged").cast("bigint"))
+            / F.count("*"),
+            6,
+        ).alias("noise_rate"),
+    )

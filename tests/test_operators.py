@@ -1048,3 +1048,100 @@ def test_pq_adc_topk_matches_python_reference(spark):
         .collect()
     ]
     assert got == ref()
+
+
+def test_knn_label_audit_matches_python_reference(spark):
+    """Cluster-local kNN majority vote against a pure-python reference on
+    the same integer micro-grid — pins the neighbor tie-break (distance,
+    then smallest id), the vote tie-break (smallest label), and the
+    singleton-cluster never-flagged contract."""
+    import math
+    import random
+
+    from mysql2psql_spark.operators.embedding import collect_seeds, knn_label_audit
+
+    rng = random.Random(7)
+    dim, nc, k = 8, 3, 3
+    rows = []
+    for i in range(30):
+        rows.append(
+            (i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)], rng.randrange(4))
+        )
+    # distance tie: vectors 20 and 21 identical (equal d2 to everything —
+    # neighbor rank must break to the smaller id); vote ties arise
+    # naturally at k=3 with 2-vs-1... force a 1-1-1 split possibility by
+    # keeping 4 label values over 3-NN votes
+    rows[21] = (21, list(rows[20][1]), rows[21][2])
+
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    seeds = collect_seeds(df, nc, "vec_id", "embedding")
+
+    def q(x):
+        s = 1 if x >= 0 else -1
+        return s * int(math.floor(abs(x) * 1e6 + 0.5))
+
+    # python reference: cosine assignment (round 6, argmax ties -> lowest
+    # seed id), then grid-kNN majority
+    def ref():
+        import itertools
+
+        qv = {vid: [q(v) for v in vec] for vid, vec, _ in rows}
+        labs = {vid: l for vid, _, l in rows}
+        def cos(a, b):
+            num = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return round(num / (na * nb), 6)
+        clus = {}
+        for vid, vec, _ in rows:
+            best = max(range(len(seeds)), key=lambda c: (cos(vec, seeds[c][1]), -c))
+            clus.setdefault(best, []).append(vid)
+        flagged = {}
+        for members in clus.values():
+            for v in members:
+                others = [u for u in members if u != v]
+                if not others:
+                    flagged[v] = (labs[v], False)
+                    continue
+                d = sorted(
+                    (sum((a - b) * (a - b) for a, b in zip(qv[v], qv[u])), u)
+                    for u in others
+                )
+                nn = [u for _, u in d[:k]]
+                counts = {}
+                for u in nn:
+                    counts[labs[u]] = counts.get(labs[u], 0) + 1
+                mx = max(counts.values())
+                maj = min(l for l, n in counts.items() if n == mx)
+                flagged[v] = (maj, maj != labs[v])
+        return flagged
+
+    got = {
+        r.vec_id: (r.knn_label, r.is_flagged)
+        for r in knn_label_audit(df, seeds, k=k).collect()
+    }
+    assert got == ref()
+
+
+def test_knn_label_audit_singleton_cluster_never_flagged(spark):
+    """A vector alone in its cluster has no neighbors to vote: it keeps
+    its own label and is not flagged (cosine assignment, so the singleton
+    is built directionally — seed 1 points along a basis vector no other
+    vector leans toward)."""
+    from mysql2psql_spark.operators.embedding import collect_seeds, knn_label_audit
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),   # seed 0
+        (1, [0.0, 1.0, 0.0, 0.0], 3),   # seed 1 — its own singleton cluster
+        (2, [0.9, 0.1, 0.0, 0.0], 1),
+        (3, [0.8, -0.1, 0.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    seeds = collect_seeds(df, 2, "vec_id", "embedding")
+    got = {
+        r.vec_id: (r.own_label, r.knn_label, r.is_flagged)
+        for r in knn_label_audit(df, seeds, k=5).collect()
+    }
+    assert got[1] == (3, 3, False)
+    # the 3-member cluster votes normally: 0's 2 neighbors are both label 1
+    assert got[0] == (0, 1, True)
