@@ -767,6 +767,7 @@ def knn_label_audit(
     )
 
     def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)  # stable-argsort ties then break by id
         n = len(pdf)
         ids = pdf[id_col].to_numpy()
         labs = pdf["_lbl"].to_numpy()
@@ -776,14 +777,24 @@ def knn_label_audit(
                  "is_flagged": [False]}
             )
         x = np.stack(pdf["_q"].to_numpy()).astype(np.int64)
-        # (n, n) int64 pairwise grid distances — n is a cluster, not the corpus
-        d = ((x[:, None, :] - x[None, :, :]) ** 2).sum(axis=-1)
-        maj = np.empty(n, dtype=np.int64)
-        for i in range(n):
-            order = np.lexsort((ids, d[i]))  # by (d2, id) ascending
-            nn = [j for j in order if j != i][:k]
-            vals, counts = np.unique(labs[nn], return_counts=True)
-            maj[i] = vals[counts == counts.max()].min()  # tie -> smallest label
+        # (n, n) int64 pairwise grid distances via the exact expansion
+        # s_a + s_b - 2*a.b — n is a cluster, not the corpus, and the
+        # identity avoids materializing the (n, n, dim) difference cube
+        # (12.5 GB at a 1250-member cluster; int64 bounds: elements
+        # <= 2e6 in |.|, so dot terms <= 64*(2e6)^2 ~ 2.6e14 << 2^63).
+        # The kernel is fully vectorized (no per-row python loop):
+        # diagonal sentinel removes self, stable argsort over id-sorted
+        # rows breaks distance ties toward the smaller id, and the vote is
+        # a one-hot bincount whose argmax takes the FIRST maximum =
+        # smallest label (labels indexed via sorted unique).
+        s = (x * x).sum(axis=1)
+        d = s[:, None] + s[None, :] - 2 * (x @ x.T)
+        np.fill_diagonal(d, np.iinfo(np.int64).max)
+        nn = np.argsort(d, axis=1, kind="stable")[:, : min(k, n - 1)]  # (n, <=k)
+        uniq = np.unique(labs)  # sorted
+        lab_idx = np.searchsorted(uniq, labs)
+        votes = (lab_idx[nn][:, :, None] == np.arange(len(uniq))).sum(axis=1)
+        maj = uniq[votes.argmax(axis=1)]
         return pd.DataFrame(
             {id_col: ids, "own_label": labs, "knn_label": maj,
              "is_flagged": maj != labs}

@@ -78,6 +78,11 @@ PROBED = [
     "graph_label_propagation",
     "text_importance_weights",
     "sim_ann_pq_adc_topk",
+    # kNN label audit rides embeddings (10x vectors -> 10x cluster sizes
+    # -> 100x work in the cluster-local quadratic kernel: the harsher
+    # direction; growing the cluster COUNT instead is embarrassingly
+    # parallel).
+    "sim_knn_label_audit",
 ]
 
 
