@@ -219,6 +219,8 @@ HEADLINE = [
     "graph_label_propagation",
     "sim_ann_pq_adc_topk",
     "sim_knn_label_audit",
+    # hybrid sparse+dense retrieval with reciprocal-rank fusion
+    "sim_hybrid_rrf",
 ]
 
 

@@ -392,3 +392,156 @@ def sim_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("noise_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al., SIGIR
+# 2009): a lexical BM25 arm over `documents` and a dense cosine arm over
+# `embeddings` (doc_id and vec_id share the id space) each produce their
+# top-50 candidates; RRF fuses the two rank lists without any score
+# calibration — score(d) = sum over arms of 1/(K + rank_arm(d)), K=60.
+# This is the canonical first-stage serving shape for RAG/retrieval
+# pipelines (sparse + dense union before rerank).
+#
+# Scale shape: each arm ends in orderBy().limit(50) — a distributed
+# TakeOrderedAndProject (per-partition top-k, driver merge), never a
+# global sort — and rank assignment happens on the 50-row candidate
+# frame (single bounded task), so the fusion join touches <=100 rows
+# however large the corpus. BM25 stats are index-time corpus stats
+# (vocabulary-sized hash aggs, broadcast); the dense arm is the
+# broadcast-probe linear scan.
+#
+# Determinism: both arms rank over ROUND(score, 6) with an id tie-break
+# (the rounded scores are engine-exact per text_bm25 /
+# sim_cosine_scores); the fused ordering key is an INTEGER —
+# rrf_nano = sum of FLOOR(1e9 / (60 + rank)) — so no float ROUND sits on
+# the final ordering or in the output (the pagerank 1e-9-grid
+# discipline).
+# ---------------------------------------------------------------------------
+_RRF_TERMS = ("join", "scan", "merge")
+_RRF_K1, _RRF_B = 1.2, 0.75
+_RRF_ARM_K = 50
+_RRF_C = 60
+
+
+@query(
+    "sim_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+           WHERE w IN {_RRF_TERMS!r} GROUP BY doc_id, w),
+    dfreq AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+    bm AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(
+               LN(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * ({_RRF_K1} + 1)
+               / (tf.tf + {_RRF_K1} * (1 - {_RRF_B} + {_RRF_B} * dl.dl / stats.avgdl))
+             ), 6) AS bm25
+      FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (w) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+        FROM bm WHERE doc_id != 0
+      ) WHERE r <= {_RRF_ARM_K}
+    ),
+    den AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), p.qv), 6) AS cs
+      FROM embeddings e CROSS JOIN
+           (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) p
+      WHERE e.vec_id != 0
+    ),
+    dns AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id) AS r FROM den
+      ) WHERE r <= {_RRF_ARM_K}
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.r AS lr, d.r AS dr
+      FROM lex l FULL JOIN dns d ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id,
+           CAST(lr AS BIGINT) AS lex_rank,
+           CAST(dr AS BIGINT) AS emb_rank,
+           COALESCE(CAST(FLOOR(1000000000.0 / ({_RRF_C} + lr)) AS BIGINT), 0)
+             + COALESCE(CAST(FLOOR(1000000000.0 / ({_RRF_C} + dr)) AS BIGINT), 0)
+             AS rrf_nano
+    FROM fused
+    ORDER BY rrf_nano DESC, doc_id
+    LIMIT 10
+    """,
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    )
+    # BM25 arm — same index-time-stats discipline as text_bm25: dl is a
+    # pure projection (size(split)), corpus stats are a 1-row broadcast,
+    # tf is query-term-sized after the isin filter.
+    dl = docs.select("doc_id", F.size("ws").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", F.explode("ws").alias("w"))
+        .filter(F.col("w").isin(*_RRF_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(F.lit(1) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + _RRF_K1 * (
+        1 - _RRF_B + _RRF_B * F.col("dl") / F.col("avgdl")
+    )
+    bm = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") * (_RRF_K1 + 1) / denom), 6).alias("bm25"))
+    )
+    # per-arm top-k via TakeOrderedAndProject, THEN ranks on the 50-row
+    # result (unpartitioned window over a bounded-by-construction frame)
+    lex50 = bm.filter(F.col("doc_id") != 0).orderBy(
+        F.col("bm25").desc(), "doc_id"
+    ).limit(_RRF_ARM_K)
+    lex = lex50.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("bm25").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("lex_rank"),
+    )
+
+    den = _scores(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.round("cos_sim", 6).alias("cs")
+    )
+    den50 = den.orderBy(F.col("cs").desc(), "doc_id").limit(_RRF_ARM_K)
+    dns = den50.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("cs").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("emb_rank"),
+    )
+
+    def _contrib(rank: F.Column) -> F.Column:
+        return F.coalesce(
+            F.floor(F.lit(1000000000.0) / (F.lit(_RRF_C) + rank)).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        )
+
+    fused = lex.join(dns, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "emb_rank",
+        (_contrib(F.col("lex_rank")) + _contrib(F.col("emb_rank"))).alias("rrf_nano"),
+    )
+    return fused.orderBy(F.col("rrf_nano").desc(), "doc_id").limit(10)
