@@ -221,6 +221,8 @@ HEADLINE = [
     "sim_knn_label_audit",
     # hybrid sparse+dense retrieval with reciprocal-rank fusion
     "sim_hybrid_rrf",
+    # Bloom-filter decontamination (constant-size sketch + broadcast probe)
+    "text_bloom_contamination",
 ]
 
 

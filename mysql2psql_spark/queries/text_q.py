@@ -303,6 +303,158 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter decontamination (Bloom 1970; the GPT-3-style scalable
+# benchmark-overlap pass): instead of joining corpus shingles against the
+# benchmark shingle set (text_contamination's exact semi-join — a corpus
+# shuffle at 100 TB), build a CONSTANT-SIZE bit array over the benchmark
+# shingles and probe it row-locally. Build = one map-side-combinable
+# bit_or aggregation into <= M/W filter words (a mergeable sketch:
+# per-partition filters OR together); probe = K broadcast word lookups +
+# bit tests per shingle — the corpus never shuffles until the final
+# doc-keyed count (map-side combined). The exact arm rides along here
+# only to account false positives; a production pass ships the filter
+# words alone.
+#
+# Exactness: the K=3 probe positions come from Kirsch-Mitzenmacher
+# double hashing over the portable 60-bit md5 shingle hash — pure int64
+# arithmetic (%, DIV, <<, &) both engines compute bit-identically, so
+# even the false positives match the oracle exactly. W=32-bit words keep
+# every shift amount < 32 (no BIGINT shift overflow in either engine).
+# ---------------------------------------------------------------------------
+_BLOOM_M = 16384  # filter bits — sized so sf0.01 exercises real false
+#                   positives (12 FP docs / 962-vs-906 shingle hits;
+#                   65536 bits drove FPs to ~0 and hid the trade-off)
+_BLOOM_W = 32  # bits per filter word -> <= 512 words broadcast
+_BLOOM_K = 3  # probe positions per shingle
+
+
+def _bloom_pos_sql(i: int) -> str:
+    return f"((c.h1 + {i} * c.h2) % {_BLOOM_M})"
+
+
+@query(
+    "text_bloom_contamination",
+    oracle=f"""
+    WITH sg AS ({_SHINGLE_SQL}),
+    feat AS (
+      SELECT DISTINCT doc_id, CAST(CONCAT('0x', SUBSTR(MD5(g), 1, 15)) AS BIGINT) AS sh
+      FROM (SELECT doc_id, UNNEST(sg) AS g FROM sg)
+    ),
+    bench_sh AS (SELECT DISTINCT sh FROM feat WHERE {_BENCH_PRED}),
+    bpos AS (
+      SELECT ((sh % {_BLOOM_M}) + i.i * (1 + (sh // {_BLOOM_M}) % {_BLOOM_M - 1}))
+             % {_BLOOM_M} AS pos
+      FROM bench_sh CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS i) i
+    ),
+    words AS (
+      SELECT pos // {_BLOOM_W} AS word_idx,
+             BIT_OR(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_W} AS INT)) AS bits
+      FROM bpos GROUP BY pos // {_BLOOM_W}
+    ),
+    corpus AS (
+      SELECT doc_id, sh, sh % {_BLOOM_M} AS h1,
+             1 + (sh // {_BLOOM_M}) % {_BLOOM_M - 1} AS h2
+      FROM feat WHERE NOT ({_BENCH_PRED})
+    ),
+    hits AS (
+      SELECT c.doc_id,
+             ((COALESCE(w0.bits, 0)
+               & (CAST(1 AS BIGINT) << CAST({_bloom_pos_sql(0)} % {_BLOOM_W} AS INT))) <> 0
+              AND (COALESCE(w1.bits, 0)
+               & (CAST(1 AS BIGINT) << CAST({_bloom_pos_sql(1)} % {_BLOOM_W} AS INT))) <> 0
+              AND (COALESCE(w2.bits, 0)
+               & (CAST(1 AS BIGINT) << CAST({_bloom_pos_sql(2)} % {_BLOOM_W} AS INT))) <> 0
+             ) AS bloom_hit,
+             (b.sh IS NOT NULL) AS exact_hit
+      FROM corpus c
+      LEFT JOIN words w0 ON w0.word_idx = {_bloom_pos_sql(0)} // {_BLOOM_W}
+      LEFT JOIN words w1 ON w1.word_idx = {_bloom_pos_sql(1)} // {_BLOOM_W}
+      LEFT JOIN words w2 ON w2.word_idx = {_bloom_pos_sql(2)} // {_BLOOM_W}
+      LEFT JOIN bench_sh b ON b.sh = c.sh
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_sh,
+             SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS n_bloom,
+             SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS n_exact
+      FROM hits GROUP BY doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS docs_scanned,
+           CAST(SUM(CASE WHEN n_bloom > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_bloom_flagged,
+           CAST(SUM(CASE WHEN n_exact > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_exact_flagged,
+           CAST(SUM(CASE WHEN n_bloom > 0 AND n_exact = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_false_positive,
+           CAST(SUM(n_bloom) AS BIGINT) AS shingle_bloom_hits,
+           CAST(SUM(n_exact) AS BIGINT) AS shingle_exact_hits
+    FROM per_doc
+    """,
+)
+def text_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2psql_spark.operators.text import hash_sample, shingle_hash_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_hash_table(d)  # DISTINCT (doc_id, sh), portable 60-bit hash
+    is_bench = hash_sample(F.col("doc_id"), F.lit(5))
+    bench_sh = sh.filter(is_bench).select("sh").distinct()
+
+    m, w = F.lit(_BLOOM_M), F.lit(_BLOOM_W)
+    # Kirsch-Mitzenmacher double hashing: integer DIV (not float /) so
+    # 60-bit hashes stay exact in both engines.
+    h1 = F.col("sh") % m
+    h2 = F.lit(1) + F.expr(f"sh DIV {_BLOOM_M}") % (_BLOOM_M - 1)
+
+    # Build: explode the K positions, OR one-hot masks into filter words.
+    bpos = bench_sh.select(
+        F.explode(F.array(*[(h1 + F.lit(i) * h2) % m for i in range(_BLOOM_K)])).alias("pos")
+    )
+    words = bpos.groupBy(F.expr(f"pos DIV {_BLOOM_W}").alias("word_idx")).agg(
+        F.bit_or(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_W} AS INT))")
+        ).alias("bits")
+    )
+
+    # Probe: per corpus shingle, K broadcast word lookups + bit tests.
+    probe = sh.filter(~is_bench).withColumn("h1", h1).withColumn("h2", h2)
+    hit_cols = []
+    for i in range(_BLOOM_K):
+        pos_i = (F.col("h1") + F.lit(i) * F.col("h2")) % m
+        probe = probe.withColumn(f"pos{i}", pos_i)
+        wtab = F.broadcast(
+            words.select(
+                F.col("word_idx").alias(f"wj{i}"), F.col("bits").alias(f"bits{i}")
+            )
+        )
+        probe = probe.join(
+            wtab, F.expr(f"pos{i} DIV {_BLOOM_W}") == F.col(f"wj{i}"), "left"
+        )
+        mask_i = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos{i} % {_BLOOM_W} AS INT))")
+        hit_cols.append(
+            F.coalesce(F.col(f"bits{i}"), F.lit(0).cast("long")).bitwiseAND(mask_i) != 0
+        )
+    bloom_hit = hit_cols[0] & hit_cols[1] & hit_cols[2]
+    exact_hit = F.col("bench_sh_marker").isNotNull()
+    probe = probe.join(
+        F.broadcast(bench_sh.withColumn("bench_sh_marker", F.lit(1))), "sh", "left"
+    )
+
+    per_doc = probe.groupBy("doc_id").agg(
+        F.count("*").alias("n_sh"),
+        F.sum(bloom_hit.cast("long")).alias("n_bloom"),
+        F.sum(exact_hit.cast("long")).alias("n_exact"),
+    )
+    flagged = F.col("n_bloom") > 0
+    return per_doc.agg(
+        F.count("*").alias("docs_scanned"),
+        F.sum(flagged.cast("long")).alias("docs_bloom_flagged"),
+        F.sum((F.col("n_exact") > 0).cast("long")).alias("docs_exact_flagged"),
+        F.sum((flagged & (F.col("n_exact") == 0)).cast("long")).alias(
+            "docs_false_positive"
+        ),
+        F.sum("n_bloom").alias("shingle_bloom_hits"),
+        F.sum("n_exact").alias("shingle_exact_hits"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Repetition quality signals (the Gopher-style filters: a document whose
 # most frequent token/bigram dominates is boilerplate or spam). Token and
 # bigram counts are exploded + hash-aggregated — keyed by (doc, gram),

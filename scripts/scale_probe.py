@@ -83,6 +83,15 @@ PROBED = [
     # direction; growing the cluster COUNT instead is embarrassingly
     # parallel).
     "sim_knn_label_audit",
+    # hybrid RRF rides BOTH replications (5x docs through the BM25
+    # stats + 10x vectors through the dense scan); each arm still ends
+    # in a top-50 TakeOrderedAndProject, so the fusion join stays at
+    # <=100 rows and wall time should track the two scans linearly.
+    "sim_hybrid_rrf",
+    # Bloom decontamination rides documents (5x corpus through the
+    # row-local probe; the filter build stays benchmark-sized and the
+    # word table is constant at M/W rows — wall should track the scan).
+    "text_bloom_contamination",
 ]
 
 
