@@ -58,6 +58,9 @@ FLOORS = {
     "graph_triangles": 1.87,
     "text_approx_strata": 0.27,
     "o6_bucketed_join": 0.28,
+    # r10 third-session registrations (7-rep interleaved medians)
+    "sim_hybrid_rrf": 1.22,
+    "text_bloom_contamination": 0.79,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),
@@ -77,6 +80,9 @@ DEFAULT_QUERIES = [
     "graph_triangles",
     "text_approx_strata",
     "o6_bucketed_join",
+    # r10 third-session registrations
+    "sim_hybrid_rrf",
+    "text_bloom_contamination",
 ]
 
 
