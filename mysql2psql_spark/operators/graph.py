@@ -359,27 +359,38 @@ def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
     SQL oracle where convergence-loop operators get rows-only checks.
 
     Scale shape: the edge list is persisted ONCE, partitioned by the
-    destination vertex ``v`` — every downstream clustering (the seed
-    ``distinct``, each round's ``(v, lbl)`` count and the per-vertex mode
-    pick) is on a superset of ``v``, so with the neighbor-label join
-    broadcast (AQE picks it whenever the label frame is small; on graphs
-    whose vertex frame outgrows broadcast it degrades to the natural
-    shuffled join) each round runs EXCHANGE-FREE over the resident edge
-    partitions. The mode pick is a ``min_by(lbl, struct(-n, lbl))``
-    aggregation — largest count, then smallest label, for any orderable
-    label type — not a window, so nothing sorts, and two hash aggs
-    pipeline per round. Measured at sf0.1 (1.2M-edge part co-order
-    graph): 3.20 s -> 2.57 s interleaved median vs the window/row_number
-    shape with per-round groupBy+window exchanges. Labels frames chain
-    lineage only ``rounds`` deep — no checkpoint needed for small fixed
-    round counts; the persisted edge frame is released by the caller via
-    ``unmaterialize`` (or left to session teardown).
+    destination vertex ``v`` into GRAPH-SIZED partitions (~1M edges
+    each, the connected_components discipline at operators/dedup.py:621
+    — a pair graph is orders of magnitude smaller than its corpus, so
+    rounds run at spark.sql.shuffle.partitions pay task-scheduling
+    overhead proportional to a corpus-scale conf; under the driver's
+    vanilla 200-partition session that tripled the round cost). Every
+    downstream clustering (the seed ``distinct``, each round's
+    ``(v, lbl)`` count and the per-vertex mode pick) is on a superset of
+    ``v``, so with the neighbor-label join broadcast (AQE picks it
+    whenever the label frame is small; on graphs whose vertex frame
+    outgrows broadcast it degrades to the natural shuffled join) each
+    round runs EXCHANGE-FREE over the resident edge partitions. The mode
+    pick is a ``min_by(lbl, struct(-n, lbl))`` aggregation — largest
+    count, then smallest label, for any orderable label type — not a
+    window, so nothing sorts, and two hash aggs pipeline per round.
+    Measured at sf0.1 (2.25M-undirected-edge part co-order graph,
+    same-session interleaved A/B medians): 32-part rounds 4.33 s ->
+    graph-sized (6-part) rounds 3.74 s, with the sample spread tightening
+    from 2.97-5.52 to 3.58-4.26 s — per-round scheduling is the variance
+    source, not the joins. Labels frames chain lineage only ``rounds`` deep — no
+    checkpoint needed for small fixed round counts; the persisted edge
+    frame is released by the caller via ``unmaterialize`` (or left to
+    session teardown).
     """
-    from mysql2psql_spark.operators.materialize import materialize
+    from mysql2psql_spark.operators.materialize import materialize, unmaterialize
 
-    und = materialize(
-        edges.select(F.col("src").alias("v"), F.col("dst").alias("u")).repartition("v")
-    )
+    raw = materialize(edges.select(F.col("src").alias("v"), F.col("dst").alias("u")))
+    n_edges = raw.count()  # also materializes the persist we need anyway
+    n_part = int(max(4, min(1024, n_edges // 1_000_000 + 4)))
+    und = materialize(raw.repartition(n_part, "v"))
+    und.count()  # seat the round-partitioned copy, then free the staging one
+    unmaterialize(raw)
     labels = und.select("v").distinct().withColumn("lbl", F.col("v"))
     for _ in range(rounds):
         nbr = und.join(
