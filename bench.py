@@ -223,6 +223,8 @@ HEADLINE = [
     "sim_hybrid_rrf",
     # Bloom-filter decontamination (constant-size sketch + broadcast probe)
     "text_bloom_contamination",
+    # MMR diversified re-ranking (bounded greedy over the top-20)
+    "sim_mmr_rerank",
 ]
 
 

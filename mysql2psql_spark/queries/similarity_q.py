@@ -215,7 +215,7 @@ _PQ_M, _PQ_NC, _PQ_SUB = 4, 16, 16
 @query(
     "sim_ann_pq_adc_topk",
     oracle=f"""
-    WITH el AS (
+    WITH el AS MATERIALIZED (
       SELECT e.vec_id, t.i, CAST((t.i - 1) // {_PQ_SUB} AS INT) AS j,
              CAST(ROUND(CAST(e.embedding[t.i] AS DOUBLE) * 1e6) AS BIGINT) AS qx
       FROM embeddings e CROSS JOIN RANGE(1, {_PQ_M * _PQ_SUB} + 1) t(i)
@@ -545,3 +545,137 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_contrib(F.col("lex_rank")) + _contrib(F.col("emb_rank"))).alias("rrf_nano"),
     )
     return fused.orderBy(F.col("rrf_nano").desc(), "doc_id").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998): the
+# post-retrieval stage every RAG/serving stack runs — greedily re-rank
+# the first-stage top-N so each pick balances relevance to the probe
+# against redundancy with what is already selected:
+#   argmax over remaining i of  lambda*sim(q,i) - (1-lambda)*max_j sim(i,j).
+# With sim = -d^2 on the integer micro-grid and lambda = 1/2 the
+# objective is argmax of (min_j d2(i, selected_j) - d2(probe, i)) — PURE
+# int64 arithmetic, so the greedy trajectory (including every tie-break,
+# smallest vec_id) is bit-identical to the oracle's 10-step unrolled-CTE
+# replay.
+#
+# Scale shape: relevance d2 is a flat 64-term JVM projection over the
+# once-quantized array (the quantize_elements discipline — no HOF, no
+# Python), and the candidate cut is orderBy().limit(20) =
+# TakeOrderedAndProject, so the distributed work is one linear scan
+# whatever the corpus size. The greedy itself runs driver-side over the
+# COLLECTED 20-candidate matrix — counted-small BY CONSTRUCTION
+# (<= 20 rows x 64 ints; O(k^2 * dim) = ~25k int ops at any corpus
+# size), the same bounded-driver-state posture as the PQ codebook
+# collect. The selection then joins back so the output columns are
+# computed in Spark.
+# ---------------------------------------------------------------------------
+_MMR_CAND, _MMR_K, _MMR_DIM = 20, 10, 64
+
+
+def _mmr_oracle() -> str:
+    steps = []
+    for k in range(2, _MMR_K + 1):
+        prev = f"sel{k - 1}"
+        steps.append(f"""
+    pick{k} AS MATERIALIZED (
+      SELECT c.vec_id, MIN(p.d2) AS nov
+      FROM cand c JOIN pd p ON p.va = c.vec_id
+      WHERE p.vb IN (SELECT vec_id FROM {prev})
+        AND c.vec_id NOT IN (SELECT vec_id FROM {prev})
+      GROUP BY c.vec_id, c.d2p
+      ORDER BY MIN(p.d2) - c.d2p DESC, c.vec_id LIMIT 1
+    ),
+    sel{k} AS MATERIALIZED (SELECT * FROM {prev}
+               UNION ALL SELECT vec_id, {k}, nov FROM pick{k})""")
+    return f"""
+    WITH el AS MATERIALIZED (
+      SELECT e.vec_id, t.i,
+             CAST(ROUND(CAST(e.embedding[t.i] AS DOUBLE) * 1e6) AS BIGINT) AS qx
+      FROM embeddings e CROSS JOIN RANGE(1, {_MMR_DIM} + 1) t(i)
+    ),
+    rel AS MATERIALIZED (
+      SELECT a.vec_id, CAST(SUM((a.qx - p.qx) * (a.qx - p.qx)) AS BIGINT) AS d2p
+      FROM el a JOIN el p ON a.i = p.i AND p.vec_id = 0
+      WHERE a.vec_id != 0 GROUP BY a.vec_id
+    ),
+    cand AS MATERIALIZED (SELECT vec_id, d2p FROM rel ORDER BY d2p, vec_id LIMIT {_MMR_CAND}),
+    pd AS MATERIALIZED (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(SUM((a.qx - b.qx) * (a.qx - b.qx)) AS BIGINT) AS d2
+      FROM el a JOIN el b ON a.i = b.i AND a.vec_id != b.vec_id
+      WHERE a.vec_id IN (SELECT vec_id FROM cand)
+        AND b.vec_id IN (SELECT vec_id FROM cand)
+      GROUP BY 1, 2
+    ),
+    sel1 AS MATERIALIZED (SELECT vec_id, 1 AS mmr_rank, CAST(NULL AS BIGINT) AS nov
+             FROM cand ORDER BY d2p, vec_id LIMIT 1),{",".join(steps)}
+    SELECT CAST(s.mmr_rank AS INT) AS mmr_rank, s.vec_id,
+           ROUND(c.d2p / 1e12, 6) AS rel_dist2,
+           ROUND(s.nov / 1e12, 6) AS novelty_dist2
+    FROM sel{_MMR_K} s JOIN cand c USING (vec_id)
+    ORDER BY mmr_rank
+    """
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+    import operator as op
+
+    from mysql2psql_spark.operators.embedding import quantize_elements
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.select(
+        "vec_id",
+        quantize_elements(F.col("embedding").cast("array<double>"), _MMR_DIM).alias("qe"),
+    )
+    # probe grid values as literals (1-row counted-small collect) -> the
+    # relevance d2 is a flat 64-term bigint projection, codegen'd.
+    probe_qe = q.filter(F.col("vec_id") == 0).collect()[0]["qe"]
+    terms = [
+        (F.element_at(F.col("qe"), d + 1) - F.lit(int(probe_qe[d]))) for d in range(_MMR_DIM)
+    ]
+    d2p = functools.reduce(op.add, [t * t for t in terms])
+    from mysql2psql_spark.operators.materialize import materialize
+
+    # persisted: consumed by BOTH the greedy's collect and the final
+    # join — without the persist the scan re-executes per consumer
+    cand20 = materialize(
+        q.filter(F.col("vec_id") != 0)
+        .withColumn("d2p", d2p.cast("bigint"))
+        .orderBy("d2p", "vec_id")
+        .limit(_MMR_CAND)
+    )
+    rows = cand20.select("vec_id", "d2p", "qe").collect()  # <= 20 rows
+    vecs = {r["vec_id"]: r["qe"] for r in rows}
+    rel = {r["vec_id"]: r["d2p"] for r in rows}
+
+    def d2(a: int, b: int) -> int:
+        return sum((x - y) * (x - y) for x, y in zip(vecs[a], vecs[b]))
+
+    first = min(vecs, key=lambda v: (rel[v], v))
+    sel: list[int] = [first]
+    nov: dict[int, int | None] = {first: None}
+    while len(sel) < _MMR_K:
+        best = max(
+            (v for v in vecs if v not in nov),
+            key=lambda v: (min(d2(v, s) for s in sel) - rel[v], -v),
+        )
+        nov[best] = min(d2(best, s) for s in sel)
+        sel.append(best)
+
+    sel_df = spark.createDataFrame(
+        [(v, i + 1, nov[v]) for i, v in enumerate(sel)],
+        "vec_id bigint, mmr_rank int, nov bigint",
+    )
+    return (
+        cand20.join(F.broadcast(sel_df), "vec_id")
+        .select(
+            "mmr_rank",
+            "vec_id",
+            F.round(F.col("d2p") / F.lit(1e12), 6).alias("rel_dist2"),
+            F.round(F.col("nov") / F.lit(1e12), 6).alias("novelty_dist2"),
+        )
+        .orderBy("mmr_rank")
+    )

@@ -61,6 +61,7 @@ FLOORS = {
     # r10 third-session registrations (7-rep interleaved medians)
     "sim_hybrid_rrf": 1.22,
     "text_bloom_contamination": 0.79,
+    "sim_mmr_rerank": 1.77,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),
@@ -83,6 +84,7 @@ DEFAULT_QUERIES = [
     # r10 third-session registrations
     "sim_hybrid_rrf",
     "text_bloom_contamination",
+    "sim_mmr_rerank",
 ]
 
 

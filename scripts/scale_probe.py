@@ -92,6 +92,10 @@ PROBED = [
     # row-local probe; the filter build stays benchmark-sized and the
     # word table is constant at M/W rows — wall should track the scan).
     "text_bloom_contamination",
+    # MMR rides embeddings (10x vectors through the flat-projection
+    # relevance scan + TakeOrdered(20); the greedy stays 20x20 ints
+    # regardless, so wall should track the linear scan only).
+    "sim_mmr_rerank",
 ]
 
 
