@@ -145,3 +145,36 @@ def brute_force_scores(
         F.col(query_id_col),
         cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"),
     )
+
+
+def mmr_select(
+    vecs: dict[int, list[int]],
+    rel_d2: dict[int, int],
+    k: int,
+) -> list[tuple[int, int, int | None]]:
+    """Greedy Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998) with lambda = 1/2 over integer-grid vectors: pick the most
+    relevant candidate first, then repeatedly the candidate maximizing
+    ``min_j d2(i, selected_j) - rel_d2[i]`` (novelty minus relevance
+    distance — both int64, so the trajectory is exactly reproducible),
+    ties toward the smallest id. Returns ``(id, rank, novelty_d2)``
+    triples in selection order; the first pick's novelty is ``None``.
+
+    Pure driver-side function by design: callers (sim_mmr_rerank) hand it
+    a COUNTED-SMALL collected candidate set (<= 20 rows), keeping the
+    O(k^2 * dim) integer work bounded at any corpus size."""
+
+    def d2(a: int, b: int) -> int:
+        return sum((x - y) * (x - y) for x, y in zip(vecs[a], vecs[b]))
+
+    first = min(vecs, key=lambda v: (rel_d2[v], v))
+    sel: list[int] = [first]
+    nov: dict[int, int | None] = {first: None}
+    while len(sel) < min(k, len(vecs)):
+        best = max(
+            (v for v in vecs if v not in nov),
+            key=lambda v: (min(d2(v, s) for s in sel) - rel_d2[v], -v),
+        )
+        nov[best] = min(d2(best, s) for s in sel)
+        sel.append(best)
+    return [(v, i + 1, nov[v]) for i, v in enumerate(sel)]

@@ -650,23 +650,10 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = cand20.select("vec_id", "d2p", "qe").collect()  # <= 20 rows
     vecs = {r["vec_id"]: r["qe"] for r in rows}
     rel = {r["vec_id"]: r["d2p"] for r in rows}
-
-    def d2(a: int, b: int) -> int:
-        return sum((x - y) * (x - y) for x, y in zip(vecs[a], vecs[b]))
-
-    first = min(vecs, key=lambda v: (rel[v], v))
-    sel: list[int] = [first]
-    nov: dict[int, int | None] = {first: None}
-    while len(sel) < _MMR_K:
-        best = max(
-            (v for v in vecs if v not in nov),
-            key=lambda v: (min(d2(v, s) for s in sel) - rel[v], -v),
-        )
-        nov[best] = min(d2(best, s) for s in sel)
-        sel.append(best)
+    from mysql2psql_spark.operators.similarity import mmr_select
 
     sel_df = spark.createDataFrame(
-        [(v, i + 1, nov[v]) for i, v in enumerate(sel)],
+        mmr_select(vecs, rel, _MMR_K),
         "vec_id bigint, mmr_rank int, nov bigint",
     )
     return (

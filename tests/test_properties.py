@@ -215,3 +215,66 @@ def test_connected_components_paths_agree(spark_prop, raw_pairs):
     }
     assert got_driver == want
     assert got_dist == want
+
+
+# ---------------------------------------------------------------------------
+# MMR greedy selection (operators/similarity.py::mmr_select): pinned
+# against a brute-force replay of the definition — at every step the pick
+# must be the argmax of (min d2 to selected) - rel_d2 with ties toward
+# the smallest id — plus explicit tie-break and k >= n edge pins.
+# ---------------------------------------------------------------------------
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=-50, max_value=50), min_size=4, max_size=4),
+        min_size=1,
+        max_size=12,
+        unique_by=tuple,
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=60, deadline=None)
+def test_mmr_select_matches_definition(vec_rows, k):
+    from mysql2psql_spark.operators.similarity import mmr_select
+
+    vecs = {i: v for i, v in enumerate(vec_rows)}
+    # relevance = distance to the zero vector (any fixed probe works)
+    rel = {i: sum(x * x for x in v) for i, v in vecs.items()}
+    out = mmr_select(vecs, rel, k)
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(vecs[a], vecs[b]))
+
+    assert len(out) == min(k, len(vecs))
+    assert [r for _, r, _ in out] == list(range(1, len(out) + 1))
+    selected = []
+    for vid, rank, nov in out:
+        remaining = [v for v in vecs if v not in selected]
+        if rank == 1:
+            want = min(remaining, key=lambda v: (rel[v], v))
+            assert nov is None
+        else:
+            scores = {v: min(d2(v, s) for s in selected) - rel[v] for v in remaining}
+            best_score = max(scores.values())
+            want = min(v for v, s in scores.items() if s == best_score)
+            assert nov == min(d2(vid, s) for s in selected)
+        assert vid == want
+        selected.append(vid)
+
+
+def test_mmr_select_tie_breaks_to_smallest_id():
+    from mysql2psql_spark.operators.similarity import mmr_select
+
+    # three identical vectors: every score ties, so selection order must
+    # be ascending id; novelty is 0 from rank 2 on
+    vecs = {7: [1, 1], 3: [1, 1], 5: [1, 1]}
+    rel = {7: 2, 3: 2, 5: 2}
+    assert mmr_select(vecs, rel, 3) == [(3, 1, None), (5, 2, 0), (7, 3, 0)]
+
+
+def test_mmr_select_k_exceeding_candidates():
+    from mysql2psql_spark.operators.similarity import mmr_select
+
+    vecs = {0: [0, 0], 1: [3, 4]}
+    rel = {0: 0, 1: 25}
+    out = mmr_select(vecs, rel, 10)
+    assert out == [(0, 1, None), (1, 2, 25)]
