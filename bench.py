@@ -225,6 +225,8 @@ HEADLINE = [
     "text_bloom_contamination",
     # MMR diversified re-ranking (bounded greedy over the top-20)
     "sim_mmr_rerank",
+    # deterministic negative sampling (contrastive training pairs)
+    "graph_negative_samples",
 ]
 
 

@@ -281,3 +281,139 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_communities",
         "n_vertices",
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling over the part co-order graph — the
+# training-data draw behind contrastive / link-prediction objectives
+# (word2vec negative sampling, Mikolov et al. 2013; GNN link prediction):
+# for each anchor vertex, draw k non-neighbors. Randomness is replaced by
+# the engine's md5 draw discipline (hash_sample's rationale): proposal j
+# for anchor a maps to candidate index md5(a:j) % |V|, so the draw is a
+# pure function of (anchor, j) — stable across reruns, engines, and
+# partition layouts, which is what reproducible training pairs need.
+#
+# Scale shape: proposals are a CONSTANT m per anchor (explode of a
+# literal range — no cross-product against the vertex set); the index ->
+# vertex mapping is an equi-join against the dense vertex index; the
+# rejection step is one LEFT ANTI equi-join against the (normalized)
+# edge list; the final first-k ranks partition by anchor over <= m rows.
+# The dense index itself is ONE vertex-scale row_number (|V| << |E|; at
+# production scale it is built once offline next to the embedding
+# table). |V| rides a 1-row broadcast into the modulo, computed by BOTH
+# engines rather than collected.
+# ---------------------------------------------------------------------------
+_NEG_ANCHORS, _NEG_PROPOSALS, _NEG_K = 10, 40, 5
+
+
+@query(
+    "graph_negative_samples",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS MATERIALIZED (SELECT DISTINCT a.p AS a, b.p AS b
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+    verts AS MATERIALIZED (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS idx
+      FROM (SELECT a AS v FROM e UNION SELECT b AS v FROM e)
+    ),
+    nv AS (SELECT COUNT(*) AS n FROM verts),
+    anchors AS (SELECT v AS anchor FROM verts ORDER BY v LIMIT {_NEG_ANCHORS}),
+    props AS (
+      SELECT a.anchor, t.j,
+             CAST(CONCAT('0x', SUBSTR(MD5(
+               CONCAT(CAST(a.anchor AS VARCHAR), ':', CAST(t.j AS VARCHAR))
+             ), 1, 8)) AS BIGINT) % nv.n AS cand_idx
+      FROM anchors a CROSS JOIN RANGE(1, {_NEG_PROPOSALS} + 1) t(j) CROSS JOIN nv
+    ),
+    cands AS (
+      SELECT p.anchor, v.v AS cand, MIN(p.j) AS draw_j
+      FROM props p JOIN verts v ON v.idx = p.cand_idx
+      WHERE v.v != p.anchor
+      GROUP BY p.anchor, v.v
+    ),
+    negs AS (
+      SELECT c.anchor, c.cand, c.draw_j
+      FROM cands c LEFT JOIN e
+        ON e.a = LEAST(c.anchor, c.cand) AND e.b = GREATEST(c.anchor, c.cand)
+      WHERE e.a IS NULL
+    )
+    SELECT anchor, cand AS neg_id, CAST(draw_j AS BIGINT) AS draw_j,
+           CAST(rk AS INT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY draw_j) AS rk
+          FROM negs)
+    WHERE rk <= {_NEG_K}
+    """,
+)
+def graph_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from mysql2psql_spark.operators.materialize import materialize
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    parts = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    # persisted: consumed by the vertex index AND the anti-join
+    e = materialize(
+        parts.select(F.col("ps"), F.explode("ps").alias("a"))
+        .select("a", F.explode("ps").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    verts = materialize(
+        e.select(F.col("a").alias("v"))
+        .union(e.select(F.col("b").alias("v")))
+        .distinct()
+        .withColumn("idx", F.row_number().over(W.orderBy("v")) - 1)
+    )
+    nv = verts.agg(F.count("*").alias("n"))
+    anchors = verts.orderBy("v").limit(_NEG_ANCHORS).select(F.col("v").alias("anchor"))
+    props = (
+        anchors.select(
+            "anchor",
+            F.explode(F.sequence(F.lit(1), F.lit(_NEG_PROPOSALS))).alias("j"),
+        )
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "anchor",
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("anchor").cast("string"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n")
+            ).alias("cand_idx"),
+        )
+    )
+    cands = (
+        props.join(F.broadcast(verts), props.cand_idx == verts.idx)
+        .filter(F.col("v") != F.col("anchor"))
+        .groupBy("anchor", F.col("v").alias("cand"))
+        .agg(F.min("j").alias("draw_j"))
+    )
+    negs = cands.join(
+        e,
+        (F.least("anchor", "cand") == e.a) & (F.greatest("anchor", "cand") == e.b),
+        "left_anti",
+    )
+    rk = F.row_number().over(W.partitionBy("anchor").orderBy("draw_j"))
+    return (
+        negs.withColumn("rk", rk)
+        .filter(F.col("rk") <= _NEG_K)
+        .select(
+            "anchor",
+            F.col("cand").alias("neg_id"),
+            F.col("draw_j").cast("bigint").alias("draw_j"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -62,6 +62,7 @@ FLOORS = {
     "sim_hybrid_rrf": 1.22,
     "text_bloom_contamination": 0.79,
     "sim_mmr_rerank": 1.77,
+    "graph_negative_samples": 2.85,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),
@@ -85,6 +86,7 @@ DEFAULT_QUERIES = [
     "sim_hybrid_rrf",
     "text_bloom_contamination",
     "sim_mmr_rerank",
+    "graph_negative_samples",
 ]
 
 

@@ -96,6 +96,10 @@ PROBED = [
     # relevance scan + TakeOrdered(20); the greedy stays 20x20 ints
     # regardless, so wall should track the linear scan only).
     "sim_mmr_rerank",
+    # negative sampling rides lineitem (5x raw pair volume into the SAME
+    # distinct graph: vertex set, anchors, and draws are unchanged, so
+    # the anti-join probes the same edges and wall tracks the edge build).
+    "graph_negative_samples",
 ]
 
 
