@@ -394,11 +394,13 @@ def main(argv: list[str] | None = None) -> int:
             # separate-namespace contract (operator docstring)
             exclude_self=not args.ann_include_self,
         )
-        # ONE pass for serving + summary: persist the top-k frame, let
-        # the write job compute-and-cache it, then take both summary
-        # counts from the cache in a single tiny aggregation (the r8
-        # shape re-read the output parquet and ran a separate
-        # probes.count() — two extra jobs per invocation, ADVICE r8).
+        # Serving + summary: persist the top-k frame, let the write job
+        # compute-and-cache it, then take the result-side counts from
+        # the cache in one tiny aggregation. probes_in deliberately
+        # costs ONE extra small job over the probe file (ADVICE r10:
+        # the r9 comment here claimed single-pass while the code ran
+        # it — the input size is simply not derivable from the result,
+        # which only contains probes with >= 1 surviving neighbor).
         from pyspark.sql import functions as F
         from pyspark.storagelevel import StorageLevel
 
@@ -406,8 +408,11 @@ def main(argv: list[str] | None = None) -> int:
         try:
             result.write.mode("overwrite").parquet(out_path)
             # two distinct serving-log facts (ADVICE r9): probes_in is the
-            # input batch size (a probe with ZERO surviving neighbors —
-            # e.g. a self-excluded singleton — still counts as served);
+            # number of DISTINCT probe ids submitted (distinct, not row
+            # count — a probe file with duplicate ids must not report
+            # probes_in > probes_matched and fake zero-neighbor probes,
+            # ADVICE r10; a probe with ZERO surviving neighbors — e.g. a
+            # self-excluded singleton — still counts as served);
             # probes_matched is how many produced >=1 result row. The
             # aggregate binds to the operator's FIXED output column
             # 'probe_id', never the input column name — with a vec_id-named
@@ -421,7 +426,7 @@ def main(argv: list[str] | None = None) -> int:
                 json.dumps(
                     {
                         "ann_topk": {
-                            "probes_in": probes.count(),
+                            "probes_in": probes.select(probe_id).distinct().count(),
                             "probes_matched": counts["probes_matched"],
                             "k": args.ann_topk,
                             "rows": counts["rows"],

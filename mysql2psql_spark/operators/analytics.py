@@ -50,7 +50,19 @@ def distribution_ranks(
     bounded at n_buckets rows per key. Three exchanges total (cut
     sketch, bucketed window, count agg), all either sketch-sized or
     n_buckets-finer than the window they replace.
+
+    ``value_col``, if passed explicitly, must equal ``order_cols[0]``:
+    the bucketing proof above covers ONLY the value-is-ordering-prefix
+    configuration (equal values share a bucket because the bucket
+    predicate uses the value alone); any other value column would
+    silently scramble ranks, so it raises instead (ADVICE r10).
     """
+    if value_col is not None and value_col != order_cols[0]:
+        raise ValueError(
+            f"value_col must be order_cols[0] ({order_cols[0]!r}) — the "
+            f"range-bucket decomposition is only rank-exact when the bucket "
+            f"value is a prefix of the ordering; got value_col={value_col!r}"
+        )
     value_col = value_col or order_cols[0]
     probs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = df.groupBy(part_col).agg(

@@ -731,6 +731,7 @@ def knn_label_audit(
     vec_col: str = "embedding",
     label_col: str = "label",
     scale: float = 1e6,
+    max_cluster_rows: int | None = 100_000,
 ) -> DataFrame:
     """Per-vector label-noise audit (the kNN-consistency core of Confident
     Learning, Northcutt et al. 2021): inside each IVF cluster, find every
@@ -746,11 +747,39 @@ def knn_label_audit(
     partition-local numpy kernel per cluster — quadratic only within a
     cluster, linear in the corpus for bounded cluster sizes. The kernel
     is int64 end-to-end, so the audit is bit-identical to the relational
-    oracle under any partitioning."""
+    oracle under any partitioning.
+
+    The linearity claim rests ENTIRELY on cluster balance: a degenerate
+    clustering (one mega-cluster swallowing the corpus) re-creates the
+    all-pairs blowup the exact_cosine_pairs 100k gate exists to prevent
+    — so the max cluster size is COUNTED first (one small aggregate over
+    the assignment frame) and an over-limit clustering is REFUSED with
+    the linear alternatives named: re-seed with more / better-spread
+    centroids (collect_seeds with a larger C), split the hot cluster and
+    re-audit it alone, or cap the neighborhood by sampling within the
+    cluster.
+    ``max_cluster_rows=None`` disables the gate for callers who have
+    decided to pay the quadratic cost (r10 verdict #7)."""
     import pyspark.sql.types as T
 
     dim = len(seeds[0][1])
     assign = ivf_assign(emb, seeds, id_col=id_col, vec_col=vec_col)
+    if max_cluster_rows is not None:
+        hot = (
+            assign.groupBy("cluster")
+            .agg(F.count("*").alias("n"))
+            .agg(F.max("n").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        if hot is not None and hot > max_cluster_rows:
+            raise ValueError(
+                f"knn_label_audit is quadratic within a cluster; the largest "
+                f"IVF cluster holds {hot} rows > max_cluster_rows="
+                f"{max_cluster_rows}. Re-seed with more / better-spread "
+                f"centroids (collect_seeds, larger C), split the hot cluster and "
+                f"audit it separately, or pass max_cluster_rows=None to "
+                f"force the quadratic run."
+            )
     q = emb.select(
         id_col,
         F.col(label_col).cast("int").alias("_lbl"),

@@ -343,7 +343,11 @@ def triangles_adjacency(edges: DataFrame, orient: str = "id") -> DataFrame:
     return contrib.groupBy("node").agg(F.sum("n").cast("bigint").alias("n_triangles"))
 
 
-def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 2,
+    caches: "list[DataFrame] | CacheHandle | None" = None,
+) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et al.
     2007) over an undirected (src, dst)-both-directions edge list: every
     vertex starts labeled with itself; each round it adopts the label
@@ -380,8 +384,13 @@ def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
     from 2.97-5.52 to 3.58-4.26 s — per-round scheduling is the variance
     source, not the joins. Labels frames chain lineage only ``rounds`` deep — no
     checkpoint needed for small fixed round counts; the persisted edge
-    frame is released by the caller via ``unmaterialize`` (or left to
-    session teardown).
+    frame follows the pagerank cache-release contract (ADVICE r10): the
+    returned labels frame still reads it lazily, so it cannot be
+    unpersisted here — long-lived library callers pass a
+    ``materialize.CacheHandle`` (or plain list) via ``caches`` and
+    release once labels are consumed; with ``caches=None`` the frame
+    stays cached until ``spark.catalog.clearCache()`` (the bench/driver
+    per-query pattern) or session end.
     """
     from mysql2psql_spark.operators.materialize import materialize, unmaterialize
 
@@ -391,6 +400,8 @@ def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
     und = materialize(raw.repartition(n_part, "v"))
     und.count()  # seat the round-partitioned copy, then free the staging one
     unmaterialize(raw)
+    if caches is not None:
+        caches.append(und)
     labels = und.select("v").distinct().withColumn("lbl", F.col("v"))
     for _ in range(rounds):
         nbr = und.join(

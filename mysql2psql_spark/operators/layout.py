@@ -20,9 +20,12 @@ pays anyway.
 
 from __future__ import annotations
 
+import os
+import tempfile
+from collections.abc import Callable
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -152,3 +155,66 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+# per-process scratch roots for external bucketed tables, keyed by the
+# Spark applicationId so a process that cycles sessions gets a fresh root
+# per session. mkdtemp (mode 0700, collision-free name) instead of a
+# fixed /tmp path: a WORLD-SHARED fixed path let two concurrent sessions
+# (parallel pytest + bench, or two driver rounds) each see
+# tableExists()=False in their own session-scoped catalog and race
+# mode=overwrite writes into the same directory — corrupted/partial
+# reads — and a pre-placed directory/symlink at a predictable /tmp path
+# is the classic insecure-tmp hazard (ADVICE r10, medium).
+_SESSION_SCRATCH: dict[str, str] = {}
+
+
+def session_scratch(spark: SparkSession) -> str:
+    """Session-unique scratch directory for external-table data."""
+    app = spark.sparkContext.applicationId
+    root = _SESSION_SCRATCH.get(app)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="mysql2psql_spark_bucketed_")
+        _SESSION_SCRATCH[app] = root
+    return root
+
+
+def ensure_bucketed_table(
+    spark: SparkSession,
+    table: str,
+    keys: list[str],
+    n_buckets: int,
+    build: Callable[[], DataFrame],
+    sort: bool = True,
+) -> DataFrame:
+    """Write-once-per-session external bucketed table: the
+    pay-the-distribution-shuffle-ONCE contract for any artifact several
+    queries re-derive (the part co-order edge list, the o6 fact layout).
+    The first call in a session builds + writes; every later call (and
+    every later query in the same session) scans the bucketed files with
+    the bucket spec as its output partitioning — groupBy/join on a
+    superset of ``keys`` plans exchange-free. At 100 TB this IS the
+    steady state: such artifacts are persisted tables maintained by the
+    ingest pipeline, not per-query derivations.
+
+    The build is repartitioned to ``n_buckets`` on ``keys`` before the
+    write: repartition's hash and the bucket hash agree, so each write
+    task holds exactly one bucket's rows and emits ONE file per bucket
+    (without it, a w-way upstream shuffle writes up to w x n_buckets
+    bucket fragments).
+
+    Data lands under :func:`session_scratch` (mkdtemp — never a shared
+    fixed path, never the caller's cwd warehouse); the catalog entry is
+    session-scoped, so table name and data lifetime agree.
+    """
+    if not spark.catalog.tableExists(table):
+        df = build().repartition(n_buckets, *[F.col(k) for k in keys])
+        write_bucketed(
+            df,
+            table,
+            keys,
+            n_buckets,
+            sort=sort,
+            path=os.path.join(session_scratch(spark), table),
+        )
+    return spark.table(table)

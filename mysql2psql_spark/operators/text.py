@@ -214,40 +214,15 @@ def global_ordinals(
     out_col: str = "ordinal",
 ):
     """Assign 0-based GLOBAL contiguous ordinals — the shard/sample-index
-    assignment step of a training-data export — without ever sorting the
-    corpus through one task (a global ROW_NUMBER window collapses to a
-    single partition; this shape's only full-data operations are one
-    bucket-keyed window and one broadcast join).
-
-    Two passes: (1) rank rows within ``n_buckets`` buckets keyed by
-    ``order_cols[0] % n_buckets`` (one window per bucket, parallel);
-    (2) compute each bucket's starting offset from the bucket-count
-    table — n_buckets rows, so its running-sum window is bounded — and
-    broadcast-join it back. The resulting total order is
-    ``(bucket, *order_cols)``: deterministic, reproducible at any
-    parallelism, and restatable in SQL as
-    ``ROW_NUMBER() OVER (ORDER BY col0 % n, col0, ...) - 1``.
+    assignment step of a training-data export. The two-phase bucket-rank
+    + broadcast-offset decomposition lives in
+    ``operators/indexing.py::dense_index`` (extracted r11 so the graph
+    family's vertex indexes share it); this name is kept as the
+    text-export-facing alias.
     """
-    from pyspark.sql.window import Window as W
+    from mysql2psql_spark.operators.indexing import dense_index
 
-    lead = F.col(order_cols[0])
-    bucket = (lead % n_buckets).alias("_b")
-    win = W.partitionBy("_b").orderBy(*order_cols)
-    ranked = df.withColumn("_b", bucket).withColumn(
-        "_local", F.row_number().over(win) - 1
-    )
-    counts = ranked.groupBy("_b").agg(F.count("*").alias("_n"))
-    offsets = counts.select(
-        "_b",
-        (
-            F.sum("_n").over(W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1))
-        ).alias("_off"),
-    ).fillna({"_off": 0})
-    return (
-        ranked.join(F.broadcast(offsets), "_b")
-        .withColumn(out_col, (F.col("_off") + F.col("_local")).cast("bigint"))
-        .drop("_b", "_local", "_off", "_n")
-    )
+    return dense_index(df, order_cols, n_buckets=n_buckets, out_col=out_col)
 
 
 def hash_sample(key: Column, rate_percent: Column) -> Column:

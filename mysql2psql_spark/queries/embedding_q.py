@@ -453,7 +453,7 @@ _ORACLE_LSH_SWEEP = f"""
 
 
 @query("sim_lsh_budget_sweep", oracle=_ORACLE_LSH_SWEEP)
-def sim_lsh_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_lsh_budget_sweep(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
     from pyspark.sql import functions as F
 
     from mysql2psql_spark.queries.similarity_q import sim_cosine_topk
@@ -472,6 +472,9 @@ def sim_lsh_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = materialize(
         lsh_scored_candidates(emb, probe_id=0, max_hamming=8, planes=_PLANES)
     )
+    # CacheHandle contract (ADVICE r10) for long-lived library callers
+    if caches is not None:
+        caches.append(scored)
     arms = None
     for budget in (4, 6, 8):
         arm = (

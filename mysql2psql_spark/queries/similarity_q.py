@@ -619,7 +619,7 @@ def _mmr_oracle() -> str:
 
 
 @query("sim_mmr_rerank", oracle=_mmr_oracle())
-def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
     import functools
     import operator as op
 
@@ -640,13 +640,18 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql2psql_spark.operators.materialize import materialize
 
     # persisted: consumed by BOTH the greedy's collect and the final
-    # join — without the persist the scan re-executes per consumer
+    # join — without the persist the scan re-executes per consumer.
+    # ``caches`` is the pagerank CacheHandle contract (ADVICE r10) for
+    # long-lived library callers; the bench/driver per-query cache clear
+    # covers the default-None path.
     cand20 = materialize(
         q.filter(F.col("vec_id") != 0)
         .withColumn("d2p", d2p.cast("bigint"))
         .orderBy("d2p", "vec_id")
         .limit(_MMR_CAND)
     )
+    if caches is not None:
+        caches.append(cand20)
     rows = cand20.select("vec_id", "d2p", "qe").collect()  # <= 20 rows
     vecs = {r["vec_id"]: r["qe"] for r in rows}
     rel = {r["vec_id"]: r["d2p"] for r in rows}

@@ -294,3 +294,22 @@ def test_label_propagation_tie_breaks_to_smallest(spark):
     got = {r.v: r.lbl for r in label_propagation(und, rounds=1).collect()}
     assert got[2] == 0
     assert got == _ref_lpa([(0, 2), (1, 2)], 1)
+
+
+def test_label_propagation_caches_contract(spark):
+    """ADVICE r10: label_propagation (and the other materialize()-using
+    query paths) must let long-lived callers release operator-persisted
+    frames via the pagerank CacheHandle contract."""
+    from mysql2psql_spark.operators.graph import label_propagation, undirected_edges
+    from mysql2psql_spark.operators.materialize import CacheHandle
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5)], "a bigint, b bigint"
+    )
+    und = undirected_edges(pairs, "a", "b", pairs_distinct=True)
+    with CacheHandle() as h:
+        labels = label_propagation(und, rounds=2, caches=h)
+        assert labels.count() == 5
+        assert len(h.frames) == 1
+        assert h.frames[0].storageLevel.useMemory
+    assert not h.frames  # released on exit

@@ -1145,3 +1145,42 @@ def test_knn_label_audit_singleton_cluster_never_flagged(spark):
     assert got[1] == (3, 3, False)
     # the 3-member cluster votes normally: 0's 2 neighbors are both label 1
     assert got[0] == (0, 1, True)
+
+
+def test_distribution_ranks_rejects_non_prefix_value_col(spark):
+    """ADVICE r10: the range-bucket decomposition is only rank-exact when
+    the bucket value is a prefix of the ordering — any other explicit
+    value_col must refuse loudly instead of silently scrambling ranks."""
+    import pytest as _pytest
+
+    from mysql2psql_spark.operators.analytics import distribution_ranks
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 2.0)], "id bigint, a double, b double"
+    )
+    with _pytest.raises(ValueError, match="value_col must be order_cols"):
+        distribution_ranks(df, "id", ["a", "id"], value_col="b")
+    # the sanctioned spellings still work
+    assert distribution_ranks(df, "id", ["a", "id"]).count() == 1
+    assert distribution_ranks(df, "id", ["a", "id"], value_col="a").count() == 1
+
+
+def test_knn_label_audit_refuses_mega_cluster(spark):
+    """r10 verdict #7: the per-cluster quadratic kernel is linear-in-corpus
+    ONLY under bounded cluster sizes — a degenerate clustering (one
+    mega-cluster) must be refused with the counted size in the message,
+    not silently re-create the all-pairs blowup."""
+    import pytest as _pytest
+
+    from mysql2psql_spark.operators.embedding import knn_label_audit
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0], i % 2) for i in range(6)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    seeds = [(0, [1.0, 0.0])]  # every vector lands in one cluster
+    with _pytest.raises(ValueError, match="max_cluster_rows"):
+        knn_label_audit(emb, seeds, k=2, max_cluster_rows=3)
+    # the disabled-gate and under-limit paths still run
+    assert knn_label_audit(emb, seeds, k=2, max_cluster_rows=None).count() == 6
+    assert knn_label_audit(emb, seeds, k=2, max_cluster_rows=100).count() == 6

@@ -210,3 +210,54 @@ def test_session_pins_codegen_cache_and_cleaner(spark):
     ContextCleaner reclaiming shuffle/broadcast state."""
     assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 1024
     assert spark.conf.get("spark.cleaner.periodicGC.interval") == "5min"
+
+
+def test_coorder_edges_bucketed_scan_exchange_free_adjacency(spark):
+    """The graph family reads the part co-order graph from the session's
+    write-once bucketed table (queries/graph_q.py::coorder_edges): the
+    triangles plan must scan it bucketed and run the adjacency
+    collect_set WITHOUT an exchange on the bucket key — the bucket spec
+    is the aggregation's required clustering (the r10 verdict's
+    pay-the-shuffle-once directive for the shared edge list)."""
+    plan = _plan(QUERIES["graph_triangles"](spark, SF_DIR_ORACLE))
+    assert "coorder_edges_" in plan, plan[:2000]
+    assert "Bucketed: true" in plan, plan[:2000]
+    body = plan.split("== Physical Plan ==")[-1]
+    # an exchange on the edge endpoint would mean the bucket layout was
+    # lost (the only sanctioned hash exchanges partition by node /
+    # tri_bucket downstream of the per-edge work)
+    assert not re.search(r"Exchange hashpartitioning\((src|a)#", body), body[:3000]
+
+
+def test_negative_samples_no_unpartitioned_row_number(spark):
+    """graph_negative_samples' dense vertex index must use the two-phase
+    bucket-rank + broadcast-offset shape (operators/indexing.py::
+    dense_index) — a row_number over an UNPARTITIONED window would pull
+    every vertex through one task (the r10 verdict's one weak flag).
+    The only unpartitioned window allowed is the n_buckets-row offset
+    prefix sum, which is not a row_number."""
+    plan = _plan(QUERIES["graph_negative_samples"](spark, SF_DIR_ORACLE))
+    assert not re.search(
+        r"row_number\(\) windowspecdefinition\([^,)]* (ASC|DESC)", plan
+    ), plan[:3000]
+
+
+def test_dense_index_matches_sql_contract(spark, duck):
+    """dense_index's (bucket, *order_cols) total order must equal its
+    advertised SQL restatement (dense_index_sql) exactly — the contract
+    every consumer's oracle relies on."""
+    from mysql2psql_spark.operators.indexing import dense_index, dense_index_sql
+
+    df = load_table(spark, SF_DIR_ORACLE, "part").select("p_partkey")
+    got = {
+        r["p_partkey"]: r["ordinal"]
+        for r in dense_index(df, ["p_partkey"], n_buckets=16).collect()
+    }
+    expr = dense_index_sql(["p_partkey"], n_buckets=16)
+    want = {
+        k: v
+        for k, v in duck.execute(
+            "SELECT p_partkey, " + expr + " AS ordinal FROM sf0_01.part"
+        ).fetchall()
+    }
+    assert got == want
