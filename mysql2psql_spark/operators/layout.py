@@ -169,11 +169,29 @@ def write_bucketed(
 _SESSION_SCRATCH: dict[str, str] = {}
 
 
+def _cleanup_scratch() -> None:
+    """Best-effort removal of this process's scratch roots at interpreter
+    exit — repeated driver/bench rounds must not accumulate table data
+    under /tmp. Failure is fine (another process, already gone)."""
+    import shutil
+
+    for root in list(_SESSION_SCRATCH.values()):
+        try:
+            shutil.rmtree(root, ignore_errors=True)
+        except Exception:
+            pass
+    _SESSION_SCRATCH.clear()
+
+
 def session_scratch(spark: SparkSession) -> str:
     """Session-unique scratch directory for external-table data."""
+    import atexit
+
     app = spark.sparkContext.applicationId
     root = _SESSION_SCRATCH.get(app)
     if root is None:
+        if not _SESSION_SCRATCH:
+            atexit.register(_cleanup_scratch)
         root = tempfile.mkdtemp(prefix="mysql2psql_spark_bucketed_")
         _SESSION_SCRATCH[app] = root
     return root

@@ -876,7 +876,14 @@ def w7_two_phase_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    out = distribution_ranks(e, "event_type", ["value", "event_id"])
+    # n_buckets trades the per-row bucket probe (an interpreted HOF over
+    # the cuts array, ~linear in bucket count: 64 -> 1.96 s, 16 -> 1.14 s,
+    # 8 -> 0.98 s interleaved medians at sf0.1) against per-bucket window
+    # parallelism; ranks are bucket-count-invariant (the oracle has no
+    # buckets at all). 16 keeps 5 x 16 = 80-way window parallelism at
+    # test scale; at 10^8+ rows/key raise it toward the operator's 64+
+    # default so single-bucket sorts stay within task memory.
+    out = distribution_ranks(e, "event_type", ["value", "event_id"], n_buckets=16)
     return out.select(
         "event_id",
         "event_type",
