@@ -284,9 +284,10 @@ def main() -> None:
     # steady state a long-lived cluster sees.
     t_setup = time.perf_counter()
     try:
-        from mysql2psql_spark.queries.graph_q import coorder_edges
+        from mysql2psql_spark.queries.graph_q import coorder_edges, sc_pairs
 
         coorder_edges(spark, sf_dir)  # shared part co-order edge table
+        sc_pairs(spark, sf_dir)  # shared supplier<->customer pair table
         fn = QUERIES.get("o6_bucketed_join")
         if fn is not None:
             fn(spark, sf_dir)  # builds its two bucketed fact layouts

@@ -59,6 +59,31 @@ def _pair_frame(
     return raw.distinct() if distinct else raw
 
 
+def sc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTINCT supplier<->customer fulfillment pairs (s, c) as a
+    write-once-per-session bucketed table — the flagship graph's twin of
+    :func:`coorder_edges`. graph_pagerank and graph_degree_distribution
+    both consume this frame; through r11 each re-derived it per query
+    (lineitem x orders join + distinct). Same-session interleaved A/B at
+    sf0.1: pagerank 2.90 -> 2.19 s, degree distribution 1.27 -> 0.69 s
+    (the join + distinct was ~0.6-0.7 s of each row). The distinct runs
+    once at write time, so pagerank switches to the pre-deduped path
+    (``dedup_edges=False`` — the dedup equivalence is documented at
+    ``operators/graph.py::pagerank``; s/c namespaces stay disjoint)."""
+    import re as _re
+
+    from mysql2psql_spark.operators.layout import ensure_bucketed_table
+
+    tag = _re.sub(r"\W+", "_", sf_dir.strip("/"))
+    return ensure_bucketed_table(
+        spark,
+        f"sc_pairs_{tag}",
+        ["s"],
+        32,
+        lambda: _pair_frame(spark, sf_dir, distinct=True),
+    )
+
+
 # Floor-truncated 1e-9 contribution grid (NOT ROUND: double half-boundary
 # rounding diverged between engines by 1e-9 on 7/1600 nodes — the
 # percentile-fix class). FLOOR and the IEEE products are bit-identical.
@@ -91,17 +116,15 @@ def _step(prev: str, out: str) -> str:
     """,
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # RAW pair frame (no distinct) doubled without dedup: pagerank's
-    # dedup_edges folds the (src, dst) dedup into the single
-    # repartition-by-src build exchange it pays anyway, so the whole
-    # edge build costs ONE edge-scale shuffle instead of the r7 shape's
-    # two (pair distinct + degree window). Interleaved 5-run medians at
-    # sf0.1: 3.02 s -> 2.64 s, ranks bit-identical (the dedup is exact
-    # either way; supplier(2k)/customer(2k+1) namespaces stay disjoint).
-    edges = undirected_edges(
-        _pair_frame(spark, sf_dir, distinct=False), "s", "c", pairs_distinct=True
-    )
-    ranks = pagerank(edges, iters=3, damping=0.85, dedup_edges=True)
+    # Pairs come pre-deduped from the session's shared bucketed table
+    # (sc_pairs — the distinct ran once at write time), so the doubling
+    # needs no dedup (s/c namespaces disjoint: forward and reversed
+    # copies cannot collide) and pagerank takes the dedup_edges=False
+    # path. Same-session interleaved A/B at sf0.1: 2.90 -> 2.19 s
+    # median vs the r10 rebuild-per-query shape; ranks bit-identical
+    # (the dedup is exact either way).
+    edges = undirected_edges(sc_pairs(spark, sf_dir), "s", "c", pairs_distinct=True)
+    ranks = pagerank(edges, iters=3, damping=0.85, dedup_edges=False)
     return ranks.select(
         F.when(F.col("node") % 2 == 0, "supplier")
         .otherwise("customer")
@@ -126,12 +149,11 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the s/c namespaces are disjoint, so each distinct pair contributes
     # exactly 1 to the undirected degree of BOTH endpoints — explode the
     # (s, c) pair into its two endpoint rows and count per endpoint in a
-    # single pass. ONE scan of the pair frame, no persist (the r7 shape
-    # persisted the pair frame for two groupBy consumers and never
-    # released it — a session-lifetime cache entry per call for library
-    # callers, flagged by ADVICE r7; the explode has one consumer, so
-    # there is nothing to cache or leak).
-    pair = _pair_frame(spark, sf_dir)
+    # single pass over the session's shared bucketed pair table
+    # (sc_pairs; 1.27 -> 0.69 s interleaved median at sf0.1 vs the
+    # per-query join + distinct rebuild). No persist: the explode has
+    # one consumer, so there is nothing to cache or leak (ADVICE r7).
+    pair = sc_pairs(spark, sf_dir)
     deg = (
         pair.select(F.explode(F.array("s", "c")).alias("src"))
         .groupBy("src")

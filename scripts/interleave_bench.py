@@ -143,9 +143,10 @@ def main() -> None:
     # bucketed tables are layout work, not query work — build them before
     # the first measured sample so rep 1 sees the steady state.
     try:
-        from mysql2psql_spark.queries.graph_q import coorder_edges
+        from mysql2psql_spark.queries.graph_q import coorder_edges, sc_pairs
 
         coorder_edges(spark, args.sf_dir)
+        sc_pairs(spark, args.sf_dir)
         if "o6_bucketed_join" in QUERIES:
             QUERIES["o6_bucketed_join"](spark, args.sf_dir)
     except Exception as exc:
