@@ -1184,3 +1184,31 @@ def test_knn_label_audit_refuses_mega_cluster(spark):
     # the disabled-gate and under-limit paths still run
     assert knn_label_audit(emb, seeds, k=2, max_cluster_rows=None).count() == 6
     assert knn_label_audit(emb, seeds, k=2, max_cluster_rows=100).count() == 6
+
+
+def test_ensure_bucketed_table_builds_once_per_session(spark):
+    """The write-once contract: the second call must return the existing
+    table without invoking the build (pay-the-shuffle-once), and the
+    data must live under the session-unique scratch root, never a fixed
+    shared path (ADVICE r10 medium)."""
+    from mysql2psql_spark.operators.layout import ensure_bucketed_table, session_scratch
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(50).selectExpr("id", "id % 5 AS k")
+
+    name = "t_build_once_probe"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    a = ensure_bucketed_table(spark, name, ["k"], 4, build)
+    b = ensure_bucketed_table(spark, name, ["k"], 4, build)
+    assert calls == [1]
+    assert a.count() == b.count() == 50
+    loc = (
+        spark.sql(f"DESCRIBE FORMATTED {name}")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    )
+    assert session_scratch(spark).lstrip("/") in loc
+    spark.sql(f"DROP TABLE IF EXISTS {name}")

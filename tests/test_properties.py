@@ -278,3 +278,28 @@ def test_mmr_select_k_exceeding_candidates():
     rel = {0: 0, 1: 25}
     out = mmr_select(vecs, rel, 10)
     assert out == [(0, 1, None), (1, 2, 25)]
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60, unique=True
+    ),
+    n_buckets=st.sampled_from([1, 2, 7, 16, 64]),
+)
+@settings(max_examples=25, deadline=None)
+def test_dense_index_is_bijective_and_matches_contract(spark_prop, keys, n_buckets):
+    """dense_index must assign each row a UNIQUE ordinal covering
+    0..n-1 exactly, equal to its rank under the advertised
+    (key % n_buckets, key) total order — the SQL-restatable contract
+    every consumer's oracle builds on (operators/indexing.py)."""
+    from mysql2psql_spark.operators.indexing import dense_index
+
+    df = spark_prop.createDataFrame([(k,) for k in keys], "k bigint")
+    got = {
+        r["k"]: r["ordinal"]
+        for r in dense_index(df, ["k"], n_buckets=n_buckets).collect()
+    }
+    want = {
+        k: i for i, k in enumerate(sorted(keys, key=lambda k: (k % n_buckets, k)))
+    }
+    assert got == want
