@@ -198,6 +198,21 @@ def main() -> int:
         reps = r if reps is None else reps.unionByName(r)
     reps.write.mode("overwrite").parquet(f"{DST}/part.parquet")
 
+    # session-setup (r11, same discipline as bench.py): the write-once
+    # bucketed graph tables are layout work — build them for BOTH dirs
+    # before timing, so the probed walls measure the steady query (the
+    # one-time 5x build+write is reported on its own line).
+    try:
+        from mysql2psql_spark.queries.graph_q import coorder_edges, sc_pairs
+
+        for d in (SRC, DST):
+            t0 = time.perf_counter()
+            coorder_edges(spark, d)
+            sc_pairs(spark, d)
+            print(f"# graph-table setup {d}: {time.perf_counter() - t0:.2f}s", flush=True)
+    except Exception as exc:
+        print(f"# session setup failed: {exc}", flush=True)
+
     for name in probed:
         fn = QUERIES[name]
         # warm the plan shape at base scale, like bench.py does
