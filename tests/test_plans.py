@@ -261,3 +261,24 @@ def test_dense_index_matches_sql_contract(spark, duck):
         ).fetchall()
     }
     assert got == want
+
+
+def test_dense_index_sql_multi_column_contract(spark, duck):
+    """dense_index with a secondary ordering column must still match its
+    generated SQL twin (the bucket key is only the LEAD column's modulo;
+    ties within a bucket order by the remaining columns)."""
+    from mysql2psql_spark.operators.indexing import dense_index, dense_index_sql
+
+    df = load_table(spark, SF_DIR_ORACLE, "orders").select("o_custkey", "o_orderkey")
+    got = {
+        (r["o_custkey"], r["o_orderkey"]): r["ordinal"]
+        for r in dense_index(df, ["o_custkey", "o_orderkey"], n_buckets=8).collect()
+    }
+    expr = dense_index_sql(["o_custkey", "o_orderkey"], n_buckets=8)
+    want = {
+        (a, b): v
+        for a, b, v in duck.execute(
+            "SELECT o_custkey, o_orderkey, " + expr + " AS ordinal FROM sf0_01.orders"
+        ).fetchall()
+    }
+    assert got == want
