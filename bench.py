@@ -230,6 +230,8 @@ HEADLINE = [
     # round-11: the two-phase distribution-rank decomposition (the
     # declared 100 TB path for w4/w5, now exact-oracled end-to-end)
     "w7_two_phase_distribution",
+    # round-11: budget-capped deterministic mixture draw
+    "text_budget_sample",
 ]
 
 

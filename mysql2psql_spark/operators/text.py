@@ -4,7 +4,7 @@ per-document cost, no Python in the hot path."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # A small, pinned English stopword list (shared with the SQL oracles; keep
@@ -223,6 +223,71 @@ def global_ordinals(
     from mysql2psql_spark.operators.indexing import dense_index
 
     return dense_index(df, order_cols, n_buckets=n_buckets, out_col=out_col)
+
+
+def budget_capped_sample(
+    df: DataFrame,
+    domain_col: str,
+    weight_col: str,
+    key_col: str,
+    budget: int,
+    out_col: str = "cum_weight",
+) -> DataFrame:
+    """Deterministic budget-capped draw: per ``domain_col``, keep rows in
+    md5(``key_col``) order while the running sum of ``weight_col`` stays
+    within ``budget`` (inclusive). The materialization step of a mixture
+    plan — ``text_mixture_weights`` decides HOW MUCH of each domain to
+    take; this draws WHICH rows, reproducibly (the md5 draw discipline of
+    :func:`hash_sample`: membership is a pure function of the key, stable
+    across reruns, engines, partition layouts, and corpus growth — new
+    rows hash into place without reshuffling previous draws' prefixes
+    beyond the budget boundary).
+
+    Scale shape — no per-domain total-order window anywhere: the exact
+    running sum decomposes over the FIRST HEX CHAR of the md5 key, which
+    is (a) a RANGE prefix of the draw order (every row of bucket '0'
+    precedes every row of bucket '1', both engines sort hex chars the
+    same: ASCII digits < lowercase), and (b) uniform by construction
+    (hash output), so the 16 buckets are balanced with no percentile-cut
+    sketch needed — the weighted sibling of
+    ``operators/indexing.py::dense_index``. One window per
+    (domain, bucket) computes local cumulative weights; a
+    |domains| x 16-row count table provides broadcast starting offsets
+    (its prefix window is bounded at 16 rows per domain); the restated
+    single-window SQL ``SUM(w) OVER (PARTITION BY domain ORDER BY
+    md5(key), key)`` is reproduced exactly.
+
+    Returns the selected rows of ``df`` plus ``out_col`` (BIGINT running
+    total including the row itself). ``weight_col`` must be
+    non-negative integers for the <= comparison to be exact.
+    """
+    from pyspark.sql.window import Window as W
+
+    dk = F.md5(F.col(key_col).cast("string"))
+    based = df.withColumn("_dk", dk).withColumn("_b", F.substring(F.col("_dk"), 1, 1))
+    wl = W.partitionBy(domain_col, "_b").orderBy("_dk", key_col)
+    ranked = based.withColumn("_local", F.sum(weight_col).over(wl))
+    # totals from the pre-window frame (distribution_ranks' reasoning:
+    # the count subtree prunes differently, and a pruned re-scan is
+    # cheaper than caching the windowed frame)
+    totals = based.groupBy(domain_col, "_b").agg(
+        F.sum(weight_col).alias("_n")
+    )
+    wo = W.partitionBy(domain_col).orderBy("_b")
+    offsets = totals.select(
+        domain_col,
+        "_b",
+        F.coalesce(
+            F.sum("_n").over(wo.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("_off"),
+    )
+    cum = (F.col("_off") + F.col("_local")).cast("bigint")
+    return (
+        ranked.join(F.broadcast(offsets), [domain_col, "_b"])
+        .withColumn(out_col, cum)
+        .filter(F.col(out_col) <= budget)
+        .drop("_dk", "_b", "_local", "_off")
+    )
 
 
 def hash_sample(key: Column, rate_percent: Column) -> Column:

@@ -1077,6 +1077,55 @@ def text_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Budget-capped deterministic draw — the MATERIALIZATION step of the
+# mixture plan: text_mixture_weights decides how much of each domain to
+# take; this emits WHICH documents, reproducibly, under a per-language
+# token budget. Draw order is md5(doc_id) (hash_sample's discipline: a
+# pure function of the key — stable across engines, reruns, partition
+# layouts, and corpus growth), and the exact running token sum uses the
+# two-phase hex-prefix decomposition of
+# operators/text.py::budget_capped_sample — one window per
+# (lang, first-hex-char) range bucket + a 16-row broadcast offset table,
+# NO per-language total-order window (the w5-class funnel this shape
+# exists to avoid). Output is budget-bounded (~budget/avg_tokens rows
+# per language) at ANY corpus size.
+# ---------------------------------------------------------------------------
+_BUDGET_TOKENS = 2000
+
+
+@query(
+    "text_budget_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             MD5(CAST(doc_id AS VARCHAR)) AS dk
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY dk, doc_id) AS cum
+      FROM t
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum <= {_BUDGET_TOKENS}
+    """,
+)
+def text_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2psql_spark.operators.text import budget_capped_sample, token_count
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    out = budget_capped_sample(
+        d, "lang", "n_tokens", "doc_id", _BUDGET_TOKENS, out_col="cum_tokens"
+    )
+    return out.select(
+        "doc_id", "lang", F.col("n_tokens").cast("bigint").alias("n_tokens"), "cum_tokens"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Containment (subset-duplicate) pairs: |A∩B|/|A| >= 0.8 over 3-gram
 # shingles — catches a document embedded verbatim in a longer one, which
 # Jaccard structurally misses (the union washes the overlap out). The

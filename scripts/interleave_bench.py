@@ -69,6 +69,7 @@ FLOORS = {
     "graph_negative_samples": 1.84,   # r10 2.85 (rebuild included)
     "graph_label_propagation": 3.07,  # r10 3.74 (rebuild included)
     "w7_two_phase_distribution": 1.14,  # r11 registration, 16-bucket probe
+    "text_budget_sample": 1.08,         # r11 registration, 5-run median
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),
@@ -96,6 +97,7 @@ DEFAULT_QUERIES = [
     # r11: shared-edge-table graph family + the two-phase window path
     "graph_label_propagation",
     "w7_two_phase_distribution",
+    "text_budget_sample",
 ]
 
 

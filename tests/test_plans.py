@@ -282,3 +282,18 @@ def test_dense_index_sql_multi_column_contract(spark, duck):
         ).fetchall()
     }
     assert got == want
+
+
+def test_budget_sample_no_unpartitioned_window(spark):
+    """text_budget_sample's running token sum must use the two-phase
+    hex-prefix decomposition — no per-language total-order window over
+    the corpus; the only permitted windows partition by (lang, bucket)
+    or run over the 16-row offset table."""
+    plan = _plan(QUERIES["text_budget_sample"](spark, SF_DIR_ORACLE))
+    # a lang-partitioned window ordering directly by the md5 key (the
+    # funnel shape) would print windowspecdefinition(lang#N, _dk#M ASC
+    assert not re.search(
+        r"windowspecdefinition\(lang#\d+, _?dk#\d+ ASC", plan
+    ), plan[:3000]
+    # the local window partitions by (lang, _b)
+    assert re.search(r"windowspecdefinition\(lang#\d+, _b#", plan), plan[:3000]

@@ -303,3 +303,44 @@ def test_dense_index_is_bijective_and_matches_contract(spark_prop, keys, n_bucke
         k: i for i, k in enumerate(sorted(keys, key=lambda k: (k % n_buckets, k)))
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100_000),  # key
+            st.sampled_from(["a", "b", "c"]),             # domain
+            st.integers(min_value=0, max_value=50),       # weight
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: r[0],
+    ),
+    budget=st.integers(min_value=0, max_value=300),
+)
+@settings(max_examples=20, deadline=None)
+def test_budget_capped_sample_matches_bruteforce(spark_prop, rows, budget):
+    """budget_capped_sample's two-phase hex-prefix running sum must equal
+    the brute-force single-pass cumulative sum in md5(key) order per
+    domain, with the inclusive <= budget cut (operators/text.py)."""
+    import hashlib
+
+    from mysql2psql_spark.operators.text import budget_capped_sample
+
+    df = spark_prop.createDataFrame(rows, "k bigint, dom string, w bigint")
+    got = {
+        (r["k"], r["dom"]): r["cum_weight"]
+        for r in budget_capped_sample(df, "dom", "w", "k", budget).collect()
+    }
+    want = {}
+    for dom in {r[1] for r in rows}:
+        cum = 0
+        members = sorted(
+            (r for r in rows if r[1] == dom),
+            key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]),
+        )
+        for k, _, w in members:
+            cum += w
+            if cum <= budget:
+                want[(k, dom)] = cum
+    assert got == want
