@@ -359,3 +359,26 @@ def test_cli_ann_probes_rejects_bad_schema(spark, tmp_path):
             ["anndb", "--source", f"parquet:{SF_DIR}", "--out", str(tmp_path / "o"),
              "--ann-probes", probes_path]
         )
+
+
+def test_cli_ann_duplicate_probe_rows_count_distinct(spark, tmp_path, capsys):
+    """ADVICE r10: a probe file with duplicate probe_id rows must report
+    probes_in as the DISTINCT id count — a row count would read
+    probes_in > probes_matched and fake zero-neighbor probes."""
+    from mysql2psql_spark.cli import main as cli_main
+
+    probes_path = str(tmp_path / "probes_dup.parquet")
+    base = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter("vec_id < 2")
+        .selectExpr("vec_id AS probe_id", "embedding")
+    )
+    base.union(base).write.parquet(probes_path)  # each probe twice
+    rc = cli_main(
+        ["anndb", "--source", f"parquet:{SF_DIR}", "--out", str(tmp_path / "out"),
+         "--ann-probes", probes_path, "--ann-topk", "2"]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["ann_topk"]["probes_in"] == 2
+    assert summary["ann_topk"]["probes_matched"] == 2
