@@ -69,7 +69,7 @@ FLOORS = {
     "graph_negative_samples": 1.84,   # r10 2.85 (rebuild included)
     "graph_label_propagation": 3.07,  # r10 3.74 (rebuild included)
     "w7_two_phase_distribution": 1.14,  # r11 registration, 16-bucket probe
-    "text_budget_sample": 1.08,         # r11 registration, 5-run median
+    "text_budget_sample": 0.44,         # r11 registration, 7-rep interleaved median
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),
