@@ -100,6 +100,16 @@ PROBED = [
     # distinct graph: vertex set, anchors, and draws are unchanged, so
     # the anti-join probes the same edges and wall tracks the edge build).
     "graph_negative_samples",
+    # r11: the two-phase distribution decomposition rides events (event
+    # replicas KEEP event_type, so each type's stream grows 5x — the
+    # per-key direction the bucket decomposition exists for; the plain
+    # w5 window funnels each 5x stream through one task).
+    "w7_two_phase_distribution",
+    # r11: the budget-capped draw rides documents (5x corpus under the
+    # SAME per-language token budget — selected prefixes change, since
+    # new doc_ids hash into the draw order, but the OUTPUT stays
+    # budget-bounded and the wall should track the token-count scan).
+    "text_budget_sample",
 ]
 
 
