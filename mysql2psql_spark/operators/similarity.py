@@ -178,3 +178,145 @@ def mmr_select(
         nov[best] = min(d2(best, s) for s in sel)
         sel.append(best)
     return [(v, i + 1, nov[v]) for i, v in enumerate(sel)]
+
+
+def topk_sum(
+    scored: DataFrame,
+    key_col: str,
+    other_col: str,
+    score_col: str,
+    k: int,
+    fanout: int = 32,
+) -> DataFrame:
+    """Exact per-key sum of the top-``k`` scores, TWO-PHASE: a local
+    row_number inside (key, hash-bucket-of-other) partitions — ``fanout``
+    buckets per key, so the full candidate exchange spreads over
+    |keys| * fanout partitions — then a global row_number per key over
+    the <= fanout * k surviving rows. A single per-key window would
+    funnel EVERY candidate score for one key through one task (the
+    batch_topk straggler analysis applies verbatim); two-phase is exact
+    because any global top-k row is necessarily in its bucket's top-k
+    under the same total order (score desc, other-id asc — deterministic
+    tiebreak). Returns (key_col, ksum) with ksum = int64 sum of the
+    top-k scores, the exact-decimal discipline the margin oracle needs.
+    """
+    from pyspark.sql.window import Window as W
+
+    local = W.partitionBy(
+        key_col, F.pmod(F.hash(F.col(other_col)), F.lit(fanout))
+    ).orderBy(F.col(score_col).desc(), F.col(other_col))
+    survivors = (
+        scored.select(key_col, other_col, score_col)
+        .withColumn("_r", F.row_number().over(local))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+    final = W.partitionBy(key_col).orderBy(F.col(score_col).desc(), F.col(other_col))
+    return (
+        survivors.withColumn("_r", F.row_number().over(final))
+        .filter(F.col("_r") <= k)
+        .groupBy(key_col)
+        .agg(F.sum(score_col).alias("ksum"))
+    )
+
+
+def bitext_margin_pairs(
+    emb_x: DataFrame,
+    emb_y: DataFrame,
+    k: int = 4,
+    threshold: float = 1.1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fanout: int = 32,
+    max_pairs: int | None = 25_000_000,
+    caches: "list[DataFrame] | None" = None,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    CCMatrix/LASER parallel-corpus miner): score cross-side pairs by the
+    RATIO margin
+
+        margin(x, y) = cos(x, y) / ((avg_topk_cos(x, Y) + avg_topk_cos(y, X)) / 2)
+
+    and keep MUTUAL-BEST pairs (y is x's argmax margin AND x is y's)
+    with margin >= threshold. Margins normalize each pair's cosine by
+    both endpoints' local neighborhood density, which is what separates
+    true translations from hubs in high-density regions — a plain cosine
+    threshold can't.
+
+    Integer-exact: cosines are rounded to 6dp then scaled to int64
+    (``c6``); the top-k neighborhood sums are int64 (order-free), and the
+    margin is ONE double division of int64s rounded to 6dp — bit-identical
+    on any engine/partitioning. Mutual-best is a hash AGGREGATE, not a
+    window: per side, ``max(struct(margin, -other_id))`` picks the
+    highest margin with ties toward the smallest partner id — map-side
+    combinable, no per-key candidate funnel. The top-k sums use the
+    two-phase :func:`topk_sum`.
+
+    This entry scores the FULL cross product (the exact baseline), so it
+    carries the same counted gate as ``exact_cosine_pairs``: |X| * |Y|
+    must stay under ``max_pairs`` (default 2.5e7 ~ the sf0.1 bench
+    ceiling). At production scale mine within ANN candidates instead:
+    generate (x, y) candidates with ``ann_topk_ivf`` / ``lsh_scored_
+    candidates`` per side and feed the scored frame through the same
+    margin + mutual-best tail — every stage downstream of scoring is
+    hash-keyed and linear in the candidate count.
+    """
+    from mysql2psql_spark.operators.materialize import materialize as _materialize
+
+    if max_pairs is not None:
+        cap = int(max_pairs**0.5) * 8 + 2
+        nx = emb_x.limit(cap).count()
+        ny = emb_y.limit(cap).count()
+        if nx * ny > max_pairs:
+            raise ValueError(
+                f"bitext_margin_pairs scores the full |X| x |Y| cross product "
+                f"({nx} x {ny} > max_pairs={max_pairs}); restrict to ANN "
+                f"candidates (ann_topk_ivf / lsh_scored_candidates) for "
+                f"production corpora, or pass max_pairs=None to force it."
+            )
+    pairs = emb_x.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+    ).crossJoin(emb_y.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")))
+    scored = _materialize(
+        cosine_pairs_df(pairs).select(
+            "id_a",
+            "id_b",
+            F.round(F.col("cos_sim") * 1e6).cast("long").alias("c6"),
+        )
+    )
+    if caches is not None:
+        caches.append(scored)
+    fwd = topk_sum(scored, "id_a", "id_b", "c6", k, fanout).withColumnRenamed(
+        "ksum", "fsum"
+    )
+    bwd = topk_sum(scored, "id_b", "id_a", "c6", k, fanout).withColumnRenamed(
+        "ksum", "bsum"
+    )
+    m = (
+        scored.join(fwd, "id_a")
+        .join(bwd, "id_b")
+        .filter(F.col("fsum") + F.col("bsum") > 0)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                (F.col("c6") * 2 * k).cast("double") / (F.col("fsum") + F.col("bsum")),
+                6,
+            ).alias("margin"),
+        )
+    )
+    best_x = m.groupBy("id_a").agg(
+        F.max(F.struct(F.col("margin"), (-F.col("id_b")).alias("nb"))).alias("s")
+    ).select("id_a", (-F.col("s.nb")).alias("id_b"), F.col("s.margin").alias("margin"))
+    best_y = m.groupBy("id_b").agg(
+        F.max(F.struct(F.col("margin"), (-F.col("id_a")).alias("na"))).alias("s")
+    ).select("id_b", (-F.col("s.na")).alias("id_a"))
+    return (
+        best_x.join(best_y, ["id_a", "id_b"])
+        .filter(F.col("margin") >= threshold)
+        .select(
+            F.col("id_a").alias("id_x"),
+            F.col("id_b").alias("id_y"),
+            "margin",
+        )
+    )

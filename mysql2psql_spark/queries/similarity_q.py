@@ -671,3 +671,74 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
         )
         .orderBy("mmr_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r12 registration): margin-based bitext mining. The r10 verdict
+# froze this round's registry at <=2 additions so the 50-slot rotation
+# clears the r7-stale tier (both slots used: w7_two_phase_distribution,
+# text_budget_sample); this query is built, oracled, and differentially
+# tested NOW (tests/test_operators.py::test_bitext_margin_matches_oracle
+# runs the full DuckDB differential at sf0.01) and gets its @query row
+# first thing next round.
+#
+# Semantics: split the embedding corpus into two "languages" by label
+# parity (deterministic), mine mutual-best ratio-margin pairs (Artetxe &
+# Schwenk 2019) with k=4 neighborhoods at margin >= 1.1 — the
+# CCMatrix-style parallel-corpus miner, the data-sourcing step of every
+# multilingual training pipeline. 105 pairs at sf0.01; output is
+# mutual-best-bounded (<= min(|X|, |Y|) rows) at any corpus size.
+# ---------------------------------------------------------------------------
+_ORACLE_BITEXT = """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    x AS (SELECT vec_id AS id_a, v FROM e WHERE label % 2 = 0),
+    y AS (SELECT vec_id AS id_b, v FROM e WHERE label % 2 = 1),
+    sc AS (
+      SELECT id_a, id_b,
+             CAST(ROUND(ROUND(LIST_COSINE_SIMILARITY(x.v, y.v), 6) * 1e6) AS BIGINT) AS c6
+      FROM x CROSS JOIN y
+    ),
+    fwd AS (
+      SELECT id_a, SUM(c6) AS fsum FROM (
+        SELECT id_a, c6,
+               ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY c6 DESC, id_b) AS r
+        FROM sc) WHERE r <= 4 GROUP BY id_a
+    ),
+    bwd AS (
+      SELECT id_b, SUM(c6) AS bsum FROM (
+        SELECT id_b, c6,
+               ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY c6 DESC, id_a) AS r
+        FROM sc) WHERE r <= 4 GROUP BY id_b
+    ),
+    m AS (
+      SELECT sc.id_a, sc.id_b,
+             ROUND(CAST(sc.c6 * 8 AS DOUBLE) / (f.fsum + b.bsum), 6) AS margin
+      FROM sc JOIN fwd f USING (id_a) JOIN bwd b USING (id_b)
+      WHERE f.fsum + b.bsum > 0
+    ),
+    best AS (
+      SELECT id_a, id_b, margin,
+             ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY margin DESC, id_b) AS rx,
+             ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY margin DESC, id_a) AS ry
+      FROM m
+    )
+    SELECT id_a AS id_x, id_b AS id_y, margin
+    FROM best WHERE rx = 1 AND ry = 1 AND margin >= 1.1
+"""
+
+
+def sim_bitext_margin(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
+    """Mutual-best margin pairs across the label-parity corpus split —
+    see the QUEUED block above; executes operators/similarity.py::
+    bitext_margin_pairs (two-phase topk_sum neighborhoods, hash-agg
+    mutual-best, int64-exact margins)."""
+    from mysql2psql_spark.operators.similarity import bitext_margin_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return bitext_margin_pairs(
+        emb.filter(F.col("label") % 2 == 0),
+        emb.filter(F.col("label") % 2 == 1),
+        k=4,
+        threshold=1.1,
+        caches=caches,
+    )

@@ -1212,3 +1212,86 @@ def test_ensure_bucketed_table_builds_once_per_session(spark):
     )
     assert session_scratch(spark).lstrip("/") in loc
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+# --- bitext margin mining (QUEUED r12 registration: the registry is
+# frozen this round per the r10 verdict, so the full differential runs
+# HERE instead of through the driver's correctness harness) -------------
+
+
+def test_bitext_margin_matches_oracle(spark, duck):
+    """Full DuckDB differential for the queued sim_bitext_margin query —
+    identical protocol to test_oracle.py::test_query_matches_oracle
+    (rows, columns, exact values), run at sf0.01."""
+    import pandas as pd
+
+    from mysql2psql_spark.queries.similarity_q import (
+        _ORACLE_BITEXT,
+        sim_bitext_margin,
+    )
+    from mysql2psql_spark.operators.materialize import CacheHandle
+
+    with CacheHandle() as caches:
+        got = sim_bitext_margin(spark, SF_DIR_ORACLE, caches=caches).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_BITEXT).df()
+    assert len(got) == len(want) > 0
+    assert sorted(got.columns) == sorted(want.columns)
+    g = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
+    w = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+
+
+def test_bitext_margin_mutual_best_is_injective(spark):
+    """Mutual-best output is a partial matching: every id_x and every
+    id_y appears at most once, and margins clear the threshold."""
+    from mysql2psql_spark.operators.materialize import CacheHandle
+    from mysql2psql_spark.queries.similarity_q import sim_bitext_margin
+
+    with CacheHandle() as caches:
+        rows = sim_bitext_margin(spark, SF_DIR_ORACLE, caches=caches).collect()
+    assert len(rows) > 0
+    xs = [r.id_x for r in rows]
+    ys = [r.id_y for r in rows]
+    assert len(xs) == len(set(xs)) and len(ys) == len(set(ys))
+    assert all(r.margin >= 1.1 for r in rows)
+
+
+def test_bitext_margin_refuses_unbounded_cross_product(spark):
+    """The counted |X| x |Y| gate refuses before scoring (the same
+    explicit-refusal contract as exact_cosine_pairs)."""
+    import pytest as _pytest
+
+    from mysql2psql_spark.operators.similarity import bitext_margin_pairs
+    from mysql2psql_spark.sources import load_table
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    with _pytest.raises(ValueError, match="ANN candidates"):
+        bitext_margin_pairs(emb, emb, max_pairs=100).count()
+
+
+def test_topk_sum_matches_single_window(spark):
+    """Two-phase topk_sum == the naive single-window top-k sum on a
+    skewed synthetic frame (one hot key with 500 candidates, ties
+    included), for every fanout that divides the candidates unevenly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from mysql2psql_spark.operators.similarity import topk_sum
+
+    rows = [(k, o, (o * 37) % 11) for k in range(3) for o in range(500 if k == 0 else 7)]
+    df = spark.createDataFrame(rows, "k int, o int, s int")
+    naive = {
+        r.k: r.ksum
+        for r in df.withColumn(
+            "_r", F.row_number().over(W.partitionBy("k").orderBy(F.col("s").desc(), "o"))
+        )
+        .filter(F.col("_r") <= 5)
+        .groupBy("k")
+        .agg(F.sum("s").alias("ksum"))
+        .collect()
+    }
+    for fanout in (1, 3, 32):
+        got = {r.k: r.ksum for r in topk_sum(df, "k", "o", "s", 5, fanout).collect()}
+        assert got == naive, f"fanout={fanout}"
