@@ -414,3 +414,137 @@ def label_propagation(
             ).alias("lbl")
         )
     return labels
+
+
+def _peel_round(
+    edges: DataFrame,
+    k: int,
+    caches: "list[DataFrame] | CacheHandle | None",
+    truncate: bool = False,
+) -> "tuple[DataFrame, DataFrame]":
+    """One synchronous peeling round over a bidirectional (v, u) edge
+    list: survivors = vertices with degree >= k in the CURRENT subgraph,
+    next edge frame = edges with both endpoints surviving. Both frames
+    are multi-consumer (the survivor frame feeds two semi-joins + a
+    count; the edge frame feeds the next round's degree agg + its own
+    edge count), so both compute once — normally via persist under the
+    pagerank ``caches`` release contract, but the survivor frame appears
+    TWICE in the next edge plan, so unlike label_propagation's
+    linear-depth label chain the nested logical plan TRIPLES per round;
+    every ``truncate`` round swaps persist for a lazy localCheckpoint
+    (the pagerank/connected_components cadence discipline), which bounds
+    plan size at 3^cadence x the last checkpoint instead of 3^rounds."""
+    from mysql2psql_spark.operators.materialize import materialize
+
+    deg = edges.groupBy("v").agg(F.count("*").alias("_deg"))
+    surv = deg.filter(F.col("_deg") >= k).select("v")
+    if truncate:
+        surv = surv.localCheckpoint(eager=False)
+    else:
+        surv = materialize(surv)
+    nxt = edges.join(surv, "v", "left_semi").join(
+        surv.withColumnRenamed("v", "u"), "u", "left_semi"
+    )
+    if truncate:
+        nxt = nxt.localCheckpoint(eager=False)
+    else:
+        nxt = materialize(nxt)
+    if caches is not None and not truncate:
+        caches.append(surv)
+        caches.append(nxt)
+    return surv, nxt
+
+
+def k_core_profile(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    caches: "list[DataFrame] | CacheHandle | None" = None,
+) -> DataFrame:
+    """Per-round k-core peeling profile (Seidman 1983 cores; the
+    synchronous-parallel peel of Montresor et al. 2013) over an
+    undirected (src, dst)-both-directions edge list: each round removes
+    EVERY vertex whose degree in the current surviving subgraph is < k,
+    simultaneously. Returns one row per round:
+    (round, n_vertices, n_edges) — the surviving vertex and undirected
+    edge counts after that round. The cascade profile is how a curation
+    pipeline picks k (where does the graph collapse?) before committing
+    to a core-filtered corpus.
+
+    Engine extension — the reference has no graph surface. FIXED-ROUND
+    semantics on purpose: survivor sets shrink monotonically (each
+    round's subgraph is contained in the last, so degrees only fall),
+    which makes a converged peel a fixpoint of this same round function —
+    extra rounds are no-ops. That is exactly what admits the unrolled-CTE
+    exact oracle (the label_propagation rationale); the convergence-loop
+    variant with a counted early-stop is :func:`k_core`.
+
+    Scale shape: each round is ONE hash aggregate (degree over the
+    resident edge partitions) + two semi-joins keyed on the endpoint
+    columns; nothing sorts, no window, no |V|-scale broadcast (the
+    survivor frame joins shuffled — at graph scale it outgrows any
+    broadcast threshold). The input edge frame is persisted once in
+    GRAPH-SIZED partitions by ``v`` (the label_propagation discipline:
+    round cost on a small graph is task scheduling, not compute, under a
+    corpus-scale shuffle conf), and every per-round frame is persisted
+    because it has >= 2 consumers (next round + its own count). The
+    per-round stats ride ONE action: rounds' 1-row aggregates cross-join
+    and union into a single returned frame."""
+    from mysql2psql_spark.operators.materialize import materialize, unmaterialize
+
+    raw = materialize(edges.select(F.col("src").alias("v"), F.col("dst").alias("u")))
+    n_edges = raw.count()
+    n_part = int(max(4, min(1024, n_edges // 1_000_000 + 4)))
+    cur = materialize(raw.repartition(n_part, "v"))
+    cur.count()
+    unmaterialize(raw)
+    if caches is not None:
+        caches.append(cur)
+    stats = []
+    for r in range(1, rounds + 1):
+        surv, cur = _peel_round(cur, k, caches, truncate=(r % 3 == 0))
+        stats.append(
+            surv.agg(F.count("*").cast("bigint").alias("n_vertices"))
+            .crossJoin(cur.agg((F.count("*") / 2).cast("bigint").alias("n_edges")))
+            .select(F.lit(r).cast("int").alias("round"), "n_vertices", "n_edges")
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 50,
+    caches: "list[DataFrame] | CacheHandle | None" = None,
+) -> DataFrame:
+    """The k-core itself: peel (:func:`_peel_round`) until a fixpoint,
+    returning the surviving vertex frame (v). Convergence is a COUNTED
+    early-stop — survivor sets shrink monotonically under peeling, so
+    count-unchanged proves set-unchanged (no frame diff needed); one
+    ``count()`` action per round is the price of data-dependent
+    convergence, which is why this variant gets a rows-only check where
+    :func:`k_core_profile`'s fixed-round semantics earn the exact
+    unrolled-CTE oracle (the connected_components / label_propagation
+    split, operators/dedup.py)."""
+    from mysql2psql_spark.operators.materialize import materialize, unmaterialize
+
+    raw = materialize(edges.select(F.col("src").alias("v"), F.col("dst").alias("u")))
+    n_edges = raw.count()
+    n_part = int(max(4, min(1024, n_edges // 1_000_000 + 4)))
+    cur = materialize(raw.repartition(n_part, "v"))
+    cur.count()
+    unmaterialize(raw)
+    if caches is not None:
+        caches.append(cur)
+    prev_n = None
+    surv = cur.select("v").distinct()
+    for r in range(1, max_rounds + 1):
+        surv, cur = _peel_round(cur, k, caches, truncate=(r % 3 == 0))
+        n = surv.count()
+        if n == prev_n or n == 0:
+            break
+        prev_n = n
+    return surv

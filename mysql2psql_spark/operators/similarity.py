@@ -286,6 +286,26 @@ def bitext_margin_pairs(
     )
     if caches is not None:
         caches.append(scored)
+    return margin_mutual_best(scored, k, threshold, fanout)
+
+
+def margin_mutual_best(
+    scored: DataFrame,
+    k: int,
+    threshold: float,
+    fanout: int = 32,
+) -> DataFrame:
+    """The margin + mutual-best tail shared by :func:`bitext_margin_pairs`
+    (exact cross-product scoring) and :func:`bitext_margin_ann` (LSH
+    candidate scoring): given a scored candidate frame
+    (id_a, id_b, c6: int64 cosine * 1e6), compute each pair's ratio
+    margin against both endpoints' top-``k`` neighborhood sums
+    (two-phase :func:`topk_sum`) and keep mutual-best pairs clearing
+    ``threshold``. Every stage is hash-keyed and linear in the candidate
+    count — this is the piece that stays IDENTICAL when the candidate
+    generator swaps from the gated cross product to ANN at production
+    scale. Callers must persist ``scored`` (three consumers: both
+    topk_sum passes and the margin join)."""
     fwd = topk_sum(scored, "id_a", "id_b", "c6", k, fanout).withColumnRenamed(
         "ksum", "fsum"
     )
@@ -320,3 +340,70 @@ def bitext_margin_pairs(
             "margin",
         )
     )
+
+
+def bitext_margin_ann(
+    emb_x: DataFrame,
+    emb_y: DataFrame,
+    k: int = 4,
+    threshold: float = 1.1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: "list[list[float]] | None" = None,
+    tables: int | None = None,
+    r: int | None = None,
+    fanout: int = 32,
+    caches: "list[DataFrame] | None" = None,
+) -> DataFrame:
+    """:func:`bitext_margin_pairs`' PRODUCTION path: identical margin +
+    mutual-best tail (:func:`margin_mutual_best`), but candidates come
+    from a cross-side multi-table hyperplane-LSH bucket join instead of
+    the gated |X| x |Y| cross product — a pair is scored iff its packed
+    sign-bit keys collide in >= 1 of the L tables (the OR-construction
+    of operators/embedding.py::lsh_cosine_pairs, here across two
+    corpora). Candidate volume is bucket-bounded, so nothing in the plan
+    is quadratic in either corpus: the bucket join shuffles ~24-byte
+    (id, table, key) rows, vectors rejoin only for the surviving
+    candidate set, and the margin's top-k neighborhood sums run over
+    each id's CANDIDATE neighbors — the standard ANN approximation of
+    the CCMatrix miner, where margins are computed over retrieved k-NN
+    lists rather than the full other-side corpus. Deterministic planes
+    (embedding.hyperplanes literals) keep the candidate set, and
+    therefore the margins, exactly reproducible by the SQL oracle."""
+    from mysql2psql_spark.operators.embedding import (
+        TABLE_R,
+        TABLES_L,
+        hyperplanes,
+        table_keys_df,
+    )
+    from mysql2psql_spark.operators.materialize import materialize as _materialize
+
+    tables = TABLES_L if tables is None else tables
+    r = TABLE_R if r is None else r
+    planes = planes or hyperplanes(tables * r)
+    bx = table_keys_df(emb_x, planes, tables, r, id_col, vec_col).withColumnRenamed(
+        id_col, "id_a"
+    )
+    by = table_keys_df(emb_y, planes, tables, r, id_col, vec_col).withColumnRenamed(
+        id_col, "id_b"
+    )
+    cand = (
+        bx.join(by, ["table", "key"])
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand.join(
+        emb_x.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")), "id_a"
+    ).join(
+        emb_y.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")), "id_b"
+    )
+    scored = _materialize(
+        cosine_pairs_df(cand).select(
+            "id_a",
+            "id_b",
+            F.round(F.col("cos_sim") * 1e6).cast("long").alias("c6"),
+        )
+    )
+    if caches is not None:
+        caches.append(scored)
+    return margin_mutual_best(scored, k, threshold, fanout)

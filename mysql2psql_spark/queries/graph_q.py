@@ -494,3 +494,77 @@ def graph_negative_samples(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r12 registration): k-core peeling cascade over the part co-order
+# graph. The r10 verdict froze the r11 registry at <=2 additions (both
+# slots spent on w7_two_phase_distribution and text_budget_sample), so
+# this query is built, oracled, and differentially tested NOW
+# (tests/test_graph.py::test_k_core_profile_matches_oracle runs the full
+# DuckDB differential at sf0.01) and gets its @query row next round.
+#
+# Semantics: 3 synchronous peeling rounds at k=96 — each round removes
+# every vertex with degree < 96 in the current surviving subgraph,
+# simultaneously (Seidman cores via the parallel peel of Montresor et
+# al. 2013). k=96 sits inside the co-order graph's degree distribution
+# (median 115, max 206 at sf0.01), so the cascade is non-trivial:
+# 1611 -> 1135 -> 196 surviving vertices at sf0.01. Output is ONE row
+# per round (round, n_vertices, n_edges) — bounded at `rounds` rows
+# however large the graph. Fixed-round semantics admit the exact
+# unrolled-CTE oracle (the label_propagation rationale); the
+# convergence-loop variant is operators/graph.py::k_core. Verified
+# exact at all three SFs under a vanilla session; ~2.9 s steady at
+# sf0.1 under the engine session off the shared bucketed edge table
+# (first call +15 s one-time table build, already amortized when any
+# other graph-family query ran first; measured r11).
+# ---------------------------------------------------------------------------
+_KCORE_K, _KCORE_ROUNDS = 96, 3
+
+_KCORE_EDGE_SQL = """
+    op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT DISTINCT a.p AS a, b.p AS b
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+    und AS MATERIALIZED (
+      SELECT a AS v, b AS u FROM e UNION ALL SELECT b AS v, a AS u FROM e)
+"""
+
+_KCORE_ROUND_SQL = """
+    {out} AS MATERIALIZED (
+      SELECT d.v FROM und d
+      JOIN {prev} pv ON d.v = pv.v
+      JOIN {prev} pu ON d.u = pu.v
+      GROUP BY d.v HAVING COUNT(*) >= {k}
+    )
+"""
+
+_KCORE_STAT_SQL = """
+    SELECT CAST({r} AS INT) AS round,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s{r}) AS n_vertices,
+           (SELECT CAST(COUNT(*) // 2 AS BIGINT)
+            FROM und d JOIN s{r} a ON d.v = a.v JOIN s{r} b ON d.u = b.v
+           ) AS n_edges
+"""
+
+_ORACLE_KCORE = f"""
+    WITH {_KCORE_EDGE_SQL},
+    s0 AS MATERIALIZED (SELECT DISTINCT v FROM und),
+    {_KCORE_ROUND_SQL.format(out="s1", prev="s0", k=_KCORE_K)},
+    {_KCORE_ROUND_SQL.format(out="s2", prev="s1", k=_KCORE_K)},
+    {_KCORE_ROUND_SQL.format(out="s3", prev="s2", k=_KCORE_K)}
+    {_KCORE_STAT_SQL.format(r=1)}
+    UNION ALL {_KCORE_STAT_SQL.format(r=2)}
+    UNION ALL {_KCORE_STAT_SQL.format(r=3)}
+"""
+
+
+def graph_k_core(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
+    """The k=96 peeling cascade profile (see the QUEUED block above) —
+    executes operators/graph.py::k_core_profile over the session's
+    shared bucketed co-order table (:func:`coorder_edges`; the graph
+    family's pay-the-build-once posture)."""
+    from mysql2psql_spark.operators.graph import k_core_profile
+
+    pairs = coorder_edges(spark, sf_dir)
+    und = undirected_edges(pairs, "a", "b", pairs_distinct=True)
+    return k_core_profile(und, k=_KCORE_K, rounds=_KCORE_ROUNDS, caches=caches)

@@ -688,31 +688,35 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
 # CCMatrix-style parallel-corpus miner, the data-sourcing step of every
 # multilingual training pipeline. 105 pairs at sf0.01; output is
 # mutual-best-bounded (<= min(|X|, |Y|) rows) at any corpus size.
+#
+# Registration note for r12: this row is ANCHOR-CLASS — the ~1M-pair
+# cross product costs ~6 s score + ~3 s tail at sf0.1 under the engine
+# session (measured r11, 3 reps), second only to the 13 s O(n^2) anchor.
+# That is by design (the exact recall baseline behind sim_bitext_ann,
+# same rationale as exact_cosine_pairs) but weigh the bench budget:
+# either register as a second declared anchor or shrink the probe split
+# (label % 4 sides quarter the pair count). Verified exact at all three
+# SFs under a vanilla session (r11).
 # ---------------------------------------------------------------------------
-_ORACLE_BITEXT = """
-    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    x AS (SELECT vec_id AS id_a, v FROM e WHERE label % 2 = 0),
-    y AS (SELECT vec_id AS id_b, v FROM e WHERE label % 2 = 1),
-    sc AS (
-      SELECT id_a, id_b,
-             CAST(ROUND(ROUND(LIST_COSINE_SIMILARITY(x.v, y.v), 6) * 1e6) AS BIGINT) AS c6
-      FROM x CROSS JOIN y
-    ),
+# The margin + mutual-best tail as SQL, shared verbatim by the exact and
+# ANN oracles (the twin of operators/similarity.py::margin_mutual_best) —
+# only the `sc` candidate CTE differs between the two queries.
+_MARGIN_TAIL_SQL = """
     fwd AS (
       SELECT id_a, SUM(c6) AS fsum FROM (
         SELECT id_a, c6,
                ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY c6 DESC, id_b) AS r
-        FROM sc) WHERE r <= 4 GROUP BY id_a
+        FROM sc) WHERE r <= {k} GROUP BY id_a
     ),
     bwd AS (
       SELECT id_b, SUM(c6) AS bsum FROM (
         SELECT id_b, c6,
                ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY c6 DESC, id_a) AS r
-        FROM sc) WHERE r <= 4 GROUP BY id_b
+        FROM sc) WHERE r <= {k} GROUP BY id_b
     ),
     m AS (
       SELECT sc.id_a, sc.id_b,
-             ROUND(CAST(sc.c6 * 8 AS DOUBLE) / (f.fsum + b.bsum), 6) AS margin
+             ROUND(CAST(sc.c6 * {k2} AS DOUBLE) / (f.fsum + b.bsum), 6) AS margin
       FROM sc JOIN fwd f USING (id_a) JOIN bwd b USING (id_b)
       WHERE f.fsum + b.bsum > 0
     ),
@@ -723,7 +727,24 @@ _ORACLE_BITEXT = """
       FROM m
     )
     SELECT id_a AS id_x, id_b AS id_y, margin
-    FROM best WHERE rx = 1 AND ry = 1 AND margin >= 1.1
+    FROM best WHERE rx = 1 AND ry = 1 AND margin >= {threshold}
+"""
+
+
+def _margin_tail_sql(k: int = 4, threshold: float = 1.1) -> str:
+    return _MARGIN_TAIL_SQL.format(k=k, k2=2 * k, threshold=threshold)
+
+
+_ORACLE_BITEXT = f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    x AS (SELECT vec_id AS id_a, v FROM e WHERE label % 2 = 0),
+    y AS (SELECT vec_id AS id_b, v FROM e WHERE label % 2 = 1),
+    sc AS (
+      SELECT id_a, id_b,
+             CAST(ROUND(ROUND(LIST_COSINE_SIMILARITY(x.v, y.v), 6) * 1e6) AS BIGINT) AS c6
+      FROM x CROSS JOIN y
+    ),
+    {_margin_tail_sql()}
 """
 
 
@@ -740,5 +761,71 @@ def sim_bitext_margin(spark: SparkSession, sf_dir: str, caches=None) -> DataFram
         emb.filter(F.col("label") % 2 == 1),
         k=4,
         threshold=1.1,
+        caches=caches,
+    )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r12 registration): the PRODUCTION path of the bitext miner —
+# same margin + mutual-best tail, candidates from the cross-side
+# multi-table hyperplane-LSH bucket join instead of the gated cross
+# product (see operators/similarity.py::bitext_margin_ann). The scale
+# story the exact query's docstring promises is itself exact-oracled
+# here: deterministic plane literals let the SQL oracle reproduce the
+# identical candidate set (the dedup_embedding_lsh OR-construction,
+# across two corpora), so the driver checks the ANN miner end-to-end —
+# candidate generation, neighborhood sums over candidate k-NN lists
+# (the CCMatrix approximation), margins, mutual-best. 170 pairs at
+# sf0.01 from 943 candidates (vs 105 from the 640k-pair cross product:
+# sparser candidate neighborhoods lift margins — the documented
+# ANN-margin bias, identical in both engines). Verified exact at all
+# three SFs under a vanilla session; ~3.2 s steady at sf0.1 under the
+# engine session (15k candidates — stage-scheduling-bound, not
+# data-bound; measured r11).
+# ---------------------------------------------------------------------------
+from mysql2psql_spark.operators.embedding import (  # noqa: E402
+    TABLE_R as _BTX_R,
+    TABLES_L as _BTX_L,
+    hyperplanes as _btx_hyperplanes,
+    table_keys_sql as _btx_table_keys_sql,
+)
+
+_BTX_PLANES = _btx_hyperplanes(_BTX_L * _BTX_R)
+_BTX_KEYS = _btx_table_keys_sql("CAST(embedding AS DOUBLE[])", _BTX_PLANES)
+_BTX_KEY_COLS = ",\n             ".join(f"{k} AS k{t}" for t, k in enumerate(_BTX_KEYS))
+_BTX_KEY_LIST = ", ".join(f"k{t}" for t in range(_BTX_L))
+_BTX_KEY_MATCH = " OR ".join(f"x.k{t} = y.k{t}" for t in range(_BTX_L))
+
+_ORACLE_BITEXT_ANN = f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             {_BTX_KEY_COLS}
+      FROM embeddings
+    ),
+    x AS (SELECT vec_id AS id_a, v, {_BTX_KEY_LIST} FROM e WHERE label % 2 = 0),
+    y AS (SELECT vec_id AS id_b, v, {_BTX_KEY_LIST} FROM e WHERE label % 2 = 1),
+    sc AS MATERIALIZED (
+      SELECT id_a, id_b,
+             CAST(ROUND(ROUND(LIST_COSINE_SIMILARITY(x.v, y.v), 6) * 1e6) AS BIGINT) AS c6
+      FROM x JOIN y ON ({_BTX_KEY_MATCH})
+    ),
+    {_margin_tail_sql()}
+"""
+
+
+def sim_bitext_ann(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
+    """LSH-candidate mutual-best margin pairs across the label-parity
+    corpus split — see the QUEUED block above; executes
+    operators/similarity.py::bitext_margin_ann (cross-side bucket-join
+    candidates, then the exact variant's margin_mutual_best tail)."""
+    from mysql2psql_spark.operators.similarity import bitext_margin_ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return bitext_margin_ann(
+        emb.filter(F.col("label") % 2 == 0),
+        emb.filter(F.col("label") % 2 == 1),
+        k=4,
+        threshold=1.1,
+        planes=_BTX_PLANES,
         caches=caches,
     )

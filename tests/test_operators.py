@@ -1295,3 +1295,43 @@ def test_topk_sum_matches_single_window(spark):
     for fanout in (1, 3, 32):
         got = {r.k: r.ksum for r in topk_sum(df, "k", "o", "s", 5, fanout).collect()}
         assert got == naive, f"fanout={fanout}"
+
+
+def test_bitext_ann_matches_oracle(spark, duck):
+    """Full DuckDB differential for the queued sim_bitext_ann query (the
+    production LSH-candidate path of the bitext miner), at sf0.01."""
+    import pandas as pd
+
+    from mysql2psql_spark.operators.materialize import CacheHandle
+    from mysql2psql_spark.queries.similarity_q import (
+        _ORACLE_BITEXT_ANN,
+        sim_bitext_ann,
+    )
+
+    with CacheHandle() as caches:
+        got = sim_bitext_ann(spark, SF_DIR_ORACLE, caches=caches).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_BITEXT_ANN).df()
+    assert len(got) == len(want) > 0
+    assert sorted(got.columns) == sorted(want.columns)
+    g = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
+    w = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+
+
+def test_bitext_ann_is_candidate_restriction_of_exact(spark):
+    """Structural relation between the two miners: the ANN candidate set
+    is a subset of the cross product, so every ANN pair's (id_x, id_y)
+    must come from the same parity split, and the output stays an
+    injective partial matching."""
+    from mysql2psql_spark.operators.materialize import CacheHandle
+    from mysql2psql_spark.queries.similarity_q import sim_bitext_ann
+
+    with CacheHandle() as caches:
+        rows = sim_bitext_ann(spark, SF_DIR_ORACLE, caches=caches).collect()
+    assert len(rows) > 0
+    xs = [r.id_x for r in rows]
+    ys = [r.id_y for r in rows]
+    assert len(xs) == len(set(xs)) and len(ys) == len(set(ys))
+    assert all(r.margin >= 1.1 for r in rows)
