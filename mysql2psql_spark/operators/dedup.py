@@ -758,3 +758,91 @@ def containment_pairs(
             F.round(inter.cast("double") / F.col("na"), 6).alias("containment"),
         )
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    w: int = 3,
+    divisor: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (the LBFS/FastCDC family, Muthitacharoen
+    et al. SOSP 2001): split each document at positions where the hash of
+    the trailing ``w``-token window satisfies ``hash % divisor == 0``, so
+    chunk boundaries are a function of CONTENT, not offsets — an edit
+    shifts only the chunks it touches, and every untouched chunk keeps
+    its identity across document versions (fixed-size chunking loses all
+    alignment after one insertion; that is the whole point of CDC).
+    Word-level rather than byte-level because the corpus is tokenized
+    text; mean chunk length is ~``divisor`` tokens. Returns one row per
+    chunk: (id_col, chunk_id, chunk_text) with ``chunk_id`` dense per
+    document in position order.
+
+    Determinism: the boundary hash is the first 8 hex chars of
+    ``md5(space-joined window)`` as int64 — both engines compute it
+    bit-for-bit (the negative-sampling draw discipline), so the chunk
+    set is exactly reproducible in SQL.
+
+    Scale shape: one posexplode over the corpus tokens, then TWO window
+    functions (the ``w-1`` lags and the boundary cumsum) over the SAME
+    (document, position) window spec — one sort per document frame,
+    PER-DOCUMENT partitions (bounded frames: a document's length is
+    bounded by ingest contract — the text_pack_sequences discipline;
+    nothing partitions by a corpus-scale key), then one (doc, chunk)
+    hash aggregate whose ordered reassembly is the A1 sort_array idiom,
+    not an ordered window."""
+    from pyspark.sql.window import Window as W
+
+    wdw = W.partitionBy(id_col).orderBy("pos")
+    tok = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos0", "word")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "word")
+    wgram = F.concat_ws(
+        " ", *[F.lag("word", w - 1 - j).over(wdw) for j in range(w - 1)], F.col("word")
+    )
+    flag = F.when(
+        (F.col("pos") >= w)
+        & (
+            F.conv(F.substring(F.md5(wgram), 1, 8), 16, 10).cast("long")
+            % divisor
+            == 0
+        ),
+        1,
+    ).otherwise(0)
+    assigned = tok.withColumn("_flag", flag).select(
+        id_col,
+        "pos",
+        "word",
+        (
+            F.sum("_flag").over(wdw.rowsBetween(W.unboundedPreceding, W.currentRow))
+            - F.col("_flag")
+        ).alias("chunk_id"),
+    )
+    return assigned.groupBy(id_col, "chunk_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s.word,
+            ),
+            " ",
+        ).alias("chunk_text")
+    )
+
+
+def cdc_dedup_profile(chunks: DataFrame) -> DataFrame:
+    """Chunk-level dedup savings profile over a :func:`cdc_chunks` frame:
+    group identical chunk texts by md5, then histogram the instance
+    counts — (dup_count, n_chunks, dup_chars), where ``dup_chars`` is
+    the storage a chunk-store would save ((count - 1) * chunk bytes,
+    summed). Two hash aggregates, both map-side combinable; output rows
+    are the distinct multiplicity values (a heavy-tailed handful at any
+    corpus size)."""
+    per_hash = chunks.groupBy(F.md5("chunk_text").alias("h")).agg(
+        F.count("*").alias("cnt"),
+        F.max(F.length("chunk_text")).alias("chars"),
+    )
+    return per_hash.groupBy(F.col("cnt").cast("bigint").alias("dup_count")).agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum((F.col("cnt") - 1) * F.col("chars")).cast("bigint").alias("dup_chars"),
+    )

@@ -1335,3 +1335,96 @@ def test_bitext_ann_is_candidate_restriction_of_exact(spark):
     ys = [r.id_y for r in rows]
     assert len(xs) == len(set(xs)) and len(ys) == len(set(ys))
     assert all(r.margin >= 1.1 for r in rows)
+
+
+# --- content-defined chunking (QUEUED r12 registration) ----------------
+
+
+def _ref_cdc(text, w=3, divisor=8):
+    """Pure-Python reference of operators/dedup.py::cdc_chunks."""
+    import hashlib
+
+    ts = text.split(" ")
+    flags = []
+    for i in range(1, len(ts) + 1):
+        if i >= w:
+            h = int(hashlib.md5(" ".join(ts[i - w : i]).encode()).hexdigest()[:8], 16)
+            flags.append(1 if h % divisor == 0 else 0)
+        else:
+            flags.append(0)
+    chunks, cur, cid = {}, [], 0
+    for word, flag in zip(ts, flags):
+        cur.append(word)
+        if flag:
+            chunks[cid] = " ".join(cur)
+            cur, cid = [], cid + 1
+    if cur:
+        chunks[cid] = " ".join(cur)
+    return chunks
+
+
+def test_cdc_chunks_matches_python_reference(spark):
+    """cdc_chunks == the Python peel on synthetic docs, including docs
+    shorter than the window and a doc that IS one giant chunk."""
+    from mysql2psql_spark.operators.dedup import cdc_chunks
+
+    import random
+
+    rng = random.Random(7)
+    vocab = ["spark", "scan", "join", "agg", "sort", "row", "key", "col"]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 60)))) for i in range(30)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.chunk_id): r.chunk_text
+        for r in cdc_chunks(df, w=3, divisor=8).collect()
+    }
+    want = {
+        (i, cid): text
+        for i, doc in docs
+        for cid, text in _ref_cdc(doc).items()
+    }
+    assert got == want
+
+
+def test_cdc_chunks_edit_locality(spark):
+    """The CDC property that fixed-size chunking lacks: editing ONE word
+    mid-document leaves every chunk outside the edit's window shared
+    between the two versions."""
+    import random
+
+    from mysql2psql_spark.operators.dedup import cdc_chunks
+
+    rng = random.Random(13)
+    vocab = ["spark", "scan", "join", "agg", "sort", "row", "key", "col"]
+    words = [rng.choice(vocab) for _ in range(400)]
+    edited = list(words)
+    edited[200] = "EDITED"
+    df = spark.createDataFrame(
+        [(0, " ".join(words)), (1, " ".join(edited))], ["doc_id", "text"]
+    )
+    chunks = cdc_chunks(df, w=3, divisor=8).collect()
+    a = {r.chunk_text for r in chunks if r.doc_id == 0}
+    b = {r.chunk_text for r in chunks if r.doc_id == 1}
+    shared = a & b
+    # every chunk not containing position ~200's neighborhood survives:
+    # the two versions must share the overwhelming majority of chunks
+    assert len(shared) >= max(len(a), len(b)) - 3
+    assert len(shared) < len(a)  # and the edited chunk did change
+
+
+def test_cdc_dedup_matches_oracle(spark, duck):
+    """Full DuckDB differential for the queued dedup_cdc_chunks query at
+    sf0.01 (identical protocol to test_oracle.py)."""
+    import pandas as pd
+
+    from mysql2psql_spark.queries.dedup_q import _ORACLE_CDC, dedup_cdc_chunks
+
+    got = dedup_cdc_chunks(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_CDC).df()
+    assert len(got) == len(want) > 0
+    assert sorted(got.columns) == sorted(want.columns)
+    g = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
+    w = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
