@@ -846,3 +846,88 @@ def cdc_dedup_profile(chunks: DataFrame) -> DataFrame:
         F.count("*").cast("bigint").alias("n_chunks"),
         F.sum((F.col("cnt") - 1) * F.col("chars")).cast("bigint").alias("dup_chars"),
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every ``k``-token gram, then
+    keep the MINIMUM hash of each ``w``-gram sliding window. Guarantee
+    the other fingerprint tiers lack: any shared token run of at least
+    ``w + k - 1`` tokens contains a complete window in both documents
+    and therefore shares its min fingerprint — detection is certain, not
+    probabilistic (MinHash), while the kept density stays ~2/(w+1) of
+    the grams (fixed-chunk spans pay full density; CDC keeps whole
+    chunks). Returns DISTINCT (id_col, fhash) rows.
+
+    This variant keeps the window-min VALUE set per document (not
+    (hash, pos) — position-free sets are what the cross-document match
+    join consumes); ties and repeats collapse in the distinct, which
+    both engines state identically.
+
+    Scale shape: one posexplode, then the gram build (``k-1`` leads),
+    the per-partition length, and the window min all share ONE
+    per-document window spec — bounded frames, one sort per document
+    (the cdc_chunks discipline); the distinct is a (doc, hash) hash
+    aggregate. Hashes are md5-prefix int64 (the engine's portable-hash
+    discipline), so the SQL oracle reproduces the exact fingerprint
+    sets."""
+    from pyspark.sql.window import Window as W
+
+    wdw = W.partitionBy(id_col).orderBy("pos")
+    whole = W.partitionBy(id_col)
+    tok = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos0", "word")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "word")
+    gram = F.concat_ws(
+        " ", F.col("word"), *[F.lead("word", j).over(wdw) for j in range(1, k)]
+    )
+    grams = (
+        tok.withColumn("_n", F.count("*").over(whole))
+        .withColumn("_gram", gram)
+        .filter(F.col("pos") + (k - 1) <= F.col("_n"))
+        .select(
+            id_col,
+            "pos",
+            F.conv(F.substring(F.md5("_gram"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("ghash"),
+            (F.col("_n") - k + 1).alias("n_grams"),
+        )
+    )
+    wmin = F.min("ghash").over(wdw.rowsBetween(W.currentRow, w - 1))
+    return (
+        grams.withColumn("_wmin", wmin)
+        .filter(F.col("pos") + (w - 1) <= F.col("n_grams"))
+        .select(id_col, F.col("_wmin").alias("fhash"))
+        .distinct()
+    )
+
+
+def winnowing_match_pairs(fp: DataFrame, min_shared: int, id_col: str = "doc_id") -> DataFrame:
+    """Cross-document matches over a :func:`winnowing_fingerprints`
+    frame: pairs sharing >= ``min_shared`` fingerprints, with the count.
+    One fingerprint-keyed self-join (the LSH-banding bucket shape: pair
+    volume is bounded by per-hash document frequency, never the corpus
+    square) + one pair-keyed count. A corpus-stopword gram can make one
+    fhash hot — the minhash_lsh_pairs skew analysis applies verbatim
+    (AQE skew-join absorbs moderate heat; at production add a document-
+    frequency cap on fhash, the prefix-filter discipline)."""
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fhash") == F.col("b.fhash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -584,3 +584,68 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cdc_dedup_profile(cdc_chunks(docs, w=3, divisor=8))
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r12 registration): winnowing fingerprint matches (operators/
+# dedup.py::winnowing_fingerprints + winnowing_match_pairs — Schleimer
+# et al. SIGMOD 2003, the MOSS plagiarism detector). Differential runs in
+# tests/test_operators.py::test_winnowing_matches_oracle until the @query
+# row lands next round.
+#
+# Semantics: k=4 token grams, w=4 windows -> per-document window-min
+# fingerprint sets, then pairs sharing >= 5 fingerprints with counts.
+# The DETERMINISTIC-guarantee tier of the dedup family: any shared run
+# of >= w+k-1 = 7 tokens is detected with certainty at ~2/(w+1) kept
+# density (MinHash is probabilistic, fixed spans pay full density, CDC
+# keeps whole chunks). 24 pairs at sf0.01, 228 at sf0.1. Verified exact
+# at all three SFs under a vanilla session (r11); ~1.5 s steady at
+# sf0.1 under the engine session, and the 5x replica probe stays flat
+# on wall (1.9 s) while the output fans to 52k pairs — the bucket join
+# is bounded by per-hash document frequency, not pair volume.
+# ---------------------------------------------------------------------------
+_ORACLE_WINNOW = """
+    WITH tok AS (
+      SELECT doc_id, UNNEST(RANGE(1, LEN(ts) + 1)) AS pos, UNNEST(ts) AS word,
+             LEN(ts) AS n,
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ts) + 1),
+               i -> CASE WHEN i + 3 <= LEN(ts)
+                         THEN ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+                         ELSE '' END)) AS gram
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents)
+    ),
+    grams AS (
+      SELECT doc_id, pos,
+             CAST(CONCAT('0x', SUBSTR(MD5(gram), 1, 8)) AS BIGINT) AS ghash,
+             n - 4 + 1 AS n_grams
+      FROM tok WHERE pos + 3 <= n
+    ),
+    winmins AS (
+      SELECT doc_id, pos,
+             MIN(ghash) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+             n_grams
+      FROM grams
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, wmin AS fhash
+      FROM winmins WHERE pos + 3 <= n_grams
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 5
+"""
+
+
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint match pairs — see the QUEUED block above."""
+    from mysql2psql_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_match_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_match_pairs(
+        winnowing_fingerprints(docs, k=4, w=4), min_shared=5
+    )

@@ -1428,3 +1428,85 @@ def test_cdc_dedup_matches_oracle(spark, duck):
     g = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
     w = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
     pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+
+
+# --- winnowing fingerprints (QUEUED r12 registration) -------------------
+
+
+def _ref_winnow(text, k=4, w=4):
+    """Pure-Python reference of operators/dedup.py::winnowing_fingerprints."""
+    import hashlib
+
+    ts = text.split(" ")
+    grams = [
+        int(hashlib.md5(" ".join(ts[i : i + k]).encode()).hexdigest()[:8], 16)
+        for i in range(len(ts) - k + 1)
+    ]
+    return {min(grams[t : t + w]) for t in range(len(grams) - w + 1)}
+
+
+def test_winnowing_matches_python_reference(spark):
+    import random
+
+    from mysql2psql_spark.operators.dedup import winnowing_fingerprints
+
+    rng = random.Random(23)
+    vocab = ["spark", "scan", "join", "agg", "sort", "row", "key", "col"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(7, 80))))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {}
+    for r in winnowing_fingerprints(df, k=4, w=4).collect():
+        got.setdefault(r.doc_id, set()).add(r.fhash)
+    want = {i: _ref_winnow(doc) for i, doc in docs}
+    assert got == want
+
+
+def test_winnowing_detection_guarantee(spark):
+    """The SIGMOD-2003 guarantee: two documents sharing a token run of
+    >= w + k - 1 = 7 tokens MUST share at least one fingerprint — for
+    every planted overlap length >= 7, regardless of surrounding text."""
+    import random
+
+    from mysql2psql_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_match_pairs,
+    )
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(500)]  # big vocab: no accidental overlap
+    rows = []
+    for run_len in (7, 9, 15):
+        shared = [rng.choice(vocab) for _ in range(run_len)]
+        a = [rng.choice(vocab) for _ in range(30)] + shared + [rng.choice(vocab) for _ in range(30)]
+        b = [rng.choice(vocab) for _ in range(25)] + shared + [rng.choice(vocab) for _ in range(35)]
+        rows += [(run_len * 100, " ".join(a)), (run_len * 100 + 1, " ".join(b))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = winnowing_fingerprints(df, k=4, w=4)
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnowing_match_pairs(fp, min_shared=1).collect()
+    }
+    for run_len in (7, 9, 15):
+        key = (run_len * 100, run_len * 100 + 1)
+        assert key in pairs, f"run of {run_len} tokens went undetected"
+
+
+def test_winnowing_matches_oracle(spark, duck):
+    """Full DuckDB differential for the queued dedup_winnowing query at
+    sf0.01 (identical protocol to test_oracle.py)."""
+    import pandas as pd
+
+    from mysql2psql_spark.queries.dedup_q import _ORACLE_WINNOW, dedup_winnowing
+
+    got = dedup_winnowing(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_WINNOW).df()
+    assert len(got) == len(want) > 0
+    assert sorted(got.columns) == sorted(want.columns)
+    g = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
+    w = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
