@@ -1510,3 +1510,43 @@ def test_winnowing_matches_oracle(spark, duck):
     g = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
     w = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
     pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+
+
+def test_margin_mutual_best_fanout_invariant_and_monotone(spark):
+    """Properties of the shared margin tail on a random scored frame:
+    (a) output is identical for every topk_sum fanout (the two-phase
+    decomposition is exact, not approximate); (b) raising the threshold
+    only removes rows (the kept set is monotone in threshold)."""
+    import random
+
+    from mysql2psql_spark.operators.similarity import margin_mutual_best
+    from mysql2psql_spark.operators.materialize import materialize, unmaterialize
+
+    rng = random.Random(31)
+    rows = [
+        (a, b, rng.randrange(-1_000_000, 1_000_000))
+        for a in range(40)
+        for b in range(1000, 1030)
+        if rng.random() < 0.6
+    ]
+    scored = materialize(spark.createDataFrame(rows, "id_a long, id_b long, c6 long"))
+    try:
+        base = sorted(
+            (r.id_x, r.id_y, r.margin)
+            for r in margin_mutual_best(scored, k=4, threshold=0.9, fanout=32).collect()
+        )
+        assert len(base) > 0
+        for fanout in (1, 7):
+            got = sorted(
+                (r.id_x, r.id_y, r.margin)
+                for r in margin_mutual_best(scored, k=4, threshold=0.9, fanout=fanout).collect()
+            )
+            assert got == base, f"fanout={fanout} changed the result"
+        tighter = sorted(
+            (r.id_x, r.id_y, r.margin)
+            for r in margin_mutual_best(scored, k=4, threshold=1.05, fanout=32).collect()
+        )
+        assert set(tighter) <= set(base)
+        assert all(m >= 1.05 for _, _, m in tighter)
+    finally:
+        unmaterialize(scored)
