@@ -909,15 +909,29 @@ def winnowing_fingerprints(
     )
 
 
-def winnowing_match_pairs(fp: DataFrame, min_shared: int, id_col: str = "doc_id") -> DataFrame:
+def winnowing_match_pairs(
+    fp: DataFrame,
+    min_shared: int,
+    id_col: str = "doc_id",
+    caches: "list[DataFrame] | CacheHandle | None" = None,
+) -> DataFrame:
     """Cross-document matches over a :func:`winnowing_fingerprints`
     frame: pairs sharing >= ``min_shared`` fingerprints, with the count.
     One fingerprint-keyed self-join (the LSH-banding bucket shape: pair
     volume is bounded by per-hash document frequency, never the corpus
-    square) + one pair-keyed count. A corpus-stopword gram can make one
-    fhash hot — the minhash_lsh_pairs skew analysis applies verbatim
-    (AQE skew-join absorbs moderate heat; at production add a document-
-    frequency cap on fhash, the prefix-filter discipline)."""
+    square) + one pair-keyed count. The fingerprint frame is
+    materialized first — both self-join sides consume it, and a frame
+    whose last op is an exchange is neither reliably deduped by
+    ReusedExchange nor safe from AQE re-planning (the lsh_cosine_pairs
+    finding verbatim: pre-persist, the executed plan ran the whole
+    scan + explode + two-sort window pipeline once per side). Released
+    via the pagerank ``caches`` contract. A corpus-stopword gram can
+    make one fhash hot — the minhash_lsh_pairs skew analysis applies
+    verbatim (AQE skew-join absorbs moderate heat; at production add a
+    document-frequency cap on fhash, the prefix-filter discipline)."""
+    fp = materialize(fp)
+    if caches is not None:
+        caches.append(fp)
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(

@@ -638,7 +638,7 @@ _ORACLE_WINNOW = """
 """
 
 
-def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_winnowing(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
     """Winnowing fingerprint match pairs — see the QUEUED block above."""
     from mysql2psql_spark.operators.dedup import (
         winnowing_fingerprints,
@@ -647,5 +647,5 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return winnowing_match_pairs(
-        winnowing_fingerprints(docs, k=4, w=4), min_shared=5
+        winnowing_fingerprints(docs, k=4, w=4), min_shared=5, caches=caches
     )
