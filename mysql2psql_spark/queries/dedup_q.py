@@ -649,3 +649,64 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
     return winnowing_match_pairs(
         winnowing_fingerprints(docs, k=4, w=4), min_shared=5, caches=caches
     )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r12 registration): the dedup family's recall gate — the
+# MinHash-LSH pipeline measured against the exact n-gram Jaccard truth,
+# as ONE summary row. The LSH recall premise (banding at 8x4 must find
+# every true J >= 0.5 pair on this corpus) is today pinned only in
+# pytest (test_minhash_agrees_with_exact); this row makes it
+# driver-visible, the dedup twin of sim_recall_at_k (the ANN serving
+# gate). The oracle composes the two queries' own oracles, which are
+# the SAME all-pairs answer — so the oracle states recall = 1 exactly,
+# and any engine-side banding miss (seed drift, band-geometry bug)
+# surfaces as a red driver row rather than a silent premise violation.
+# Precision is 1 BY CONSTRUCTION (LSH candidates are exact-verified
+# before emission); n_spurious proves it.
+#
+# Costs (measured r11): exact at all three SFs; ~3 s steady at sf0.1
+# under the engine session, 8.2 s at sf0.01 under the driver's vanilla
+# session (two full candidate pipelines + the outer join — the family's
+# heaviest gate row; weigh at registration). A vanilla session at sf0.1
+# read 492 s — NOT a driver surface (the driver gates at sf0.01), but
+# worth a session-conf probe before this row is ever benched vanilla.
+# ---------------------------------------------------------------------------
+_ORACLE_RECALL_GATE = f"""
+    WITH truth AS ({_PAIRS_SQL})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(COUNT(*) AS BIGINT) AS n_found,
+           CAST(0 AS BIGINT) AS n_missed,
+           CAST(0 AS BIGINT) AS n_spurious,
+           CAST(1.0 AS DOUBLE) AS recall
+    FROM truth
+"""
+
+
+def dedup_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-vs-exact dedup recall summary — see the QUEUED block above."""
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    found = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    j = truth.withColumn("_t", F.lit(1)).join(
+        found.withColumn("_f", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    return j.agg(
+        F.count("_t").cast("bigint").alias("n_true"),
+        F.count("_f").cast("bigint").alias("n_found"),
+        F.sum(F.when(F.col("_f").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missed"),
+        F.sum(F.when(F.col("_t").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_spurious"),
+    ).select(
+        "n_true",
+        "n_found",
+        "n_missed",
+        "n_spurious",
+        F.round(
+            (F.col("n_true") - F.col("n_missed")).cast("double")
+            / F.col("n_true"),
+            6,
+        ).alias("recall"),
+    )

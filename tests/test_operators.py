@@ -1550,3 +1550,25 @@ def test_margin_mutual_best_fanout_invariant_and_monotone(spark):
         assert all(m >= 1.05 for _, _, m in tighter)
     finally:
         unmaterialize(scored)
+
+
+def test_dedup_recall_gate_matches_oracle(spark, duck):
+    """Full DuckDB differential for the queued dedup_recall_gate query at
+    sf0.01 — and the gate itself must read recall 1.0 with zero spurious
+    pairs (the LSH premise, now as a one-row summary)."""
+    import pandas as pd
+
+    from mysql2psql_spark.queries.dedup_q import (
+        _ORACLE_RECALL_GATE,
+        dedup_recall_gate,
+    )
+
+    got = dedup_recall_gate(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_RECALL_GATE).df()
+    g = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
+    w = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+    row = got.iloc[0]
+    assert row.recall == 1.0 and row.n_missed == 0 and row.n_spurious == 0
