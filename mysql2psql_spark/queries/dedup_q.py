@@ -666,11 +666,15 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
 # before emission); n_spurious proves it.
 #
 # Costs (measured r11): exact at all three SFs; ~3 s steady at sf0.1
-# under the engine session, 8.2 s at sf0.01 under the driver's vanilla
-# session (two full candidate pipelines + the outer join — the family's
-# heaviest gate row; weigh at registration). A vanilla session at sf0.1
-# read 492 s — NOT a driver surface (the driver gates at sf0.01), but
-# worth a session-conf probe before this row is ever benched vanilla.
+# under the engine session, ~4 s vanilla (each input consumed once by
+# the outer join, so no extra persist is needed — A/B measured equal);
+# ~8 s at sf0.01 under the driver's vanilla session (two full candidate
+# pipelines + the outer join — the family's heaviest gate row; weigh at
+# registration). Measurement trap logged for posterity: a 3-SF verify
+# loop first read "492 s at sf0.1" — that was the DUCKDB ORACLE's
+# all-pairs LIST_INTERSECT over 12.5M candidate pairs (495 s measured
+# alone), not the engine; the oracle only ever runs at the sf0.01 gate,
+# where it is ~2 s.
 # ---------------------------------------------------------------------------
 _ORACLE_RECALL_GATE = f"""
     WITH truth AS ({_PAIRS_SQL})
