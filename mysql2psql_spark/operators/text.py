@@ -347,3 +347,76 @@ def approx_strata(
         .withColumn("stratum", stratum)
         .drop(cuts_col)
     )
+
+
+def count_min_sketch(
+    tokens: DataFrame, depth: int = 4, width: int = 16, token_col: str = "word"
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over a token
+    frame: ``depth`` independent md5-seeded hash rows of ``width``
+    buckets; the sketch IS a (r, bucket, cnt) frame of depth x width
+    rows — a FIXED-size, MERGEABLE summary (bucket counts are sums, so
+    map-side partial aggregation builds it in one pass and two sketches
+    merge by adding counts), the shape that estimates token frequencies
+    over a 100 TB corpus without a vocabulary-scale aggregation. Hashes
+    are md5-prefix int64 of ``"r:token"`` (the engine's portable-hash
+    discipline), so a SQL oracle rebuilds the identical grid.
+
+    The build explodes each token into ``depth`` (r, bucket) rows —
+    ONE hash aggregate whose output is depth x width rows regardless of
+    corpus size; the exchange carries only the pre-combined grid."""
+    rows = tokens.select(
+        token_col, F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    ).select(
+        "r",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("r").cast("string"), F.col(token_col))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(width),
+        ).alias("bucket"),
+    )
+    return rows.groupBy("r", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_estimate(
+    probes: DataFrame,
+    sketch: DataFrame,
+    depth: int = 4,
+    width: int = 16,
+    token_col: str = "token",
+) -> DataFrame:
+    """Point-query the sketch for each probe token: estimate = MIN over
+    the depth rows of the probed bucket's count (always >= the true
+    count; collisions only ADD). The sketch is depth x width rows and
+    broadcasts; probes explode into depth lookups and aggregate back —
+    per-probe cost is ``depth`` hash-join lookups, corpus-free."""
+    lk = probes.select(
+        token_col, F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    ).select(
+        token_col,
+        "r",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("r").cast("string"), F.col(token_col))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(width),
+        ).alias("bucket"),
+    )
+    return (
+        lk.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy(token_col)
+        .agg(F.min("cnt").alias("n_est"))
+    )

@@ -1747,3 +1747,78 @@ def text_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("dsir_logw"),
     )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r12 registration): count-min heavy-hitter audit (operators/
+# text.py::count_min_sketch + cms_estimate — Cormode & Muthukrishnan
+# 2005). Differential runs in tests/test_operators.py::
+# test_cms_heavy_hitters_matches_oracle until the @query row lands.
+#
+# Semantics: a d=4 x w=16 count-min sketch over the corpus tokens (w
+# deliberately smaller than the vocabulary so collisions are REAL: 8-11
+# of the top-20 tokens read high, up to +9127 at sf0.1), point-queried
+# for the exact top-20 tokens -> (token, n_exact, n_est, overestimate).
+# The sketch completes the mergeable-summary tier (Bloom membership,
+# HLL distinct, percentile sketch, now frequency): a FIXED d x w grid
+# built by one map-side-combinable aggregate — the frequency-estimation
+# shape for a corpus too large for a vocabulary-scale groupBy — and the
+# audit row prices its one-sided error against exact truth at bench
+# scale. Estimates are >= exact ALWAYS (collisions only add), which the
+# differential and a property test both pin. Exact at all three SFs
+# under a vanilla session; output fixed at 20 rows.
+# ---------------------------------------------------------------------------
+_CMS_D, _CMS_W, _CMS_TOPK = 4, 16, 20
+
+_ORACLE_CMS = f"""
+    WITH tok AS (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents
+    ),
+    exact AS (
+      SELECT word, COUNT(*) AS n_exact FROM tok GROUP BY word
+      ORDER BY n_exact DESC, word LIMIT {_CMS_TOPK}
+    ),
+    rows_b AS (
+      SELECT t.word, r.r,
+             CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(r.r AS VARCHAR), ':', t.word)), 1, 8)) AS BIGINT)
+               % {_CMS_W} AS bucket
+      FROM tok t CROSS JOIN RANGE(0, {_CMS_D}) r(r)
+    ),
+    cms AS (
+      SELECT r, bucket, COUNT(*) AS cnt FROM rows_b GROUP BY r, bucket
+    ),
+    est AS (
+      SELECT e.word, e.n_exact, MIN(c.cnt) AS n_est
+      FROM exact e
+      JOIN rows_b rb ON rb.word = e.word
+      JOIN cms c ON c.r = rb.r AND c.bucket = rb.bucket
+      GROUP BY e.word, e.n_exact
+    )
+    SELECT word AS token, CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_est AS BIGINT) AS n_est,
+           CAST(n_est - n_exact AS BIGINT) AS overestimate
+    FROM est
+"""
+
+
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy-hitter audit — see the QUEUED block above."""
+    from mysql2psql_spark.operators.text import cms_estimate, count_min_sketch
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+    exact = (
+        tok.groupBy("word")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "word")
+        .limit(_CMS_TOPK)
+        .select(F.col("word").alias("token"), "n_exact")
+    )
+    sketch = count_min_sketch(tok, depth=_CMS_D, width=_CMS_W)
+    est = cms_estimate(exact, sketch, depth=_CMS_D, width=_CMS_W)
+    return exact.join(est, "token").select(
+        "token",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("n_est").cast("bigint").alias("n_est"),
+        (F.col("n_est") - F.col("n_exact")).cast("bigint").alias("overestimate"),
+    )

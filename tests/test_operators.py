@@ -1572,3 +1572,59 @@ def test_dedup_recall_gate_matches_oracle(spark, duck):
     pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
     row = got.iloc[0]
     assert row.recall == 1.0 and row.n_missed == 0 and row.n_spurious == 0
+
+
+# --- count-min sketch (QUEUED r12 registration) --------------------------
+
+
+def test_cms_heavy_hitters_matches_oracle(spark, duck):
+    """Full DuckDB differential for the queued text_cms_heavy_hitters
+    query at sf0.01; estimates must dominate exact counts (one-sided
+    error is the count-min contract)."""
+    import pandas as pd
+
+    from mysql2psql_spark.queries.text_q import _ORACLE_CMS, text_cms_heavy_hitters
+
+    got = text_cms_heavy_hitters(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_CMS).df()
+    g = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
+    w = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+    assert len(got) == 20
+    assert (got.n_est >= got.n_exact).all()
+
+
+def test_cms_sketch_is_mergeable_and_dominates(spark):
+    """The sketch built over a whole corpus equals the bucket-wise SUM of
+    sketches built over any partition of it (mergeability — what makes
+    it a map-side-combinable 100 TB summary), and every point estimate
+    dominates the true count."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mysql2psql_spark.operators.text import cms_estimate, count_min_sketch
+
+    rng = random.Random(41)
+    vocab = [f"t{i}" for i in range(60)]
+    words = [vocab[min(rng.randrange(60), rng.randrange(60))] for _ in range(4000)]
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    half_a = spark.createDataFrame([(w,) for w in words[:2000]], ["word"])
+    half_b = spark.createDataFrame([(w,) for w in words[2000:]], ["word"])
+    whole = {
+        (r.r, r.bucket): r.cnt for r in count_min_sketch(df, 4, 16).collect()
+    }
+    merged: dict = {}
+    for part in (half_a, half_b):
+        for r in count_min_sketch(part, 4, 16).collect():
+            merged[(r.r, r.bucket)] = merged.get((r.r, r.bucket), 0) + r.cnt
+    assert whole == merged
+    truth = {w: words.count(w) for w in set(words)}
+    probes = spark.createDataFrame([(w,) for w in truth], ["token"])
+    est = {
+        r.token: r.n_est
+        for r in cms_estimate(probes, count_min_sketch(df, 4, 16), 4, 16).collect()
+    }
+    assert all(est[w] >= c for w, c in truth.items())
