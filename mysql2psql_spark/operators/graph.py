@@ -433,7 +433,17 @@ def _peel_round(
     linear-depth label chain the nested logical plan TRIPLES per round;
     every ``truncate`` round swaps persist for a lazy localCheckpoint
     (the pagerank/connected_components cadence discipline), which bounds
-    plan size at 3^cadence x the last checkpoint instead of 3^rounds."""
+    plan size at 3^cadence x the last checkpoint instead of 3^rounds.
+
+    Block lifetime (ADVICE r11): truncate-round frames are NOT
+    registered on ``caches`` and their storage outlives
+    ``CacheHandle.release()`` — ``DataFrame.unpersist`` only clears
+    CacheManager entries, and localCheckpoint blocks are RDD-level
+    storage it never touches (probed: blocks survive ``df.unpersist``
+    and fall only to a ``getPersistentRDDs`` sweep). They are reclaimed
+    by the session-level RDD sweep (bench/driver harnesses) or the
+    ContextCleaner on driver GC (``get_spark`` pins periodicGC to
+    5 min). Persist-round frames DO register and release normally."""
     from mysql2psql_spark.operators.materialize import materialize
 
     deg = edges.groupBy("v").agg(F.count("*").alias("_deg"))
@@ -541,10 +551,37 @@ def k_core(
         caches.append(cur)
     prev_n = None
     surv = cur.select("v").distinct()
+    # Intra-loop release (ADVICE r11): round r's count() is the LAST
+    # materialization that consumes surv_{r-1} (its only plan consumer,
+    # cur_{r-1}, materializes under that count) and cur_{r-2} (consumed
+    # by surv_{r-1} and cur_{r-1}, both now resident), so both unpersist
+    # here instead of accumulating ~2 persisted frames per round for the
+    # loop's lifetime (max_rounds=50). persist keeps lineage, so a freed
+    # frame that somehow recomputes later costs work, never correctness.
+    # On truncate rounds the call is a harmless no-op (checkpoint blocks
+    # are RDD-level storage DataFrame.unpersist never touches — see
+    # _peel_round's block-lifetime note). The RETURNED survivor frame is
+    # never freed: prev_surv always trails the live round by one.
+    prev_surv = None  # surv_{r-1}
+    pp_cur = None  # cur_{r-2}
+    p_cur = cur  # cur_{r-1}
     for r in range(1, max_rounds + 1):
-        surv, cur = _peel_round(cur, k, caches, truncate=(r % 3 == 0))
+        surv, nxt = _peel_round(p_cur, k, caches, truncate=(r % 3 == 0))
         n = surv.count()
+        if prev_surv is not None:
+            prev_surv.unpersist(False)
+        if pp_cur is not None:
+            pp_cur.unpersist(False)
+        prev_surv, pp_cur, p_cur = surv, p_cur, nxt
         if n == prev_n or n == 0:
             break
         prev_n = n
+    if caches is None:
+        # no handle to release the tail frames through: free the last
+        # two edge frames now (the returned surv stays materialized; a
+        # recompute through the freed, lineage-kept parents is the
+        # documented at-worst cost).
+        if pp_cur is not None:
+            pp_cur.unpersist(False)
+        p_cur.unpersist(False)
     return surv

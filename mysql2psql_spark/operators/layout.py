@@ -197,6 +197,55 @@ def session_scratch(spark: SparkSession) -> str:
     return root
 
 
+def derived_bucket_count(
+    spark: SparkSession,
+    est_bytes: int | None = None,
+    target_bytes: int = 128 << 20,
+) -> int:
+    """The engine's bucket-count rule: ``max(session executor width,
+    ceil(est_bytes / 128 MB))``.
+
+    Two forces, measured r11: a bucketed SCAN locks downstream
+    parallelism to its bucket count (triangles' intersect phase ran
+    8-wide off an 8-bucket edge table — 2.34 vs 2.05 s at width), so the
+    session's executor width is the FLOOR; and at 100 TB a bucket must
+    stay near one task's working size, so ``est_bytes / 128 MB`` (the
+    ``spark.sql.files.maxPartitionBytes`` default) takes over as soon as
+    the table outgrows width x 128 MB. Callers without a size estimate
+    omit ``est_bytes`` and get the width floor — correct for the
+    session-scoped artifacts here (all << 128 MB/bucket at bench scale);
+    an ingest pipeline maintaining the table passes its real size.
+    Fleet rule unchanged: every table sharing a join key domain must use
+    the SAME count (or a divisor with bucket coalescing enabled), so
+    derive once per key domain at the LARGEST table and reuse."""
+    width = max(int(spark.sparkContext.defaultParallelism), 1)
+    if est_bytes is None:
+        return width
+    return max(width, -(-int(est_bytes) // int(target_bytes)))
+
+
+def _catalog_bucket_spec(
+    spark: SparkSession, table: str
+) -> "tuple[int, list[str]]":
+    """(num_buckets, bucket_columns) of an existing catalog table, via
+    DESCRIBE FORMATTED (the stable public surface for bucket specs;
+    the Catalog API does not expose them)."""
+    desc = {
+        r.col_name.strip(): (r.data_type or "").strip()
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    }
+    try:
+        n = int(desc.get("Num Buckets", ""))
+    except ValueError:
+        n = -1
+    cols = [
+        c.strip(" `")
+        for c in desc.get("Bucket Columns", "").strip("[]").split(",")
+        if c.strip(" `")
+    ]
+    return n, cols
+
+
 def ensure_bucketed_table(
     spark: SparkSession,
     table: str,
@@ -235,4 +284,19 @@ def ensure_bucketed_table(
             sort=sort,
             path=os.path.join(session_scratch(spark), table),
         )
+    else:
+        # Existence is keyed on the table NAME, so a second caller
+        # passing the same name with a different spec would silently
+        # read the first caller's data and layout (ADVICE r11). Validate
+        # the catalog spec against the arguments and refuse a mismatch —
+        # one DESCRIBE per re-entry, no data scan.
+        have_n, have_keys = _catalog_bucket_spec(spark, table)
+        if have_n != n_buckets or have_keys != list(keys):
+            raise ValueError(
+                f"bucketed table {table!r} already exists in this session "
+                f"with spec (keys={have_keys}, n_buckets={have_n}) != "
+                f"requested (keys={list(keys)}, n_buckets={n_buckets}); "
+                f"bucketed-table names are session-scoped contracts — use "
+                f"a distinct name for a different layout."
+            )
     return spark.table(table)

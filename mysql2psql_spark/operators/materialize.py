@@ -75,6 +75,14 @@ class CacheHandle:
     satisfies the operator-side contract (the pre-round-8 accumulator
     convention) — but the handle is the recommended caller API: it can
     be used as a context manager and cannot be mistaken for data.
+
+    Scope note: only PERSIST-backed frames belong here. Lineage-truncated
+    frames (``localCheckpoint``) are not releasable through
+    ``DataFrame.unpersist`` at all — checkpoint blocks are RDD-level
+    storage outside the CacheManager (probed r12: blocks survive
+    ``df.unpersist`` and fall only to a ``getPersistentRDDs`` sweep) —
+    so iterative operators document those blocks' session-level lifetime
+    instead of registering them (see ``graph._peel_round``).
     """
 
     def __init__(self) -> None:

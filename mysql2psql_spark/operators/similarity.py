@@ -267,6 +267,21 @@ def bitext_margin_pairs(
         cap = int(max_pairs**0.5) * 8 + 2
         nx = emb_x.limit(cap).count()
         ny = emb_y.limit(cap).count()
+        # A count that HIT the cap may be truncated, and a truncated count
+        # UNDERestimates the product — a highly asymmetric input (|X| huge,
+        # |Y| tiny) could slip under max_pairs and run the full quadratic
+        # crossJoin (ADVICE r11, medium). If exactly one side is capped,
+        # re-count it against the bound the other side's exact count
+        # implies: with the other side at m rows, any true count >=
+        # max_pairs // m + 1 makes the product exceed max_pairs, so a
+        # limit at that value either returns the exact count (sound test)
+        # or saturates at a value that already fails the test. Both-capped
+        # needs no re-count: cap * cap = 64 * max_pairs + O(cap) always
+        # refuses. The re-count stays bounded (CollectLimit short-circuits).
+        if nx >= cap and ny < cap and ny > 0:
+            nx = emb_x.limit(max_pairs // ny + 1).count()
+        elif ny >= cap and nx < cap and nx > 0:
+            ny = emb_y.limit(max_pairs // nx + 1).count()
         if nx * ny > max_pairs:
             raise ValueError(
                 f"bitext_margin_pairs scores the full |X| x |Y| cross product "

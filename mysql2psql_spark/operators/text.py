@@ -396,7 +396,14 @@ def cms_estimate(
     the depth rows of the probed bucket's count (always >= the true
     count; collisions only ADD). The sketch is depth x width rows and
     broadcasts; probes explode into depth lookups and aggregate back —
-    per-probe cost is ``depth`` hash-join lookups, corpus-free."""
+    per-probe cost is ``depth`` hash-join lookups, corpus-free.
+
+    The lookup is a LEFT join with absent cells counting 0 (ADVICE r11):
+    the sketch frame stores only touched (r, bucket) cells, so a probed
+    token whose cell was never incremented has NO sketch row — an inner
+    join would drop that hash row from the MIN (inflating the estimate)
+    and a token with every cell empty would vanish from the output
+    instead of reporting the correct n_est = 0."""
     lk = probes.select(
         token_col, F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
     ).select(
@@ -416,7 +423,7 @@ def cms_estimate(
         ).alias("bucket"),
     )
     return (
-        lk.join(F.broadcast(sketch), ["r", "bucket"])
+        lk.join(F.broadcast(sketch), ["r", "bucket"], "left")
         .groupBy(token_col)
-        .agg(F.min("cnt").alias("n_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("n_est"))
     )

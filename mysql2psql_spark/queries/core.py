@@ -1003,7 +1003,10 @@ def o5_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 def o6_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re as _re
 
-    from mysql2psql_spark.operators.layout import ensure_bucketed_table
+    from mysql2psql_spark.operators.layout import (
+        derived_bucket_count,
+        ensure_bucketed_table,
+    )
 
     # table identity carries the sf dir, so warmup (sf0.001) and measured
     # (sf0.1) runs in one bench session get distinct layouts; the write
@@ -1014,11 +1017,16 @@ def o6_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed world-shared /tmp path let two concurrent sessions race
     # overwrite writes into one directory (ADVICE r10, medium).
     tag = _re.sub(r"\W+", "_", sf_dir.strip("/"))
+    # bucket count derived, not hardcoded (VERDICT r11 #6): both tables
+    # share the orderkey domain so they derive the SAME count (the
+    # exchange-free join needs matching specs); the width floor applies
+    # at bench scale, est_bytes/128MB at 100 TB.
+    n_bkt = derived_bucket_count(spark)
     t_orders = ensure_bucketed_table(
         spark,
         f"bkt_orders_{tag}",
         ["o_orderkey"],
-        8,
+        n_bkt,
         lambda: load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderpriority"
         ),
@@ -1027,7 +1035,7 @@ def o6_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         f"bkt_lineitem_{tag}",
         ["o_orderkey"],
-        8,
+        n_bkt,
         lambda: load_table(spark, sf_dir, "lineitem").select(
             F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
         ),

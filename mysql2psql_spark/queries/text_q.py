@@ -1787,12 +1787,18 @@ _ORACLE_CMS = f"""
     cms AS (
       SELECT r, bucket, COUNT(*) AS cnt FROM rows_b GROUP BY r, bucket
     ),
+    probe_b AS (
+      SELECT DISTINCT e.word, e.n_exact, rb.r, rb.bucket
+      FROM exact e JOIN rows_b rb ON rb.word = e.word
+    ),
     est AS (
-      SELECT e.word, e.n_exact, MIN(c.cnt) AS n_est
-      FROM exact e
-      JOIN rows_b rb ON rb.word = e.word
-      JOIN cms c ON c.r = rb.r AND c.bucket = rb.bucket
-      GROUP BY e.word, e.n_exact
+      -- LEFT join, absent cells count 0 (mirrors cms_estimate: the
+      -- sketch stores only touched cells, so an empty probed cell must
+      -- contribute 0 to the MIN, not silently drop from it)
+      SELECT pb.word, pb.n_exact, MIN(COALESCE(c.cnt, 0)) AS n_est
+      FROM probe_b pb
+      LEFT JOIN cms c ON c.r = pb.r AND c.bucket = pb.bucket
+      GROUP BY pb.word, pb.n_exact
     )
     SELECT word AS token, CAST(n_exact AS BIGINT) AS n_exact,
            CAST(n_est AS BIGINT) AS n_est,

@@ -383,6 +383,34 @@ def test_k_core_converges_to_profile_fixpoint(spark):
     assert (final.n_vertices, final.n_edges) == (ref[1], ref[2])
 
 
+def test_k_core_releases_dead_rounds_without_handle(spark):
+    """k_core with caches=None must not accumulate ~2 persisted frames
+    per round for the loop's lifetime (ADVICE r11): after the loop, the
+    only persist-backed storage left is the returned survivor frame plus
+    truncate-round checkpoint blocks (bounded by the round count / 3,
+    and documented to outlive DataFrame-level release). The peel below
+    runs >= 5 rounds; un-released it held >= 10 frames."""
+    from mysql2psql_spark.operators.graph import k_core
+
+    sc = spark.sparkContext
+    spark.catalog.clearCache()
+    for rdd in sc._jsc.getPersistentRDDs().values():
+        rdd.unpersist(True)
+    pairs = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    pairs += [(5 + i, 6 + i) for i in range(8)]  # peels one hop per round
+    df = spark.createDataFrame(sorted(set(pairs)), ["a", "b"])
+    und = undirected_edges(df, "a", "b")
+    core = k_core(und, k=2, caches=None)
+    assert sorted(r.v for r in core.collect()) == sorted(range(6))
+    n_left = len(sc._jsc.getPersistentRDDs())
+    # returned surv (1) + <= ceil(rounds/3) checkpoint frames * 2 + the
+    # in-flight tail; the pre-fix behavior left ~2 per round (>= 12 at 6+
+    # rounds). 6 is a generous post-fix ceiling that still fails pre-fix.
+    assert n_left <= 6, f"{n_left} persisted RDDs left after k_core"
+    for rdd in sc._jsc.getPersistentRDDs().values():
+        rdd.unpersist(True)
+
+
 def test_k_core_query_matches_oracle(spark, duck):
     """Full DuckDB differential for the queued graph_k_core query —
     identical protocol to test_oracle.py, run at sf0.01."""

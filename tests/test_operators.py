@@ -1214,6 +1214,44 @@ def test_ensure_bucketed_table_builds_once_per_session(spark):
     spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_ensure_bucketed_table_refuses_spec_mismatch(spark):
+    """A re-entry under the same table name with a DIFFERENT bucket spec
+    must raise, never silently hand back the first caller's layout
+    (ADVICE r11): the name is a session-scoped contract."""
+    import pytest as _pytest
+
+    from mysql2psql_spark.operators.layout import ensure_bucketed_table
+
+    def build():
+        return spark.range(50).selectExpr("id", "id % 5 AS k", "id % 3 AS j")
+
+    name = "t_spec_mismatch_probe"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    ensure_bucketed_table(spark, name, ["k"], 4, build)
+    with _pytest.raises(ValueError, match="session-scoped contract"):
+        ensure_bucketed_table(spark, name, ["k"], 8, build)  # count differs
+    with _pytest.raises(ValueError, match="session-scoped contract"):
+        ensure_bucketed_table(spark, name, ["j"], 4, build)  # keys differ
+    # the matching spec still returns the table
+    assert ensure_bucketed_table(spark, name, ["k"], 4, build).count() == 50
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_derived_bucket_count_rule(spark):
+    """The 100 TB bucket-count guidance lives in code (VERDICT r11 #6):
+    session executor width as the floor, ceil(est_bytes / 128 MB) once
+    the table outgrows width x 128 MB."""
+    from mysql2psql_spark.operators.layout import derived_bucket_count
+
+    width = spark.sparkContext.defaultParallelism
+    assert derived_bucket_count(spark) == width  # no estimate -> floor
+    assert derived_bucket_count(spark, est_bytes=1) == width  # tiny table
+    big = 100 * (1 << 40)  # 100 TB
+    assert derived_bucket_count(spark, est_bytes=big) == -(-big // (128 << 20))
+    # exact multiples don't over-allocate by one
+    assert derived_bucket_count(spark, est_bytes=(128 << 20) * width) == width
+
+
 # --- bitext margin mining (QUEUED r12 registration: the registry is
 # frozen this round per the r10 verdict, so the full differential runs
 # HERE instead of through the driver's correctness harness) -------------
@@ -1269,6 +1307,32 @@ def test_bitext_margin_refuses_unbounded_cross_product(spark):
     emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
     with _pytest.raises(ValueError, match="ANN candidates"):
         bitext_margin_pairs(emb, emb, max_pairs=100).count()
+
+
+def test_bitext_margin_gate_sound_for_asymmetric_sides(spark):
+    """The counted gate must refuse an asymmetric over-limit input where
+    one side's capped count truncates (ADVICE r11, medium): with
+    max_pairs=100 the per-side cap is 82, so |X|=200 counts as 82 and
+    |Y|=1 gave 82 * 1 <= 100 — the quadratic crossJoin ran despite a
+    true product of 200. The re-count against the other side's exact
+    count makes the product test sound for any shape."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mysql2psql_spark.operators.similarity import bitext_margin_pairs
+
+    def mk(n):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+        )
+
+    with _pytest.raises(ValueError, match="ANN candidates"):
+        bitext_margin_pairs(mk(200), mk(1), max_pairs=100).count()
+    with _pytest.raises(ValueError, match="ANN candidates"):  # mirrored shape
+        bitext_margin_pairs(mk(1), mk(200), max_pairs=100).count()
+    # and an asymmetric UNDER-limit input still passes the gate
+    assert bitext_margin_pairs(mk(90), mk(1), max_pairs=100).count() >= 0
 
 
 def test_topk_sum_matches_single_window(spark):
@@ -1628,3 +1692,22 @@ def test_cms_sketch_is_mergeable_and_dominates(spark):
         for r in cms_estimate(probes, count_min_sketch(df, 4, 16), 4, 16).collect()
     }
     assert all(est[w] >= c for w, c in truth.items())
+
+
+def test_cms_estimate_absent_token_reports_zero(spark):
+    """A probed token whose cells were never incremented must report
+    n_est = 0, not vanish or inflate (ADVICE r11: the inner-join lookup
+    dropped empty cells from the MIN and lost all-empty tokens). Width
+    2^20 makes cross-token collisions impossible for a 2-token corpus,
+    so the absent probe's every cell is empty -> exact 0, and the
+    present tokens' estimates are exact."""
+    from mysql2psql_spark.operators.text import cms_estimate, count_min_sketch
+
+    corpus = spark.createDataFrame([("a",), ("a",), ("b",)], ["word"])
+    probes = spark.createDataFrame([("a",), ("b",), ("nothere",)], ["token"])
+    w = 1 << 20
+    est = {
+        r.token: r.n_est
+        for r in cms_estimate(probes, count_min_sketch(corpus, 4, w), 4, w).collect()
+    }
+    assert est == {"a": 2, "b": 1, "nothere": 0}
