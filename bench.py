@@ -232,6 +232,19 @@ HEADLINE = [
     "w7_two_phase_distribution",
     # round-11: budget-capped deterministic mixture draw
     "text_budget_sample",
+    # round-12: the seven r11-queued registrations (VERDICT r11 #1)
+    "dedup_recall_gate",
+    "graph_k_core",
+    "dedup_cdc_chunks",
+    "dedup_winnowing",
+    "text_cms_heavy_hitters",
+    "sim_bitext_ann",
+    # second declared anchor (VERDICT r11 #2): the exact cross-product
+    # bitext baseline — ~1M scored pairs at sf0.1 BY DESIGN (the recall
+    # ground truth behind sim_bitext_ann, the exact_cosine_pairs
+    # rationale); reported under anchor_sec so pipeline_sec stays a
+    # production-path number.
+    "sim_bitext_margin",
 ]
 
 
@@ -365,7 +378,7 @@ def main() -> None:
     # item so cross-round drift in the PIPELINE total isn't dominated by
     # one by-design-quadratic query (VERDICT r8 #7 / r9 #5). "value"
     # stays the all-queries total for cross-round continuity.
-    anchors = {"dedup_embedding_cosine"}
+    anchors = {"dedup_embedding_cosine", "sim_bitext_margin"}
     anchor_total = round(sum(v for k, v in times.items() if k in anchors), 3)
     pipeline_total = round(total - anchor_total, 3)
     full = {

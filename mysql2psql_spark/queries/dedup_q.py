@@ -524,7 +524,7 @@ def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# QUEUED (r12 registration): content-defined chunking dedup profile
+# REGISTERED r12 (queued r11): content-defined chunking dedup profile
 # (operators/dedup.py::cdc_chunks + cdc_dedup_profile). The r11 registry
 # is frozen per the r10 verdict, so the full DuckDB differential runs in
 # tests/test_operators.py::test_cdc_dedup_matches_oracle and the @query
@@ -578,6 +578,7 @@ _ORACLE_CDC = """
 """
 
 
+@query("dedup_cdc_chunks", oracle=_ORACLE_CDC)
 def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC chunk-dedup savings histogram — see the QUEUED block above."""
     from mysql2psql_spark.operators.dedup import cdc_chunks, cdc_dedup_profile
@@ -587,7 +588,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# QUEUED (r12 registration): winnowing fingerprint matches (operators/
+# REGISTERED r12 (queued r11): winnowing fingerprint matches (operators/
 # dedup.py::winnowing_fingerprints + winnowing_match_pairs — Schleimer
 # et al. SIGMOD 2003, the MOSS plagiarism detector). Differential runs in
 # tests/test_operators.py::test_winnowing_matches_oracle until the @query
@@ -638,6 +639,7 @@ _ORACLE_WINNOW = """
 """
 
 
+@query("dedup_winnowing", oracle=_ORACLE_WINNOW)
 def dedup_winnowing(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
     """Winnowing fingerprint match pairs — see the QUEUED block above."""
     from mysql2psql_spark.operators.dedup import (
@@ -652,7 +654,7 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# QUEUED (r12 registration): the dedup family's recall gate — the
+# REGISTERED r12 (queued r11): the dedup family's recall gate — the
 # MinHash-LSH pipeline measured against the exact n-gram Jaccard truth,
 # as ONE summary row. The LSH recall premise (banding at 8x4 must find
 # every true J >= 0.5 pair on this corpus) is today pinned only in
@@ -687,6 +689,7 @@ _ORACLE_RECALL_GATE = f"""
 """
 
 
+@query("dedup_recall_gate", oracle=_ORACLE_RECALL_GATE)
 def dedup_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-vs-exact dedup recall summary — see the QUEUED block above."""
     truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")

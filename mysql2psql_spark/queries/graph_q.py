@@ -507,7 +507,7 @@ def graph_negative_samples(
 
 
 # ---------------------------------------------------------------------------
-# QUEUED (r12 registration): k-core peeling cascade over the part co-order
+# REGISTERED r12 (queued r11): k-core peeling cascade over the part co-order
 # graph. The r10 verdict froze the r11 registry at <=2 additions (both
 # slots spent on w7_two_phase_distribution and text_budget_sample), so
 # this query is built, oracled, and differentially tested NOW
@@ -568,6 +568,7 @@ _ORACLE_KCORE = f"""
 """
 
 
+@query("graph_k_core", oracle=_ORACLE_KCORE)
 def graph_k_core(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
     """The k=96 peeling cascade profile (see the QUEUED block above) —
     executes operators/graph.py::k_core_profile over the session's

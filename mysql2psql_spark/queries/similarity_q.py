@@ -674,7 +674,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# QUEUED (r12 registration): margin-based bitext mining. The r10 verdict
+# REGISTERED r12 (queued r11): margin-based bitext mining. The r10 verdict
 # froze this round's registry at <=2 additions so the 50-slot rotation
 # clears the r7-stale tier (both slots used: w7_two_phase_distribution,
 # text_budget_sample); this query is built, oracled, and differentially
@@ -748,6 +748,7 @@ _ORACLE_BITEXT = f"""
 """
 
 
+@query("sim_bitext_margin", oracle=_ORACLE_BITEXT)
 def sim_bitext_margin(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
     """Mutual-best margin pairs across the label-parity corpus split —
     see the QUEUED block above; executes operators/similarity.py::
@@ -766,7 +767,7 @@ def sim_bitext_margin(spark: SparkSession, sf_dir: str, caches=None) -> DataFram
 
 
 # ---------------------------------------------------------------------------
-# QUEUED (r12 registration): the PRODUCTION path of the bitext miner —
+# REGISTERED r12 (queued r11): the PRODUCTION path of the bitext miner —
 # same margin + mutual-best tail, candidates from the cross-side
 # multi-table hyperplane-LSH bucket join instead of the gated cross
 # product (see operators/similarity.py::bitext_margin_ann). The scale
@@ -813,6 +814,7 @@ _ORACLE_BITEXT_ANN = f"""
 """
 
 
+@query("sim_bitext_ann", oracle=_ORACLE_BITEXT_ANN)
 def sim_bitext_ann(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
     """LSH-candidate mutual-best margin pairs across the label-parity
     corpus split — see the QUEUED block above; executes

@@ -1750,7 +1750,7 @@ def text_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# QUEUED (r12 registration): count-min heavy-hitter audit (operators/
+# REGISTERED r12 (queued r11): count-min heavy-hitter audit (operators/
 # text.py::count_min_sketch + cms_estimate — Cormode & Muthukrishnan
 # 2005). Differential runs in tests/test_operators.py::
 # test_cms_heavy_hitters_matches_oracle until the @query row lands.
@@ -1807,6 +1807,7 @@ _ORACLE_CMS = f"""
 """
 
 
+@query("text_cms_heavy_hitters", oracle=_ORACLE_CMS)
 def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min heavy-hitter audit — see the QUEUED block above."""
     from mysql2psql_spark.operators.text import cms_estimate, count_min_sketch
