@@ -70,6 +70,17 @@ FLOORS = {
     "graph_label_propagation": 3.07,  # r10 3.74 (rebuild included)
     "w7_two_phase_distribution": 1.14,  # r11 registration, 16-bucket probe
     "text_budget_sample": 0.44,         # r11 registration, 7-rep interleaved median
+    # r12 registrations + watch-item: first 7-rep interleaved medians
+    # (loadavg 2.9-9.8; the 18 legacy rows read <=1.27x their floors in
+    # the same artifact, so these are honest multi-shape-session floors)
+    "sim_cosine_scores": 0.263,      # r11 watch-item: ambient confirmed
+    "dedup_recall_gate": 2.23,
+    "graph_k_core": 1.85,
+    "dedup_cdc_chunks": 0.955,
+    "dedup_winnowing": 0.741,
+    "text_cms_heavy_hitters": 0.39,
+    "sim_bitext_ann": 3.084,
+    "sim_bitext_margin": 9.769,      # second declared anchor (exact cross product)
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),
@@ -98,6 +109,18 @@ DEFAULT_QUERIES = [
     "graph_label_propagation",
     "w7_two_phase_distribution",
     "text_budget_sample",
+    # r12: the seven registrations + the r11 watch-item (sim_cosine_scores
+    # read 0.23 -> 0.32 s across driver artifacts; the r12 same-session
+    # A/B put it at 0.363 s median with BOTH controls at 1.26-1.28x their
+    # floors — ambient-class, tracked here so future drift has a floor)
+    "sim_cosine_scores",
+    "dedup_recall_gate",
+    "graph_k_core",
+    "dedup_cdc_chunks",
+    "dedup_winnowing",
+    "text_cms_heavy_hitters",
+    "sim_bitext_ann",
+    "sim_bitext_margin",
 ]
 
 
