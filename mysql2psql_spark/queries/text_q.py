@@ -173,16 +173,19 @@ _SHINGLE_SQL = """
           / (LEN(a.sg) + LEN(b.sg) - LEN(LIST_INTERSECT(a.sg, b.sg))) >= 0.5
     """,
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
+) -> DataFrame:
     # Work on 60-bit shingle hashes, not strings (collisions ~0; the
     # oracle intersects raw shingle sets). Candidates via prefix
     # filtering + positional prune, verification via native
     # array_intersect over per-doc sorted hash arrays (codegen'd, no
-    # lambda HOF, one row per candidate pair).
+    # lambda HOF, one row per candidate pair). ``shingles`` lets a
+    # composing caller (dedup_recall_gate) pass the shared persisted
+    # shingle-hash frame instead of re-deriving it.
     from mysql2psql_spark.operators.dedup import prefix_filter_pairs
     from mysql2psql_spark.operators.text import shingle_hash_table
 
-    d = load_table(spark, sf_dir, "documents")
     # hash-order prefixes: the synthetic corpus's shingle distribution
     # is uniform (measured df <= 15 at sf0.1), so rarest-first ordering
     # buys no candidate reduction and costs a df join + per-doc window;
@@ -193,7 +196,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows (pre-pruning), and match rows grow quadratically with dup
     # density. The join-verify default ships arrays only for surviving
     # candidates, which is the shape that holds at 100 TB.
-    return prefix_filter_pairs(shingle_hash_table(d), threshold=0.5, order_by_frequency=False)
+    if shingles is None:
+        shingles = shingle_hash_table(load_table(spark, sf_dir, "documents"))
+    return prefix_filter_pairs(shingles, threshold=0.5, order_by_frequency=False)
 
 
 # ---------------------------------------------------------------------------

@@ -74,7 +74,7 @@ FLOORS = {
     # (loadavg 2.9-9.8; the 18 legacy rows read <=1.27x their floors in
     # the same artifact, so these are honest multi-shape-session floors)
     "sim_cosine_scores": 0.263,      # r11 watch-item: ambient confirmed
-    "dedup_recall_gate": 2.23,
+    "dedup_recall_gate": 1.76,  # r12 shared-shingle refactor (was 2.23 at registration)
     "graph_k_core": 1.85,
     "dedup_cdc_chunks": 0.955,
     "dedup_winnowing": 0.741,
