@@ -588,7 +588,7 @@ _ORACLE_CDC = """
 
 @query("dedup_cdc_chunks", oracle=_ORACLE_CDC)
 def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC chunk-dedup savings histogram — see the QUEUED block above."""
+    """CDC chunk-dedup savings histogram — see the block above."""
     from mysql2psql_spark.operators.dedup import cdc_chunks, cdc_dedup_profile
 
     docs = load_table(spark, sf_dir, "documents")
@@ -649,7 +649,7 @@ _ORACLE_WINNOW = """
 
 @query("dedup_winnowing", oracle=_ORACLE_WINNOW)
 def dedup_winnowing(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
-    """Winnowing fingerprint match pairs — see the QUEUED block above."""
+    """Winnowing fingerprint match pairs — see the block above."""
     from mysql2psql_spark.operators.dedup import (
         winnowing_fingerprints,
         winnowing_match_pairs,

@@ -570,7 +570,7 @@ _ORACLE_KCORE = f"""
 
 @query("graph_k_core", oracle=_ORACLE_KCORE)
 def graph_k_core(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
-    """The k=96 peeling cascade profile (see the QUEUED block above) —
+    """The k=96 peeling cascade profile (see the block above) —
     executes operators/graph.py::k_core_profile over the session's
     shared bucketed co-order table (:func:`coorder_edges`; the graph
     family's pay-the-build-once posture)."""

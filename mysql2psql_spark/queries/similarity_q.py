@@ -751,7 +751,7 @@ _ORACLE_BITEXT = f"""
 @query("sim_bitext_margin", oracle=_ORACLE_BITEXT)
 def sim_bitext_margin(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
     """Mutual-best margin pairs across the label-parity corpus split —
-    see the QUEUED block above; executes operators/similarity.py::
+    see the block above; executes operators/similarity.py::
     bitext_margin_pairs (two-phase topk_sum neighborhoods, hash-agg
     mutual-best, int64-exact margins)."""
     from mysql2psql_spark.operators.similarity import bitext_margin_pairs
@@ -817,7 +817,7 @@ _ORACLE_BITEXT_ANN = f"""
 @query("sim_bitext_ann", oracle=_ORACLE_BITEXT_ANN)
 def sim_bitext_ann(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
     """LSH-candidate mutual-best margin pairs across the label-parity
-    corpus split — see the QUEUED block above; executes
+    corpus split — see the block above; executes
     operators/similarity.py::bitext_margin_ann (cross-side bucket-join
     candidates, then the exact variant's margin_mutual_best tail)."""
     from mysql2psql_spark.operators.similarity import bitext_margin_ann

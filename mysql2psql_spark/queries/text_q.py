@@ -1814,7 +1814,7 @@ _ORACLE_CMS = f"""
 
 @query("text_cms_heavy_hitters", oracle=_ORACLE_CMS)
 def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min heavy-hitter audit — see the QUEUED block above."""
+    """Count-min heavy-hitter audit — see the block above."""
     from mysql2psql_spark.operators.text import cms_estimate, count_min_sketch
 
     d = load_table(spark, sf_dir, "documents")
