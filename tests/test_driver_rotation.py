@@ -53,3 +53,32 @@ def test_queries_and_oracle_budgets_align():
     import __spark_entry__ as m
 
     assert list(m.queries())[:50] == list(m.oracle_sql())[:50]
+
+
+def test_bench_headline_covers_entire_registry():
+    """bench.py's HEADLINE list IS the full perf surface (round-6
+    decision: no query may rot unmeasured) — every registered query must
+    appear exactly once, and no headline name may be unregistered (a
+    typo would silently skip the row: bench's loop ignores unknown
+    names). Anchors must be headline members, or the anchor split-out
+    would read 0 and pipeline_sec would absorb a known quadratic."""
+    import importlib.util
+    import os
+
+    from mysql2psql_spark.queries import QUERIES
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    headline = bench.HEADLINE
+    assert len(headline) == len(set(headline)), "duplicate headline entries"
+    assert set(headline) == set(QUERIES), (
+        sorted(set(QUERIES) - set(headline)),  # registered but unmeasured
+        sorted(set(headline) - set(QUERIES)),  # measured but unregistered
+    )
+    # the anchors bench.py splits out of pipeline_sec (kept in sync by
+    # hand; this pin fails if an anchor is renamed or dropped)
+    for anchor in ("dedup_embedding_cosine", "sim_bitext_margin"):
+        assert anchor in headline
