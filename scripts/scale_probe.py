@@ -110,6 +110,22 @@ PROBED = [
     # new doc_ids hash into the draw order, but the OUTPUT stays
     # budget-bounded and the wall should track the token-count scan).
     "text_budget_sample",
+    # r12 registrations (first probed ad-hoc in r11; the recall gate is
+    # new here — it rides documents with BOTH its pipelines fanning
+    # cross-replica pairs ~25x while the output stays ONE row, so wall
+    # should track the two candidate joins, not the pair count).
+    "dedup_recall_gate",
+    "dedup_cdc_chunks",   # wall flat at 5x dup density (r11 measured)
+    "dedup_winnowing",    # match join bounded by per-hash df, not pairs
+    "text_cms_heavy_hitters",  # fixed d x w grid; wall tracks the scan
+    "graph_k_core",       # same distinct graph under 5x raw pair volume
+    "sim_bitext_ann",     # x1.9 wall at 10x vectors (r11); 0 rows by
+    # design there (cosine-identical replicas saturate neighborhoods ->
+    # margins collapse to ~1.0 < 1.1 — the miner suppressing
+    # duplicate-dense hubs is its published purpose)
+    # sim_bitext_margin deliberately NOT probed: it REFUSES at 10x
+    # (10250 x 9750 > the 2.5e7 counted gate) — that refusal is its
+    # scale contract and is pinned in test_operators.
 ]
 
 
