@@ -83,6 +83,52 @@ def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+def _minhash_tables(
+    shingle_df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "sh",
+    k: int = 32,
+    bands: int = 8,
+) -> "tuple[DataFrame, DataFrame]":
+    """The shared MinHash build: (arrs, buckets) from an exploded
+    (id, shingle-hash) table. ``arrs`` is the persisted per-doc frame
+    (id, sorted verify array, n, h0..h{k-1} signature mins) computed in
+    ONE doc-keyed aggregation (the k mins are plain codegen'd aggregates
+    with map-side combine, folded beside the array collection so a
+    separate signature pass — and its re-explode — never exists).
+    ``buckets`` carries ONLY (id, band, key) rows: the band explode
+    multiplies row count by ``bands``, so keeping payloads off these
+    rows keeps the LSH shuffle at ~24 bytes/row regardless of document
+    size; shingle arrays rejoin only for surviving candidates. The
+    xxhash64 seeds (0..k-1 on the element hash; variadic over each
+    band's r signature columns) are the banding identity — every
+    consumer (within-corpus pairs, the incremental cross probe) MUST
+    share them or band keys stop colliding across frames."""
+    r = k // bands
+    arrs = _materialize(shingle_df.groupBy(id_col).agg(
+        F.sort_array(F.collect_set(hash_col)).alias("arr"),
+        # per-band keys hash their r signature columns directly
+        # (xxhash64 is variadic) — no intermediate array build + slice,
+        # which bloats the codegen'd expression tree and measurably
+        # inflates the plan's one-time Janino compile (~3 s of the cold
+        # run at sf0.1 before this shape).
+        *[F.min(F.xxhash64(F.lit(i), F.col(hash_col))).alias(f"h{i}") for i in range(k)],
+    ).withColumn("n", F.size("arr")))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(*[F.col(f"h{j * r + i}") for i in range(r)]).alias("key"),
+            )
+            for j in range(bands)
+        ]
+    )
+    buckets = arrs.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    return arrs, buckets
+
+
 def minhash_lsh_pairs(
     shingle_df: DataFrame,
     id_col: str = "doc_id",
@@ -110,34 +156,7 @@ def minhash_lsh_pairs(
     would need. The one exchange is reused by the bucket and verify
     subtrees.
     """
-    r = k // bands
-    arrs = _materialize(shingle_df.groupBy(id_col).agg(
-        F.sort_array(F.collect_set(hash_col)).alias("arr"),
-        # k min-aggregates computed alongside the array collection;
-        # per-band keys hash their r signature columns directly
-        # (xxhash64 is variadic) — no intermediate array build + slice,
-        # which bloats the codegen'd expression tree and measurably
-        # inflates the plan's one-time Janino compile (~3 s of the cold
-        # run at sf0.1 before this shape).
-        *[F.min(F.xxhash64(F.lit(i), F.col(hash_col))).alias(f"h{i}") for i in range(k)],
-    ).withColumn("n", F.size("arr")))
-    # Bucket rows carry ONLY (id, band, key) — never the shingle arrays.
-    # The band explode multiplies row count by `bands`, so keeping the
-    # payload off these rows keeps the LSH shuffle at ~24 bytes/row
-    # regardless of document size. Shingles rejoin only for the (tiny)
-    # candidate set.
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.xxhash64(*[F.col(f"h{j * r + i}") for i in range(r)]).alias("key"),
-            )
-            for j in range(bands)
-        ]
-    )
-    buckets = arrs.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    arrs, buckets = _minhash_tables(shingle_df, id_col, hash_col, k, bands)
 
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -192,6 +211,65 @@ def exact_jaccard_verify(
         .join(arr_b, "doc_b")
         .filter(inter * F.lit(t_den) >= F.lit(t_num) * union)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_lsh_cross_pairs(
+    sh_new: DataFrame,
+    sh_corpus: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "sh",
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental NEAR-dup gate: (doc_new, doc_corpus, jaccard) for
+    every new-batch document whose true Jaccard against some standing-
+    corpus document clears ``threshold`` — the banding twin of the
+    exact-fingerprint ``dedup_incremental`` gate, and the shape a
+    continuously-ingesting pipeline runs per batch instead of
+    re-banding the corpus.
+
+    Candidates are NEW x CORPUS band-key collisions ONLY: the corpus is
+    never self-joined (its intra-pairs were settled when its documents
+    were themselves the batch), so per-batch work is
+    O(batch bands + collisions) however large the corpus grows. At
+    100 TB the corpus band table and verify arrays are persisted
+    ingest-maintained artifacts (the coorder_edges posture) that each
+    batch probes — here both sides build in-session because the fixture
+    has no standing store, with the batch side small enough that its
+    bucket rows broadcast. Both sides MUST band with the same seeds and
+    geometry (:func:`_minhash_tables`), or keys stop colliding.
+
+    Recall contract: identical to :func:`minhash_lsh_pairs` — banding
+    at 8x4 finds every pair the fixture corpus puts above threshold
+    (cross pairs are a subset of the all-pairs premise pinned in
+    tests/test_operators.py::test_minhash_agrees_with_exact); every
+    candidate is exact-verified before emission, so precision is 1 by
+    construction. ids of the two sides must be disjoint (the verify
+    rejoin unions the per-side array tables)."""
+    arrs_n, bk_n = _minhash_tables(sh_new, id_col, hash_col, k, bands)
+    arrs_c, bk_c = _minhash_tables(sh_corpus, id_col, hash_col, k, bands)
+    n = bk_n.alias("n")
+    c = bk_c.alias("c")
+    cand = (
+        n.join(
+            c,
+            (F.col("n.band") == F.col("c.band")) & (F.col("n.key") == F.col("c.key")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("doc_a"),
+            F.col(f"c.{id_col}").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    verified = exact_jaccard_verify(
+        cand, arrs_n.unionByName(arrs_c), id_col, threshold
+    )
+    return verified.select(
+        F.col("doc_a").alias("doc_new"),
+        F.col("doc_b").alias("doc_corpus"),
+        "jaccard",
     )
 
 

@@ -1711,3 +1711,105 @@ def test_cms_estimate_absent_token_reports_zero(spark):
         for r in cms_estimate(probes, count_min_sketch(corpus, 4, w), 4, w).collect()
     }
     assert est == {"a": 2, "b": 1, "nothere": 0}
+
+
+# --- incremental minhash + leakage-safe split (QUEUED r13 registration:
+# the r12 registry is held at 187 so the rotation clears the r8-stale
+# tier, so the full DuckDB differentials run HERE) -----------------------
+
+
+def test_minhash_incremental_matches_oracle(spark, duck):
+    """Full DuckDB differential for the queued dedup_minhash_incremental
+    query at sf0.01 (identical protocol to test_oracle.py)."""
+    import pandas as pd
+
+    from mysql2psql_spark.queries.dedup_q import (
+        _ORACLE_MINHASH_INC,
+        dedup_minhash_incremental,
+    )
+
+    got = dedup_minhash_incremental(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_MINHASH_INC).df()
+    assert len(got) == len(want) > 0  # the fixture HAS cross-side pairs
+    assert sorted(got.columns) == sorted(want.columns)
+    g = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
+    w = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+
+
+def test_minhash_incremental_is_cross_restriction_of_full(spark):
+    """The incremental gate's output must equal the FULL within-corpus
+    answer restricted to (batch, corpus) pairs — no old x old or
+    new x new pair may appear, none may be missed."""
+    from mysql2psql_spark.queries.dedup_q import (
+        dedup_minhash_incremental,
+        dedup_minhash_lsh,
+    )
+
+    inc = {
+        (r.doc_new, r.doc_corpus): r.jaccard
+        for r in dedup_minhash_incremental(spark, SF_DIR_ORACLE).collect()
+    }
+    full = {}
+    for r in dedup_minhash_lsh(spark, SF_DIR_ORACLE).collect():
+        a, b = r.doc_a, r.doc_b
+        if a % 10 >= 8 and b % 10 < 8:
+            full[(a, b)] = r.jaccard
+        elif b % 10 >= 8 and a % 10 < 8:
+            full[(b, a)] = r.jaccard
+    assert inc == full and len(inc) > 0
+
+
+def test_leakage_safe_split_matches_oracle(spark, duck):
+    """Full DuckDB differential for the queued dedup_leakage_safe_split
+    query at sf0.01, plus the two semantic gates: the cluster-level
+    split leaks ZERO pairs by construction while the naive doc-id split
+    leaks a nonzero number on this corpus (the problem is real)."""
+    import pandas as pd
+
+    from mysql2psql_spark.operators.materialize import CacheHandle
+    from mysql2psql_spark.queries.dedup_q import (
+        _ORACLE_SAFE_SPLIT,
+        dedup_leakage_safe_split,
+    )
+
+    with CacheHandle() as caches:
+        got = dedup_leakage_safe_split(spark, SF_DIR_ORACLE, caches=caches).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_SAFE_SPLIT).df()
+    assert len(got) == len(want) == 1
+    assert sorted(got.columns) == sorted(want.columns)
+    g = got[sorted(got.columns)].reset_index(drop=True)
+    w = want[sorted(want.columns)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+    row = got.iloc[0]
+    assert row.safe_leaky_pairs == 0
+    assert row.naive_leaky_pairs > 0
+    assert row.train_docs + row.val_docs + row.test_docs == row.n_docs
+
+
+def test_leakage_safe_split_keeps_clusters_whole(spark):
+    """Property behind the summary row: every document of a near-dup
+    cluster receives the cluster's split — rebuilt per-doc here and
+    checked directly rather than through the aggregate."""
+    from pyspark.sql import functions as F
+
+    from mysql2psql_spark.operators.dedup import connected_components
+    from mysql2psql_spark.queries.text_q import dedup_ngram_jaccard
+
+    cc = connected_components(dedup_ngram_jaccard(spark, SF_DIR_ORACLE))
+    draw = (
+        F.conv(F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = F.when(draw < 80, "train").when(draw < 90, "val").otherwise("test")
+    per_cluster = (
+        cc.select("cluster_id", split.alias("split"))
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+    )
+    assert per_cluster.filter(F.col("n_splits") > 1).count() == 0
