@@ -73,3 +73,34 @@ def incremental_dedup_stream(stream: DataFrame, corpus_fps: DataFrame) -> DataFr
         )
     )
     return gated
+
+
+def near_dup_gate_foreach_batch(corpus_shingles: DataFrame, out_dir: str, threshold: float = 0.5):
+    """foreachBatch gate: NEAR-dup flag each arriving micro-batch against
+    the standing corpus — the streaming face of
+    ``queries/dedup_q.py::dedup_minhash_incremental`` (exact-fingerprint
+    ``incremental_dedup_stream`` catches only verbatim recurrence; this
+    catches edits/near-copies via the same banding + exact-verify as the
+    batch twin, whose DuckDB oracle defines the semantics).
+
+    ``corpus_shingles`` is the STANDING corpus's exploded (doc_id, sh)
+    frame — at 100 TB a persisted ingest artifact whose banded tables
+    the gate probes; here a static frame re-planned per micro-batch,
+    keeping ZERO streaming state (the corpus side carries all history;
+    the stream side never accumulates). Per-trigger cost is the batch
+    operator's: new x corpus band collisions only, however large the
+    corpus.
+
+    Writes are batch_id-versioned (``{out_dir}/batch=<id>`` overwrite —
+    the cdc_foreach_batch_sink idempotence discipline), so at-least-once
+    replays still yield exactly-once gate output."""
+    from mysql2psql_spark.operators.dedup import minhash_lsh_cross_pairs
+    from mysql2psql_spark.operators.text import shingle_hash_table
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = minhash_lsh_cross_pairs(
+            shingle_hash_table(batch_df), corpus_shingles, threshold=threshold
+        )
+        pairs.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    return apply

@@ -459,3 +459,50 @@ def test_read_continuous_agg_empty_and_torn_versions(spark, tmp_path):
         for r in read_continuous_agg(spark, out).collect()
     }
     assert still == good
+
+
+def test_near_dup_gate_stream_matches_batch_twin(spark, tmp_path):
+    """The foreachBatch NEAR-dup gate (streaming/docs.py::
+    near_dup_gate_foreach_batch) must produce, across micro-batches,
+    exactly the oracle-checked batch twin's answer
+    (dedup_minhash_incremental): the gate is stateless per trigger
+    (corpus-vs-batch only), so the union over any batch partitioning of
+    the new docs equals the one-shot batch gate."""
+    from mysql2psql_spark.queries.dedup_q import dedup_minhash_incremental
+    from mysql2psql_spark.streaming.docs import (
+        DOCUMENTS_SCHEMA,
+        near_dup_gate_foreach_batch,
+    )
+    from mysql2psql_spark.operators.text import shingle_hash_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    new = d.filter(F.col("doc_id") % 10 >= 8)
+    # two micro-batches: split the new docs by parity into two files
+    stream_dir = str(tmp_path / "arrivals")
+    new.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(stream_dir)
+    new.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(
+        stream_dir
+    )
+    corpus_sh = shingle_hash_table(d.filter(F.col("doc_id") % 10 < 8))
+    out_dir = str(tmp_path / "gate_out")
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = stream.writeStream.foreachBatch(
+        near_dup_gate_foreach_batch(corpus_sh, out_dir)
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.doc_new, r.doc_corpus): r.jaccard
+        for r in spark.read.parquet(f"{out_dir}/batch=*").collect()
+    }
+    want = {
+        (r.doc_new, r.doc_corpus): r.jaccard
+        for r in dedup_minhash_incremental(spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 0
