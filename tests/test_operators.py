@@ -1813,3 +1813,63 @@ def test_leakage_safe_split_keeps_clusters_whole(spark):
         .agg(F.countDistinct("split").alias("n_splits"))
     )
     assert per_cluster.filter(F.col("n_splits") > 1).count() == 0
+
+
+def test_minhash_cross_pairs_matches_bruteforce_on_synthetic(spark):
+    """minhash_lsh_cross_pairs == the brute-force new x corpus Jaccard
+    restriction on a synthetic corpus with PLANTED high-J cross pairs
+    (random token soup otherwise), plus the empty-side edge cases. The
+    planted pairs sit at J >= 0.85 — above the 8x4 banding threshold the
+    operator's recall contract covers (the same premise regime as the
+    fixture corpus)."""
+    import random
+
+    from mysql2psql_spark.operators.dedup import minhash_lsh_cross_pairs
+    from mysql2psql_spark.operators.text import shingle_hash_table
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(200)]
+
+    def doc(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    rows = []
+    for i in range(40):  # corpus side: ids 0..39 (id % 10 < 8 not needed here)
+        rows.append((i, doc(30)))
+    # planted near-dups: batch ids 1000+ copy a corpus doc with one edit
+    for j, src in enumerate([3, 7, 11]):
+        words = rows[src][1].split()
+        words[5] = "EDITED"
+        rows.append((1000 + j, " ".join(words)))
+    for j in range(3, 8):  # unrelated batch docs
+        rows.append((1000 + j, doc(30)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = shingle_hash_table(df)
+    batch = sh.filter(F.col("doc_id") >= 1000)
+    corpus = sh.filter(F.col("doc_id") < 1000)
+    got = {
+        (r.doc_new, r.doc_corpus): r.jaccard
+        for r in minhash_lsh_cross_pairs(batch, corpus, threshold=0.5).collect()
+    }
+
+    # brute force on 3-word shingle SETS (the operator's feature space)
+    def shset(text):
+        ts = text.split(" ")
+        return {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+
+    want = {}
+    docs = dict(rows)
+    for b in [i for i in docs if i >= 1000]:
+        for c in [i for i in docs if i < 1000]:
+            sa, sb = shset(docs[b]), shset(docs[c])
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.5:
+                want[(b, c)] = round(j, 6)
+    assert set(got) == set(want) and len(want) >= 3
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+    # empty sides: no candidates, no crash
+    empty = sh.filter(F.lit(False))
+    assert minhash_lsh_cross_pairs(empty, corpus).count() == 0
+    assert minhash_lsh_cross_pairs(batch, empty).count() == 0
