@@ -297,3 +297,30 @@ def test_budget_sample_no_unpartitioned_window(spark):
     ), plan[:3000]
     # the local window partitions by (lang, _b)
     assert re.search(r"windowspecdefinition\(lang#\d+, _b#", plan), plan[:3000]
+
+
+def test_leakage_safe_split_corpus_join_broadcasts(spark):
+    """The r13-queued split's cluster map must BROADCAST onto the corpus
+    scan (the documents side never shuffles for the cluster join) — the
+    property that makes the operator a one-scan pass at 100 TB."""
+    from mysql2psql_spark.queries.dedup_q import dedup_leakage_safe_split
+
+    plan = _plan(dedup_leakage_safe_split(spark, SF_DIR_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    # no SortMergeJoin anywhere: every join in the plan is either the
+    # broadcast cluster-map join or a pair-graph-sized broadcast join
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_minhash_cross_candidates_join_is_band_keyed(spark):
+    """The r13-queued incremental gate's candidate join must key on the
+    (band, key) columns — never a nested-loop or cross product — so
+    per-batch cost is collision-bounded at any corpus size."""
+    from mysql2psql_spark.queries.dedup_q import dedup_minhash_incremental
+
+    plan = _plan(dedup_minhash_incremental(spark, SF_DIR_ORACLE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the hash-join keys include the band/key pair (formatted explain
+    # prints the join condition with the column names)
+    assert re.search(r"Join.*band", plan, re.DOTALL), plan
