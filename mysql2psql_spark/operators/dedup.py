@@ -185,6 +185,7 @@ def exact_jaccard_verify(
     arrs: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    arrs_b: "DataFrame | None" = None,
 ) -> DataFrame:
     """Exact Jaccard over a (doc_a, doc_b) candidate set, given the
     per-doc sorted-hash-array table ``arrs`` (id, arr, n). Each pair
@@ -192,12 +193,17 @@ def exact_jaccard_verify(
     codegen'd, no lambda): one row per pair with a |doc|-sized payload
     instead of an exploded row per (pair, shingle) — same bytes, far
     fewer rows. Returns (doc_a, doc_b, jaccard) with jaccard >=
-    threshold."""
+    threshold.
+
+    ``arrs_b`` resolves the ``doc_b`` side from a SEPARATE array table
+    (the cross-corpus case, r12): each side joins only its own table, so
+    an id colliding across the two corpora cannot silently duplicate the
+    verify rows the way a unioned table would."""
     t_num, t_den = _t_frac(threshold)
     arr_a = arrs.select(
         F.col(id_col).alias("doc_a"), F.col("arr").alias("arr_a"), F.col("n").alias("na")
     )
-    arr_b = arrs.select(
+    arr_b = (arrs_b if arrs_b is not None else arrs).select(
         F.col(id_col).alias("doc_b"), F.col("arr").alias("arr_b"), F.col("n").alias("nb")
     )
     inter = F.size(F.array_intersect("arr_a", "arr_b"))
@@ -246,8 +252,9 @@ def minhash_lsh_cross_pairs(
     (cross pairs are a subset of the all-pairs premise pinned in
     tests/test_operators.py::test_minhash_agrees_with_exact); every
     candidate is exact-verified before emission, so precision is 1 by
-    construction. ids of the two sides must be disjoint (the verify
-    rejoin unions the per-side array tables)."""
+    construction. The verify step resolves each pair side from its OWN
+    array table (exact_jaccard_verify's arrs_b), so the two corpora's id
+    namespaces need not be disjoint."""
     arrs_n, bk_n = _minhash_tables(sh_new, id_col, hash_col, k, bands)
     arrs_c, bk_c = _minhash_tables(sh_corpus, id_col, hash_col, k, bands)
     n = bk_n.alias("n")
@@ -264,7 +271,7 @@ def minhash_lsh_cross_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
     )
     verified = exact_jaccard_verify(
-        cand, arrs_n.unionByName(arrs_c), id_col, threshold
+        cand, arrs_n, id_col, threshold, arrs_b=arrs_c
     )
     return verified.select(
         F.col("doc_a").alias("doc_new"),

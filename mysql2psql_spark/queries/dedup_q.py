@@ -932,12 +932,24 @@ def dedup_leakage_safe_split(
     )
     if caches is not None:
         caches.append(lab)
-    la = lab.select(
+    # The leak audit only needs pair-member labels: restrict the
+    # corpus-sized labeled frame to pair members FIRST (broadcast
+    # semi-join against the tiny pair-id set), so every subsequent
+    # broadcast is pair-graph-bounded. Broadcasting `lab` itself would
+    # work at bench scale and OOM at 100 TB — the corpus side must
+    # always be the streamed side.
+    member_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    members = lab.join(F.broadcast(member_ids), "doc_id", "left_semi")
+    la = members.select(
         F.col("doc_id").alias("doc_a"),
         F.col("split").alias("split_a"),
         F.col("naive_split").alias("naive_a"),
     )
-    lb = lab.select(
+    lb = members.select(
         F.col("doc_id").alias("doc_b"),
         F.col("split").alias("split_b"),
         F.col("naive_split").alias("naive_b"),
