@@ -53,6 +53,15 @@ def _money(col: Column) -> Column:
     LIMIT 10
     """,
 )
+# Broadcast-hint policy (r12): hints stay ONLY on frames bounded by
+# construction (nation 25 rows, region 5, literal maps, 1-row aggs).
+# customer/part/supplier and their derivatives SCALE with SF, and a
+# user hint FORCES broadcast at any size (AQE demotes only its own
+# decisions, never hints) — at bench scale the planner already picks
+# BHJ for these from parquet size estimates (plans verified identical
+# hint vs no-hint at sf0.01 and sf0.1), and at 100 TB it correctly
+# shuffles, with AQE converting back to broadcast at runtime when the
+# filtered side turns out small.
 def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = F.to_timestamp(F.lit("1997-03-15 00:00:00"))
     cust = (
@@ -64,7 +73,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(_money(_revenue()).alias("revenue"))
         .select(
@@ -145,9 +154,9 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
         .join(
-            F.broadcast(supplier),
+            supplier,
             (li.l_suppkey == supplier.s_suppkey)
             & (F.col("c_nationkey") == supplier.s_nationkey),
         )
@@ -216,7 +225,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(_money(_revenue()).alias("revenue"))
@@ -306,7 +315,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0).cast("decimal(12,4)"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
@@ -356,7 +365,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .select("c_name", "o_orderkey", _money(F.col("q")).alias("total_qty"))
         .orderBy(F.col("total_qty").desc(), "o_orderkey")
         .limit(20)
@@ -387,6 +396,6 @@ def q19_disjunctive_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((part.p_brand == "Brand#3") & part.p_size.between(10, 30) & (li.l_quantity >= 20))
     )
     rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
-    return li.join(F.broadcast(part), cond).agg(
+    return li.join(part, cond).agg(
         F.count("*").alias("n"), _money(F.sum(rev)).alias("revenue")
     )

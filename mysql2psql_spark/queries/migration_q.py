@@ -303,7 +303,7 @@ def profile_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = load_table(spark, sf_dir, child)
         p = load_table(spark, sf_dir, parent).select(parent_key).distinct()
         orphans = c.join(
-            F.broadcast(p), c[child_key] == p[parent_key], "left_anti"
+            p, c[child_key] == p[parent_key], "left_anti"
         ).agg(F.count("*").alias("n_orphans"))
         total = c.agg(F.count("*").alias("n_child_rows"))
         return total.crossJoin(orphans).select(

@@ -79,6 +79,10 @@ def _money(col: Column) -> Column:
     WHERE r.unit_cost = r.min_cost
     """,
 )
+# Broadcast-hint policy (r12): see queries/analytics_q.py — hints only
+# on by-construction-bounded frames (nation/region); customer/part/
+# supplier derivatives scale with SF and rely on the planner's size
+# estimate + AQE runtime conversion instead of a forced hint.
 def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
@@ -91,7 +95,7 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by part, so dropping whole partkeys up front is semantics-free and
     # removes ~80% of the aggregate input (broadcast semi join)
     ps = (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == part.p_partkey, "left_semi")
+        li.join(part.select("p_partkey"), li.l_partkey == part.p_partkey, "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             (
@@ -106,11 +110,11 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     regional = ps.join(
-        F.broadcast(euro_supp), ps.l_suppkey == euro_supp.s_suppkey
+        euro_supp, ps.l_suppkey == euro_supp.s_suppkey
     ).withColumn("min_cost", F.min("unit_cost").over(Window.partitionBy("l_partkey")))
     return (
         regional.filter(F.col("unit_cost") == F.col("min_cost"))
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(part, F.col("l_partkey") == part.p_partkey)
         .select(
             "p_partkey",
             "p_name",
@@ -169,8 +173,8 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust_nat), orders.o_custkey == cust_nat.c_custkey)
-        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .join(cust_nat, orders.o_custkey == cust_nat.c_custkey)
+        .join(supp_nat, li.l_suppkey == supp_nat.s_suppkey)
         .filter(pair)
         .groupBy(
             "supp_nation",
@@ -215,10 +219,18 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # LEFT SEMI membership instead of an inner-join chain: only c_custkey
+    # is needed, and a semi join keeps the frame's size estimate at the
+    # customer SCAN (a join output gets a bytes-product estimate that
+    # never auto-broadcasts statically) — the q05 asia_nations shape.
+    asia_nations = nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
     asian_cust = (
         load_table(spark, sf_dir, "customer")
-        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
-        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .join(
+            F.broadcast(asia_nations),
+            F.col("c_nationkey") == asia_nations.n_nationkey,
+            "left_semi",
+        )
         .select("c_custkey")
     )
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select("p_partkey")
@@ -231,9 +243,9 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(12,4)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(asian_cust), orders.o_custkey == asian_cust.c_custkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .join(asian_cust, orders.o_custkey == asian_cust.c_custkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(supp_nat, li.l_suppkey == supp_nat.s_suppkey)
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
             F.round(
@@ -288,8 +300,8 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "0.6"
     ).cast("decimal(12,4)") * _dec("p_retailprice") * _dec("l_quantity")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp_nat, li.l_suppkey == supp_nat.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(_money(F.sum(amount)).alias("profit"))
@@ -329,7 +341,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     v = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("val"))
     )
@@ -454,7 +466,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = rev.withColumn("max_rev", F.max("total_rev").over(Window.partitionBy()))
     return (
         rev.filter(F.col("total_rev") == F.col("max_rev"))
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", _money(F.col("total_rev")).alias("total_revenue"))
     )
 
@@ -488,8 +500,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -534,8 +546,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(pavg), li.l_partkey == F.col("avg_partkey"))
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(pavg, li.l_partkey == F.col("avg_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.round(F.sum(_dec("l_extendedprice")) / 7, 2)
@@ -587,7 +599,7 @@ def q20_promo_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey
     )
     heavy = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(_dec("l_quantity")).alias("qty"))
         .filter(F.col("qty") > 50)
@@ -672,7 +684,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        lone_late.join(F.broadcast(supp), lone_late.l_suppkey == supp.s_suppkey)
+        lone_late.join(supp, lone_late.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
