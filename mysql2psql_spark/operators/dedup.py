@@ -222,12 +222,14 @@ def exact_jaccard_verify(
 
 def minhash_lsh_cross_pairs(
     sh_new: DataFrame,
-    sh_corpus: DataFrame,
+    sh_corpus: "DataFrame | None",
     id_col: str = "doc_id",
     hash_col: str = "sh",
     k: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    caches: "list[DataFrame] | None" = None,
+    corpus_tables: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """Incremental NEAR-dup gate: (doc_new, doc_corpus, jaccard) for
     every new-batch document whose true Jaccard against some standing-
@@ -254,9 +256,29 @@ def minhash_lsh_cross_pairs(
     candidate is exact-verified before emission, so precision is 1 by
     construction. The verify step resolves each pair side from its OWN
     array table (exact_jaccard_verify's arrs_b), so the two corpora's id
-    namespaces need not be disjoint."""
+    namespaces need not be disjoint.
+
+    Cache lifetime (ADVICE r12): each ``_minhash_tables`` call persists
+    its per-doc array frame; frames built HERE are registered on
+    ``caches`` (the CacheHandle convention of winnowing/k-core) so
+    non-bench callers — the streaming gate above all — have a release
+    path that isn't the session-wide RDD sweep. A long-lived caller that
+    probes the SAME corpus repeatedly passes ``corpus_tables`` (the
+    ``(arrs, buckets)`` pair from one external ``_minhash_tables`` call,
+    whose lifetime the caller owns — it is NOT registered on ``caches``)
+    and ``sh_corpus=None``; only the batch side is then built — and
+    released — per call."""
     arrs_n, bk_n = _minhash_tables(sh_new, id_col, hash_col, k, bands)
-    arrs_c, bk_c = _minhash_tables(sh_corpus, id_col, hash_col, k, bands)
+    if caches is not None:
+        caches.append(arrs_n)
+    if corpus_tables is not None:
+        arrs_c, bk_c = corpus_tables
+    else:
+        if sh_corpus is None:
+            raise ValueError("need sh_corpus or corpus_tables")
+        arrs_c, bk_c = _minhash_tables(sh_corpus, id_col, hash_col, k, bands)
+        if caches is not None:
+            caches.append(arrs_c)
     n = bk_n.alias("n")
     c = bk_c.alias("c")
     cand = (

@@ -226,10 +226,10 @@ def derived_bucket_count(
 
 def _catalog_bucket_spec(
     spark: SparkSession, table: str
-) -> "tuple[int, list[str]]":
-    """(num_buckets, bucket_columns) of an existing catalog table, via
-    DESCRIBE FORMATTED (the stable public surface for bucket specs;
-    the Catalog API does not expose them)."""
+) -> "tuple[int, list[str], list[str]]":
+    """(num_buckets, bucket_columns, sort_columns) of an existing catalog
+    table, via DESCRIBE FORMATTED (the stable public surface for bucket
+    specs; the Catalog API does not expose them)."""
     desc = {
         r.col_name.strip(): (r.data_type or "").strip()
         for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
@@ -238,12 +238,15 @@ def _catalog_bucket_spec(
         n = int(desc.get("Num Buckets", ""))
     except ValueError:
         n = -1
-    cols = [
-        c.strip(" `")
-        for c in desc.get("Bucket Columns", "").strip("[]").split(",")
-        if c.strip(" `")
-    ]
-    return n, cols
+
+    def _cols(field: str) -> list[str]:
+        return [
+            c.strip(" `")
+            for c in desc.get(field, "").strip("[]").split(",")
+            if c.strip(" `")
+        ]
+
+    return n, _cols("Bucket Columns"), _cols("Sort Columns")
 
 
 def ensure_bucketed_table(
@@ -290,13 +293,17 @@ def ensure_bucketed_table(
         # read the first caller's data and layout (ADVICE r11). Validate
         # the catalog spec against the arguments and refuse a mismatch —
         # one DESCRIBE per re-entry, no data scan.
-        have_n, have_keys = _catalog_bucket_spec(spark, table)
-        if have_n != n_buckets or have_keys != list(keys):
+        have_n, have_keys, have_sort = _catalog_bucket_spec(spark, table)
+        want_sort = list(keys) if sort else []
+        if have_n != n_buckets or have_keys != list(keys) or have_sort != want_sort:
             raise ValueError(
                 f"bucketed table {table!r} already exists in this session "
-                f"with spec (keys={have_keys}, n_buckets={have_n}) != "
-                f"requested (keys={list(keys)}, n_buckets={n_buckets}); "
-                f"bucketed-table names are session-scoped contracts — use "
-                f"a distinct name for a different layout."
+                f"with spec (keys={have_keys}, n_buckets={have_n}, "
+                f"sort={have_sort}) != requested (keys={list(keys)}, "
+                f"n_buckets={n_buckets}, sort={want_sort}); a caller relying "
+                f"on in-bucket sortedness would otherwise silently get an "
+                f"unsorted layout (wrong plan assumption, ADVICE r12) — "
+                f"bucketed-table names are session-scoped contracts; use a "
+                f"distinct name for a different layout."
             )
     return spark.table(table)

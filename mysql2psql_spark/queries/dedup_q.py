@@ -791,20 +791,24 @@ _ORACLE_MINHASH_INC = f"""
 """
 
 
-def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_incremental(
+    spark: SparkSession, sf_dir: str, caches=None
+) -> DataFrame:
     """Per-batch near-dup flags vs the standing corpus — see the block
     above; executes operators/dedup.py::minhash_lsh_cross_pairs (shared
     banding geometry via _minhash_tables, new x corpus candidates only,
     exact Jaccard verify). At 100 TB the corpus band/verify tables are
     persisted ingest artifacts the batch probes; both sides build
-    in-session here because the fixture has no standing store."""
+    in-session here because the fixture has no standing store —
+    ``caches`` (CacheHandle convention) releases both sides' persisted
+    array frames once the result is consumed."""
     from mysql2psql_spark.operators.dedup import minhash_lsh_cross_pairs
 
     d = load_table(spark, sf_dir, "documents")
     sh = shingle_hash_table(d)
     batch = sh.filter(F.col("doc_id") % 10 >= 8)
     corpus = sh.filter(F.col("doc_id") % 10 < 8)
-    return minhash_lsh_cross_pairs(batch, corpus, threshold=0.5)
+    return minhash_lsh_cross_pairs(batch, corpus, threshold=0.5, caches=caches)
 
 
 # ---------------------------------------------------------------------------

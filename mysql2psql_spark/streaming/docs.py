@@ -75,7 +75,12 @@ def incremental_dedup_stream(stream: DataFrame, corpus_fps: DataFrame) -> DataFr
     return gated
 
 
-def near_dup_gate_foreach_batch(corpus_shingles: DataFrame, out_dir: str, threshold: float = 0.5):
+def near_dup_gate_foreach_batch(
+    corpus_shingles: DataFrame,
+    out_dir: str,
+    threshold: float = 0.5,
+    caches=None,
+):
     """foreachBatch gate: NEAR-dup flag each arriving micro-batch against
     the standing corpus — the streaming face of
     ``queries/dedup_q.py::dedup_minhash_incremental`` (exact-fingerprint
@@ -85,22 +90,44 @@ def near_dup_gate_foreach_batch(corpus_shingles: DataFrame, out_dir: str, thresh
 
     ``corpus_shingles`` is the STANDING corpus's exploded (doc_id, sh)
     frame — at 100 TB a persisted ingest artifact whose banded tables
-    the gate probes; here a static frame re-planned per micro-batch,
-    keeping ZERO streaming state (the corpus side carries all history;
-    the stream side never accumulates). Per-trigger cost is the batch
-    operator's: new x corpus band collisions only, however large the
-    corpus.
+    the gate probes; here its banded tables are built and persisted ONCE
+    at gate construction (register their release on ``caches`` — the
+    CacheHandle convention — for when the stream stops). Per-trigger
+    cost is the batch operator's: new x corpus band collisions only,
+    however large the corpus.
+
+    Executor-storage posture (ADVICE r12): the gate keeps no Spark
+    STREAMING state, and per-trigger CACHE state is bounded too — the
+    batch-side MinHash frame each trigger persists differs per
+    micro-batch plan (CacheManager dedup never applies across triggers),
+    so it is released at the end of every ``apply`` via a per-trigger
+    CacheHandle; only the one shared corpus-side frame persists for the
+    gate's lifetime. Without this, a long-running stream accumulates one
+    cached frame per trigger for its lifetime.
 
     Writes are batch_id-versioned (``{out_dir}/batch=<id>`` overwrite —
     the cdc_foreach_batch_sink idempotence discipline), so at-least-once
     replays still yield exactly-once gate output."""
-    from mysql2psql_spark.operators.dedup import minhash_lsh_cross_pairs
+    from mysql2psql_spark.operators.dedup import (
+        _minhash_tables,
+        minhash_lsh_cross_pairs,
+    )
+    from mysql2psql_spark.operators.materialize import CacheHandle
     from mysql2psql_spark.operators.text import shingle_hash_table
 
+    corpus_tables = _minhash_tables(corpus_shingles)
+    if caches is not None:
+        caches.append(corpus_tables[0])
+
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        pairs = minhash_lsh_cross_pairs(
-            shingle_hash_table(batch_df), corpus_shingles, threshold=threshold
-        )
-        pairs.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        with CacheHandle() as batch_caches:
+            pairs = minhash_lsh_cross_pairs(
+                shingle_hash_table(batch_df),
+                None,
+                threshold=threshold,
+                caches=batch_caches,
+                corpus_tables=corpus_tables,
+            )
+            pairs.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
     return apply

@@ -1232,9 +1232,25 @@ def test_ensure_bucketed_table_refuses_spec_mismatch(spark):
         ensure_bucketed_table(spark, name, ["k"], 8, build)  # count differs
     with _pytest.raises(ValueError, match="session-scoped contract"):
         ensure_bucketed_table(spark, name, ["j"], 4, build)  # keys differ
+    with _pytest.raises(ValueError, match="session-scoped contract"):
+        # sort flag differs (ADVICE r12): a caller relying on in-bucket
+        # sortedness must not silently get the sorted=True layout's
+        # opposite (wrong plan assumption, not wrong data)
+        ensure_bucketed_table(spark, name, ["k"], 4, build, sort=False)
     # the matching spec still returns the table
     assert ensure_bucketed_table(spark, name, ["k"], 4, build).count() == 50
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # and the sort=False spec round-trips against itself
+    name2 = "t_spec_mismatch_probe_nosort"
+    spark.sql(f"DROP TABLE IF EXISTS {name2}")
+    ensure_bucketed_table(spark, name2, ["k"], 4, build, sort=False)
+    with _pytest.raises(ValueError, match="session-scoped contract"):
+        ensure_bucketed_table(spark, name2, ["k"], 4, build, sort=True)
+    assert (
+        ensure_bucketed_table(spark, name2, ["k"], 4, build, sort=False).count()
+        == 50
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {name2}")
 
 
 def test_derived_bucket_count_rule(spark):

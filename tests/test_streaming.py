@@ -490,13 +490,24 @@ def test_near_dup_gate_stream_matches_batch_twin(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
     )
-    q = stream.writeStream.foreachBatch(
-        near_dup_gate_foreach_batch(corpus_sh, out_dir)
-    ).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    from mysql2psql_spark.operators.materialize import CacheHandle
+
+    # Per-trigger cache-release pin (ADVICE r12): the gate must not
+    # accumulate one persisted batch-side frame per trigger for the
+    # stream's lifetime. Count persisted RDDs before/after: the only
+    # growth allowed is the ONE shared corpus-side frame the gate
+    # registers on the caller's handle.
+    sc = spark.sparkContext
+    cached_before = len(sc._jsc.getPersistentRDDs())
+    with CacheHandle() as gate_caches:
+        q = stream.writeStream.foreachBatch(
+            near_dup_gate_foreach_batch(corpus_sh, out_dir, caches=gate_caches)
+        ).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert len(sc._jsc.getPersistentRDDs()) <= cached_before + 1
     got = {
         (r.doc_new, r.doc_corpus): r.jaccard
         for r in spark.read.parquet(f"{out_dir}/batch=*").collect()
