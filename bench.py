@@ -245,6 +245,9 @@ HEADLINE = [
     # rationale); reported under anchor_sec so pipeline_sec stays a
     # production-path number.
     "sim_bitext_margin",
+    # round-13: the two r12-queued registrations (VERDICT r12 #1)
+    "dedup_minhash_incremental",
+    "dedup_leakage_safe_split",
 ]
 
 

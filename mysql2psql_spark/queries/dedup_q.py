@@ -746,16 +746,15 @@ def dedup_recall_gate(
 
 
 # ---------------------------------------------------------------------------
-# QUEUED (r13 registration): incremental NEAR-dup gate — the banding twin
-# of dedup_incremental (exact fingerprints). A continuously-ingesting
-# pipeline dedupes each new batch against the standing corpus WITHOUT
-# re-banding the corpus: candidates are new x corpus band-key collisions
-# only (the corpus is never self-joined — its intra-pairs were settled
-# when its documents were themselves the batch), then exact-verified.
-# Registry held at 187 this round so the 50-slot rotation clears all 30
-# r8-stale rows; the full DuckDB differential runs in tests/
-# test_operators.py::test_minhash_incremental_matches_oracle until the
-# @query row lands next round.
+# Registered r13 (built+queued r12 so the r12 50-slot rotation could
+# clear all 30 r8-stale rows): incremental NEAR-dup gate — the banding
+# twin of dedup_incremental (exact fingerprints). A continuously-
+# ingesting pipeline dedupes each new batch against the standing corpus
+# WITHOUT re-banding the corpus: candidates are new x corpus band-key
+# collisions only (the corpus is never self-joined — its intra-pairs
+# were settled when its documents were themselves the batch), then
+# exact-verified. The full DuckDB differential also runs in tests/
+# test_operators.py::test_minhash_incremental_matches_oracle.
 #
 # The 80/20 corpus/batch split is deterministic (doc_id % 10, the
 # dedup_incremental discipline) so the oracle states the identical
@@ -791,6 +790,7 @@ _ORACLE_MINHASH_INC = f"""
 """
 
 
+@query("dedup_minhash_incremental", oracle=_ORACLE_MINHASH_INC)
 def dedup_minhash_incremental(
     spark: SparkSession, sf_dir: str, caches=None
 ) -> DataFrame:
@@ -812,16 +812,16 @@ def dedup_minhash_incremental(
 
 
 # ---------------------------------------------------------------------------
-# QUEUED (r13 registration): leakage-safe train/val/test split — assign
-# every near-dup CLUSTER (not document) to one split, so no evaluation
-# example has a near-duplicate in training (the contamination mode a
-# doc-level split cannot prevent; the audit columns price it). ONE
-# summary row: corpus/cluster/split counts, plus the leaky-pair counts
-# under the naive doc-id split (nonzero on this corpus — the problem is
-# real) and under the cluster split (0 BY CONSTRUCTION — the gate; a
-# red driver row here means cluster assignment broke). Differential in
-# tests/test_operators.py::test_leakage_safe_split_matches_oracle until
-# the @query row lands next round.
+# Registered r13 (built+queued r12 under the registry-freeze
+# discipline): leakage-safe train/val/test split — assign every near-dup
+# CLUSTER (not document) to one split, so no evaluation example has a
+# near-duplicate in training (the contamination mode a doc-level split
+# cannot prevent; the audit columns price it). ONE summary row:
+# corpus/cluster/split counts, plus the leaky-pair counts under the
+# naive doc-id split (nonzero on this corpus — the problem is real) and
+# under the cluster split (0 BY CONSTRUCTION — the gate; a red driver
+# row here means cluster assignment broke). The full differential also
+# runs in tests/test_operators.py::test_leakage_safe_split_matches_oracle.
 #
 # Scale shape: the pair graph is corpus-RARE, so the cluster map is
 # tiny — it broadcasts onto one documents scan (no corpus shuffle); the
@@ -895,6 +895,7 @@ _ORACLE_SAFE_SPLIT = f"""
 """
 
 
+@query("dedup_leakage_safe_split", oracle=_ORACLE_SAFE_SPLIT)
 def dedup_leakage_safe_split(
     spark: SparkSession, sf_dir: str, caches=None
 ) -> DataFrame:

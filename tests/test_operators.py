@@ -1729,9 +1729,9 @@ def test_cms_estimate_absent_token_reports_zero(spark):
     assert est == {"a": 2, "b": 1, "nothere": 0}
 
 
-# --- incremental minhash + leakage-safe split (QUEUED r13 registration:
-# the r12 registry is held at 187 so the rotation clears the r8-stale
-# tier, so the full DuckDB differentials run HERE) -----------------------
+# --- incremental minhash + leakage-safe split (registered r13; built r12
+# under the registry freeze so the rotation could clear the r8-stale
+# tier — the full DuckDB differentials ALSO run here) --------------------
 
 
 def test_minhash_incremental_matches_oracle(spark, duck):
