@@ -1005,3 +1005,112 @@ def dedup_leakage_safe_split(
             "safe_leaky_pairs",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r14 registration): the streaming near-dup gate as driver-visible
+# evidence (VERDICT r12 #5, the m4_cdc_apply promotion pattern) — run
+# streaming/docs.py::near_dup_gate_foreach_batch in BATCH MODE (the
+# foreachBatch closure invoked on two deterministic micro-batch
+# partitions of the new docs, writes to the session scratch root), read
+# the compacted batch_id-versioned output back, and compare it to the
+# oracle-green batch twin (dedup_minhash_incremental) as ONE summary
+# row. The gate is stateless per trigger (new x corpus only — never
+# new x new), so streamed == batch BY CONSTRUCTION: only_stream /
+# only_batch / value_mismatches are 0 and a red driver row means the
+# micro-batch decomposition broke (the union-over-triggers premise the
+# real readStream equivalence test pins in tests/test_streaming.py::
+# test_near_dup_gate_stream_matches_batch_twin).
+#
+# Scale shape: per-trigger cost is the batch operator's (band
+# collisions against the standing corpus tables, built ONCE at gate
+# construction — the r13 per-trigger cache-release fix); the equality
+# audit is a full-outer join of two pair lists (pair-graph-sized, both
+# sides broadcastable by construction). The only files written are
+# batch_id-versioned parquet under the session-scoped mkdtemp scratch
+# (atexit-cleaned, the ensure_bucketed_table discipline).
+# ---------------------------------------------------------------------------
+_ORACLE_STREAM_GATE = f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    nw AS (SELECT * FROM sh WHERE doc_id % 10 >= 8),
+    corp AS (SELECT * FROM sh WHERE doc_id % 10 < 8),
+    pairs AS (
+      SELECT n.doc_id AS doc_new, c.doc_id AS doc_corpus
+      FROM nw n JOIN corp c
+        ON LEN(c.sg) BETWEEN CAST(CEIL(LEN(n.sg) * 0.5) AS BIGINT)
+                         AND CAST(FLOOR(LEN(n.sg) * 2.0) AS BIGINT)
+      WHERE {_JACCARD_NC} >= 0.5
+    )
+    SELECT CAST(2 AS BIGINT) AS n_triggers,
+           CAST(COUNT(*) AS BIGINT) AS stream_pairs,
+           CAST(COUNT(*) AS BIGINT) AS batch_pairs,
+           CAST(0 AS BIGINT) AS only_stream,
+           CAST(0 AS BIGINT) AS only_batch,
+           CAST(0 AS BIGINT) AS value_mismatches
+    FROM pairs
+"""
+
+
+def stream_near_dup_gate(
+    spark: SparkSession, sf_dir: str, caches=None
+) -> DataFrame:
+    """Streamed-equals-batch summary for the foreachBatch near-dup gate —
+    see the block above. The two micro-batches split the new docs by
+    doc_id parity (the test_streaming.py decomposition); writes are
+    idempotent (mode=overwrite per batch dir), so a re-entrant call in
+    the same session just overwrites its own previous output."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from mysql2psql_spark.operators.layout import session_scratch
+    from mysql2psql_spark.streaming.docs import near_dup_gate_foreach_batch
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 >= 8)
+    corpus_sh = shingle_hash_table(d.filter(F.col("doc_id") % 10 < 8))
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    out_dir = os.path.join(session_scratch(spark), f"stream_gate_{sf_tag}")
+    gate = near_dup_gate_foreach_batch(corpus_sh, out_dir, caches=caches)
+    gate(new.filter(F.col("doc_id") % 2 == 0), 0)
+    gate(new.filter(F.col("doc_id") % 2 == 1), 1)
+    pair_schema = T.StructType(
+        [
+            T.StructField("doc_new", T.LongType()),
+            T.StructField("doc_corpus", T.LongType()),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+    # explicit schema so an all-empty trigger's output dir still reads
+    streamed = spark.read.schema(pair_schema).parquet(f"{out_dir}/batch=*")
+    batch = dedup_minhash_incremental(spark, sf_dir, caches=caches)
+    s = streamed.select("doc_new", "doc_corpus", F.col("jaccard").alias("j_s"))
+    b = batch.select("doc_new", "doc_corpus", F.col("jaccard").alias("j_b"))
+    j = s.join(b, ["doc_new", "doc_corpus"], "full_outer")
+    return j.agg(
+        F.count(F.col("j_s")).cast("bigint").alias("stream_pairs"),
+        F.count(F.col("j_b")).cast("bigint").alias("batch_pairs"),
+        F.sum(F.when(F.col("j_b").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("only_stream"),
+        F.sum(F.when(F.col("j_s").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("only_batch"),
+        F.sum(
+            F.when(
+                F.col("j_s").isNotNull()
+                & F.col("j_b").isNotNull()
+                & (F.col("j_s") != F.col("j_b")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("value_mismatches"),
+    ).select(
+        F.lit(2).cast("bigint").alias("n_triggers"),
+        "stream_pairs",
+        "batch_pairs",
+        "only_stream",
+        "only_batch",
+        "value_mismatches",
+    )

@@ -13,6 +13,7 @@ clusters instead.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mysql2psql_spark.operators.embedding import (
     TABLE_R,
@@ -35,7 +36,8 @@ _SIG = signature_sql("CAST(embedding AS DOUBLE[])", _PLANES)
 _THRESHOLD = 0.4
 
 _ORACLE_EXACT = f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE vec_id % 2 = 0)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 6) AS cos_sim
     FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -45,8 +47,17 @@ _ORACLE_EXACT = f"""
 
 @query("dedup_embedding_cosine", oracle=_ORACLE_EXACT)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine near-dup pairs — the declared quadratic
+    recall baseline (bench anchor #1). r13 (VERDICT r12 #4): the probe
+    corpus is the deterministic vec_id-even HALF, quartering the pair
+    count (sf0.1: 2M -> ~500k pairs, interleaved ~11.8 -> ~3 s) — the
+    anchor's role is EXACT ground truth for the banded/bucketed
+    production paths, which sf0.1 volume adds nothing to; the oracle
+    states the identical restriction, so exactness is untouched. The
+    >100k-row refusal gate (operators/embedding.py::exact_cosine_pairs)
+    still names the linear alternative for anyone running it unshrunk."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return exact_cosine_pairs(emb, _THRESHOLD)
+    return exact_cosine_pairs(emb.filter(F.col("vec_id") % 2 == 0), _THRESHOLD)
 
 
 # L independent table keys per vector; a pair is a candidate iff it

@@ -682,12 +682,14 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
 # runs the full DuckDB differential at sf0.01) and gets its @query row
 # first thing next round.
 #
-# Semantics: split the embedding corpus into two "languages" by label
-# parity (deterministic), mine mutual-best ratio-margin pairs (Artetxe &
-# Schwenk 2019) with k=4 neighborhoods at margin >= 1.1 — the
-# CCMatrix-style parallel-corpus miner, the data-sourcing step of every
-# multilingual training pipeline. 105 pairs at sf0.01; output is
-# mutual-best-bounded (<= min(|X|, |Y|) rows) at any corpus size.
+# Semantics: split the embedding corpus into two "languages" by a
+# deterministic label rule (label%4 quarters since r13 — see the
+# docstring's anchor-budget note; label%2 halves through r12), mine
+# mutual-best ratio-margin pairs (Artetxe & Schwenk 2019) with k=4
+# neighborhoods at margin >= 1.1 — the CCMatrix-style parallel-corpus
+# miner, the data-sourcing step of every multilingual training
+# pipeline. Output is mutual-best-bounded (<= min(|X|, |Y|) rows) at
+# any corpus size.
 #
 # Registration note for r12: this row is ANCHOR-CLASS — the ~1M-pair
 # cross product costs ~6 s score + ~3 s tail at sf0.1 under the engine
@@ -737,8 +739,8 @@ def _margin_tail_sql(k: int = 4, threshold: float = 1.1) -> str:
 
 _ORACLE_BITEXT = f"""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    x AS (SELECT vec_id AS id_a, v FROM e WHERE label % 2 = 0),
-    y AS (SELECT vec_id AS id_b, v FROM e WHERE label % 2 = 1),
+    x AS (SELECT vec_id AS id_a, v FROM e WHERE label % 4 = 0),
+    y AS (SELECT vec_id AS id_b, v FROM e WHERE label % 4 = 1),
     sc AS (
       SELECT id_a, id_b,
              CAST(ROUND(ROUND(LIST_COSINE_SIMILARITY(x.v, y.v), 6) * 1e6) AS BIGINT) AS c6
@@ -750,16 +752,23 @@ _ORACLE_BITEXT = f"""
 
 @query("sim_bitext_margin", oracle=_ORACLE_BITEXT)
 def sim_bitext_margin(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
-    """Mutual-best margin pairs across the label-parity corpus split —
+    """Mutual-best margin pairs across a deterministic corpus split —
     see the block above; executes operators/similarity.py::
     bitext_margin_pairs (two-phase topk_sum neighborhoods, hash-agg
-    mutual-best, int64-exact margins)."""
+    mutual-best, int64-exact margins). r13 (VERDICT r12 #4): the probe
+    sides are the label%4 quarters instead of the label%2 halves —
+    ~0.36x the cross product (sf0.1: 1M -> 360k scored pairs) — because
+    the anchor's role is an EXACT cross-product recall baseline, which
+    sf0.1 volume adds nothing to; the oracle states the identical
+    split, so exactness is untouched. sim_bitext_ann (the production
+    path) keeps the full label%2 split: ITS cost is candidate-bounded,
+    so it earns its volume."""
     from mysql2psql_spark.operators.similarity import bitext_margin_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
     return bitext_margin_pairs(
-        emb.filter(F.col("label") % 2 == 0),
-        emb.filter(F.col("label") % 2 == 1),
+        emb.filter(F.col("label") % 4 == 0),
+        emb.filter(F.col("label") % 4 == 1),
         k=4,
         threshold=1.1,
         caches=caches,
@@ -777,8 +786,9 @@ def sim_bitext_margin(spark: SparkSession, sf_dir: str, caches=None) -> DataFram
 # across two corpora), so the driver checks the ANN miner end-to-end —
 # candidate generation, neighborhood sums over candidate k-NN lists
 # (the CCMatrix approximation), margins, mutual-best. 170 pairs at
-# sf0.01 from 943 candidates (vs 105 from the 640k-pair cross product:
-# sparser candidate neighborhoods lift margins — the documented
+# sf0.01 from 943 candidates (vs 105 from the then-640k-pair label%2
+# cross product, r12 — the exact anchor runs the label%4 quarters since
+# r13: sparser candidate neighborhoods lift margins — the documented
 # ANN-margin bias, identical in both engines). Verified exact at all
 # three SFs under a vanilla session; ~3.2 s steady at sf0.1 under the
 # engine session (15k candidates — stage-scheduling-bound, not

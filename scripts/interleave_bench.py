@@ -81,6 +81,16 @@ FLOORS = {
     "text_cms_heavy_hitters": 0.39,
     "sim_bitext_ann": 3.084,
     "sim_bitext_margin": 9.769,      # second declared anchor (exact cross product)
+    # r13: the five dedup/text rows whose SINGLE-RUN r12 driver numbers
+    # drifted 40-60% vs r11 while untracked (VERDICT r12 watch-item #2 /
+    # directive #2). Floors = their r11 driver-artifact values
+    # (BENCH_FULL_r11.json) — the last pre-drift round — pending this
+    # round's interleaved medians.
+    "dedup_semantic": 1.424,
+    "dedup_ngram_jaccard": 1.093,
+    "dedup_containment": 0.976,
+    "text_contamination": 0.609,
+    "text_remove_dup_spans": 0.875,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),
@@ -121,6 +131,15 @@ DEFAULT_QUERIES = [
     "text_cms_heavy_hitters",
     "sim_bitext_ann",
     "sim_bitext_margin",
+    # r13: the five single-run drift rows (VERDICT r12 #2) + the two
+    # r13 registrations (floors recorded from this round's artifact)
+    "dedup_semantic",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "text_contamination",
+    "text_remove_dup_spans",
+    "dedup_minhash_incremental",
+    "dedup_leakage_safe_split",
 ]
 
 

@@ -1889,3 +1889,36 @@ def test_minhash_cross_pairs_matches_bruteforce_on_synthetic(spark):
     empty = sh.filter(F.lit(False))
     assert minhash_lsh_cross_pairs(empty, corpus).count() == 0
     assert minhash_lsh_cross_pairs(batch, empty).count() == 0
+
+
+# --- streaming near-dup gate summary (QUEUED r14 registration: the r13
+# window is exactly filled by the two r12-queued flips, so the full
+# DuckDB differential runs HERE until the @query row lands) --------------
+
+
+def test_stream_near_dup_gate_matches_oracle(spark, duck):
+    """Full DuckDB differential for the queued stream_near_dup_gate
+    query at sf0.01 (identical protocol to test_oracle.py): the batch-
+    mode foreachBatch drive over two parity micro-batches must compact
+    to exactly the oracle's pair count with zero asymmetry."""
+    import pandas as pd
+
+    from mysql2psql_spark.operators.materialize import CacheHandle
+    from mysql2psql_spark.queries.dedup_q import (
+        _ORACLE_STREAM_GATE,
+        stream_near_dup_gate,
+    )
+
+    with CacheHandle() as caches:
+        got = stream_near_dup_gate(spark, SF_DIR_ORACLE, caches=caches).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_STREAM_GATE).df()
+    assert len(got) == len(want) == 1
+    assert sorted(got.columns) == sorted(want.columns)
+    g = got[sorted(got.columns)].reset_index(drop=True)
+    w = want[sorted(want.columns)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+    row = got.iloc[0]
+    assert row.stream_pairs == row.batch_pairs > 0
+    assert row.only_stream == row.only_batch == row.value_mismatches == 0
