@@ -51,7 +51,11 @@ FLOORS = {
     "dedup_keep_canonical": 1.80,      # r7 2.01 -> r10 post-fix 1.796
     "graph_pagerank": 2.96,            # r7 3.31 -> r10 post-fix 2.958
     "graph_degree_distribution": 1.12, # r7 1.85 -> r10 post-fix 1.118
-    "dedup_embedding_cosine": 11.02,   # r7 floor stands (r10: 11.107)
+    # r13 re-baseline: the anchor now probes the vec_id-even HALF corpus
+    # (VERDICT r12 #4 anchor-budget trim) — the 11.02 full-corpus floor
+    # is retired with the shape; 2.802 is the first trimmed interleaved
+    # median (loadavg 6-14, 26 legacy rows at <=1.23x in the artifact).
+    "dedup_embedding_cosine": 2.802,
     "dedup_minhash_lsh": 1.13,         # r7 1.52 -> r10 post-fix 1.133
     "s4_scan_projection": 0.151,       # r7 floor stands (r10: 0.165)
     # r10 registrations: first post-fix interleaved medians
@@ -80,17 +84,24 @@ FLOORS = {
     "dedup_winnowing": 0.741,
     "text_cms_heavy_hitters": 0.39,
     "sim_bitext_ann": 3.084,
-    "sim_bitext_margin": 9.769,      # second declared anchor (exact cross product)
+    # r13 re-baseline: the anchor now mines the label%4 quarter split
+    # (VERDICT r12 #4 anchor-budget trim) — the 9.769 label%2 floor is
+    # retired with the shape; 4.694 is the first trimmed interleaved
+    # median (same artifact as the cosine re-baseline above).
+    "sim_bitext_margin": 4.694,
     # r13: the five dedup/text rows whose SINGLE-RUN r12 driver numbers
     # drifted 40-60% vs r11 while untracked (VERDICT r12 watch-item #2 /
-    # directive #2). Floors = their r11 driver-artifact values
-    # (BENCH_FULL_r11.json) — the last pre-drift round — pending this
-    # round's interleaved medians.
-    "dedup_semantic": 1.424,
-    "dedup_ngram_jaccard": 1.093,
-    "dedup_containment": 0.976,
-    "text_contamination": 0.609,
+    # directive #2). First interleaved medians (loadavg 6-14) read
+    # 0.90-1.04x their r11 driver values — drift confirmed AMBIENT;
+    # floors = min(r11 driver value, r13 interleaved median).
+    "dedup_semantic": 1.280,
+    "dedup_ngram_jaccard": 1.059,
+    "dedup_containment": 0.897,
+    "text_contamination": 0.546,
     "text_remove_dup_spans": 0.875,
+    # r13 registrations: first 7-rep interleaved medians
+    "dedup_minhash_incremental": 1.394,
+    "dedup_leakage_safe_split": 2.256,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),
