@@ -191,10 +191,11 @@ HEADLINE = [
     "text_sample_k_per_stratum",
     "text_duplicate_spans",
     "text_unigram_surprisal",
-    # deliberate exact all-pairs baseline anchor (~12 s at sf0.1, the
-    # recall ground truth the LSH/IVF paths are judged against) — its
-    # quadratic cost is BY DESIGN and documented; included so even the
-    # anchor can't rot unmeasured
+    # deliberate exact all-pairs baseline anchor (the recall ground
+    # truth the LSH/IVF paths are judged against) — its quadratic cost
+    # is BY DESIGN and documented; r13 trims the probe to the vec_id-even
+    # half corpus (~2.8 s interleaved at sf0.1, was ~12 s full-corpus —
+    # VERDICT r12 #4); included so even the anchor can't rot unmeasured
     "dedup_embedding_cosine",
     "stream_dedup_first",
     "f_json_typed_struct",
@@ -240,10 +241,11 @@ HEADLINE = [
     "text_cms_heavy_hitters",
     "sim_bitext_ann",
     # second declared anchor (VERDICT r11 #2): the exact cross-product
-    # bitext baseline — ~1M scored pairs at sf0.1 BY DESIGN (the recall
-    # ground truth behind sim_bitext_ann, the exact_cosine_pairs
-    # rationale); reported under anchor_sec so pipeline_sec stays a
-    # production-path number.
+    # bitext baseline BY DESIGN (the recall ground truth behind
+    # sim_bitext_ann, the exact_cosine_pairs rationale); r13 trims the
+    # probe to the label%4 quarter split (~360k scored pairs / ~4.7 s
+    # interleaved at sf0.1, was ~1M / ~9.8 s — VERDICT r12 #4); reported
+    # under anchor_sec so pipeline_sec stays a production-path number.
     "sim_bitext_margin",
     # round-13: the two r12-queued registrations (VERDICT r12 #1)
     "dedup_minhash_incremental",

@@ -76,10 +76,11 @@ def incremental_dedup_stream(stream: DataFrame, corpus_fps: DataFrame) -> DataFr
 
 
 def near_dup_gate_foreach_batch(
-    corpus_shingles: DataFrame,
+    corpus_shingles: "DataFrame | None",
     out_dir: str,
     threshold: float = 0.5,
     caches=None,
+    corpus_tables=None,
 ):
     """foreachBatch gate: NEAR-dup flag each arriving micro-batch against
     the standing corpus — the streaming face of
@@ -115,9 +116,16 @@ def near_dup_gate_foreach_batch(
     from mysql2psql_spark.operators.materialize import CacheHandle
     from mysql2psql_spark.operators.text import shingle_hash_table
 
-    corpus_tables = _minhash_tables(corpus_shingles)
-    if caches is not None:
-        caches.append(corpus_tables[0])
+    # ``corpus_tables`` lets a caller that ALSO probes the corpus (the
+    # stream_near_dup_gate summary query's batch twin) share one build —
+    # the 100 TB shape, where the banded tables are one standing ingest
+    # artifact. Caller-owned: not registered on ``caches`` here.
+    if corpus_tables is None:
+        if corpus_shingles is None:
+            raise ValueError("need corpus_shingles or corpus_tables")
+        corpus_tables = _minhash_tables(corpus_shingles)
+        if caches is not None:
+            caches.append(corpus_tables[0])
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         with CacheHandle() as batch_caches:
