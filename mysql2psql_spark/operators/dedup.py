@@ -791,6 +791,94 @@ def connected_components(
     return out
 
 
+def connected_components_incremental(
+    cluster_map: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    caches: "list[DataFrame] | None" = None,
+) -> DataFrame:
+    """Maintain a standing near-dup clustering under a batch of NEW
+    pairs WITHOUT re-clustering the corpus — the maintenance step after
+    :func:`minhash_lsh_cross_pairs` in a continuously-ingesting
+    pipeline. ``cluster_map`` is the standing (doc_id, cluster_id) map
+    (only clustered docs listed, cluster_id = min reachable doc id —
+    :func:`connected_components`'s contract); ``new_pairs`` is the
+    incoming edge batch (new x corpus and new x new). Returns the
+    updated map, EQUAL BY CONSTRUCTION to a full recompute over
+    old ∪ new pairs.
+
+    Cluster contraction: each old cluster is one supernode named by its
+    label, so the only graph that needs solving is the CONTRACTION graph
+    — new edges rewritten endpoint -> current label — which is bounded
+    by the batch's edge count regardless of corpus size. Its components
+    give (old label -> new root); since every old label is already the
+    min of its members and fresh endpoints enter as themselves, the new
+    root (min over the contraction component) equals the min over the
+    merged member sets, so min-label canonicality is preserved through
+    the shortcut. The contraction is solved by
+    :func:`connected_components` and lands in its driver union-find
+    gate by construction (edge count <= the batch size).
+
+    Scale shape: the corpus-sized ``cluster_map`` is touched by exactly
+    TWO map-side operations — a broadcast semi-join restricting it to
+    the batch's endpoints, and a broadcast left join applying the
+    (batch-bounded) relabel — it never shuffles and is never
+    re-clustered; everything else is batch-edge-sized. Per-batch work is
+    O(new edges), not O(corpus).
+    """
+    from mysql2psql_spark.operators.materialize import materialize
+
+    ends = new_pairs.select(F.col(id_a).alias("doc_id")).unionByName(
+        new_pairs.select(F.col(id_b).alias("doc_id"))
+    ).distinct()
+    # endpoint -> current label, restricted map first (broadcast
+    # semi-join: batch-bounded output, the corpus map never shuffles)
+    touched = materialize(
+        cluster_map.join(F.broadcast(ends), "doc_id", "left_semi")
+    )
+    if caches is not None:
+        caches.append(touched)
+    lbl = ends.join(F.broadcast(touched), "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("lbl")
+    )
+    lbl = materialize(lbl)
+    if caches is not None:
+        caches.append(lbl)
+    la = lbl.select(F.col("doc_id").alias(id_a), F.col("lbl").alias("la"))
+    lb = lbl.select(F.col("doc_id").alias(id_b), F.col("lbl").alias("lb"))
+    contraction = (
+        new_pairs.join(F.broadcast(la), id_a)
+        .join(F.broadcast(lb), id_b)
+        .filter(F.col("la") != F.col("lb"))
+        .select(
+            F.least("la", "lb").alias(id_a), F.greatest("la", "lb").alias(id_b)
+        )
+        .distinct()
+    )
+    # (old label -> new root) for every label whose component merged;
+    # batch-bounded, so the driver union-find gate applies by construction
+    remap = materialize(
+        connected_components(contraction, id_a, id_b).select(
+            F.col("doc_id").alias("cluster_id"), F.col("cluster_id").alias("root")
+        )
+    )
+    if caches is not None:
+        caches.append(remap)
+    updated_old = cluster_map.join(F.broadcast(remap), "cluster_id", "left").select(
+        "doc_id", F.coalesce(F.col("root"), F.col("cluster_id")).alias("cluster_id")
+    )
+    fresh = (
+        ends.join(F.broadcast(touched.select("doc_id")), "doc_id", "left_anti")
+        .join(F.broadcast(lbl), "doc_id")
+        .join(
+            F.broadcast(remap.withColumnRenamed("cluster_id", "lbl")), "lbl", "left"
+        )
+        .select("doc_id", F.coalesce(F.col("root"), F.col("lbl")).alias("cluster_id"))
+    )
+    return updated_old.unionByName(fresh)
+
+
 def containment_pairs(
     shingle_df: DataFrame,
     id_col: str = "doc_id",

@@ -1146,3 +1146,69 @@ def stream_near_dup_gate(
         "only_batch",
         "value_mismatches",
     )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r14 registration): incremental cluster maintenance — update the
+# standing near-dup clustering with a new batch's pairs WITHOUT
+# re-clustering the corpus (operators/dedup.py::
+# connected_components_incremental: old clusters contract to supernodes
+# named by their labels, the batch-bounded contraction graph is solved
+# in the driver union-find gate, and the corpus map is touched only by
+# two broadcast map-side joins). This is the maintenance step after
+# dedup_minhash_incremental in a continuously-ingesting pipeline: gate
+# finds the new pairs, this query folds them into the standing map.
+#
+# THE ORACLE IS dedup_clusters' FULL-RECOMPUTE ORACLE VERBATIM: the
+# incremental path must reproduce the from-scratch connected-components
+# answer over old ∪ new pairs exactly (min-label canonical ids included)
+# — a red driver row means the contraction shortcut broke equivalence.
+# The 80/20 corpus/batch split is doc_id % 10 (the dedup_incremental
+# discipline); old pairs = both sides corpus, new pairs = any batch side.
+#
+# Cost attribution (read before comparing against dedup_clusters): at
+# fixture scale this query BUILDS the standing artifacts in-session —
+# the pair frame AND the old cluster map — then runs the incremental
+# tail, so its wall (~3.95 s interleaved at sf0.1, engine session,
+# control dedup_clusters 1.70 s in the same reps) is ~full-recompute
+# PLUS ~2.2 s of maintenance machinery. In production the artifacts are
+# standing (the coorder_edges posture) and ONLY the tail runs —
+# O(new edges) however large the corpus, which a full recompute can
+# never be. The fixture can't show that asymmetry; the 100 TB shape is
+# the point, and the oracle proves the shortcut exact.
+#
+# r13 verification record (the queue contract): DuckDB-exact under a
+# vanilla session at sf0.001 (45 rows) and sf0.01 (47 rows, the driver
+# gate scale); the oracle embeds the recursive reachability CTE over the
+# all-pairs _PAIRS_SQL, so at sf0.1 it is the all-pairs cost class
+# (driver-gate-only, the recall-gate discipline — timed >580 s, vs ~20 s
+# for the Spark side: the r11 attribute-the-oracle lesson) and sf0.1 is
+# instead verified Spark-side: incremental == full recompute, 477 rows
+# (test_clusters_incremental_* pin the equivalence + the bridge-merge
+# case). 5x replica probe: x2.6 wall at x5 docs under ~25x pair fan-out
+# (256 -> 6,400 pairs; truth-pipeline-bound, the recall gate's class).
+# ---------------------------------------------------------------------------
+def dedup_clusters_incremental(
+    spark: SparkSession, sf_dir: str, caches=None
+) -> DataFrame:
+    """Contraction-maintained cluster map — see the block above. The
+    pair frame feeds both the old/new filters, so it persists; the old
+    map feeds the restriction and the relabel, so it persists too."""
+    from mysql2psql_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+    )
+    from mysql2psql_spark.operators.materialize import materialize
+
+    pairs = materialize(
+        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    if caches is not None:
+        caches.append(pairs)
+    both_old = (F.col("doc_a") % 10 < 8) & (F.col("doc_b") % 10 < 8)
+    cc_old = materialize(connected_components(pairs.filter(both_old)))
+    if caches is not None:
+        caches.append(cc_old)
+    return connected_components_incremental(
+        cc_old, pairs.filter(~both_old), caches=caches
+    )

@@ -1922,3 +1922,59 @@ def test_stream_near_dup_gate_matches_oracle(spark, duck):
     row = got.iloc[0]
     assert row.stream_pairs == row.batch_pairs > 0
     assert row.only_stream == row.only_batch == row.value_mismatches == 0
+
+
+# --- incremental cluster maintenance (QUEUED r14 registration) ----------
+
+
+def test_clusters_incremental_matches_full_recompute_and_oracle(spark, duck):
+    """The contraction-maintained map must equal BOTH the from-scratch
+    connected_components answer over old ∪ new pairs AND dedup_clusters'
+    recursive-CTE oracle (the queued query's oracle verbatim)."""
+    import pandas as pd
+
+    from mysql2psql_spark.operators.materialize import CacheHandle
+    from mysql2psql_spark.queries import ORACLE
+    from mysql2psql_spark.queries.dedup_q import (
+        dedup_clusters,
+        dedup_clusters_incremental,
+    )
+
+    with CacheHandle() as caches:
+        got = dedup_clusters_incremental(spark, SF_DIR_ORACLE, caches=caches).toPandas()
+    full = dedup_clusters(spark, SF_DIR_ORACLE).toPandas()
+    key = ["doc_id", "cluster_id"]
+    g = got[key].sort_values(key).reset_index(drop=True)
+    f = full[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, f, check_dtype=False)
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(ORACLE["dedup_clusters"]).df()
+    w = want[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+    assert len(g) > 0
+
+
+def test_clusters_incremental_merges_bridged_clusters(spark):
+    """A fresh doc bridging TWO standing clusters must merge them under
+    the smaller cluster's label (min-label canonicality through the
+    contraction shortcut), and an intra-cluster new edge must be a
+    no-op."""
+    from mysql2psql_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    old = spark.createDataFrame([(1, 2), (10, 11)], ["doc_a", "doc_b"])
+    # 5 bridges both clusters; (1, 2) re-arrives as an intra-cluster edge
+    new = spark.createDataFrame([(2, 5), (5, 10), (1, 2)], ["doc_a", "doc_b"])
+    cc_old = connected_components(old)
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components_incremental(cc_old, new).collect()
+    }
+    want = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(old.unionByName(new)).collect()
+    }
+    assert got == want == {(1, 1), (2, 1), (5, 1), (10, 1), (11, 1)}
