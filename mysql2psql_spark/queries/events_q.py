@@ -1108,3 +1108,126 @@ def a7_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r14/r15 registration per the window budget): population-
+# stability drift between the two time halves of the event stream — the
+# monitoring query a production pipeline runs before trusting a new data
+# window (feature drift gates retraining; schema-stable-but-shifted
+# distributions are invisible to row counts). Two dimensions in one
+# result: the categorical event_type mix and a fixed 10-bin histogram of
+# `value` over the global [min, max]. Per (dim, bucket): raw counts,
+# shares, and the PSI term (p_a - p_b) * ln(p_a / p_b) under Laplace
+# smoothing (+1 per bucket), so one-sided-empty buckets stay finite and
+# the per-dim SUM of psi_term is the standard PSI statistic
+# (<0.1 stable / 0.1-0.25 drifting / >0.25 shifted).
+#
+# Scale shape: ONE 4-value bounds aggregate broadcast back over the
+# scan, ONE (dim, bucket)-keyed hash agg with map-side combine (output
+# is O(buckets), never O(rows)), and a window over the ≤|buckets| result
+# frame. The dim fan-out is an explode of a 2-element literal array, so
+# the corpus is scanned ONCE (a UNION of per-dim selects would scan it
+# per dim). Determinism: every share/PSI input derives from BIGINT
+# counts, so both engines divide identical doubles; LN of identical
+# doubles + ROUND 6dp is the engine-standard guard (the surprisal
+# queries' class). Documented limit: a constant `value` column would put
+# vmx = vmn (division by zero) — real event streams never trip it.
+# ---------------------------------------------------------------------------
+_ORACLE_DRIFT_PSI = """
+    WITH ev AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS et,
+                       event_type, value FROM events),
+    bounds AS (SELECT MIN(et) AS mn, MAX(et) AS mx,
+                      MIN(value) AS vmn, MAX(value) AS vmx FROM ev),
+    tagged AS (
+      SELECT CASE WHEN 2 * et <= mn + mx THEN 0 ELSE 1 END AS period,
+             event_type,
+             CAST(LEAST(CAST(FLOOR((value - vmn) * 10 / (vmx - vmn)) AS BIGINT),
+                        9) AS VARCHAR) AS decile
+      FROM ev CROSS JOIN bounds
+    ),
+    buckets AS (
+      SELECT 'event_type' AS dim, event_type AS bucket, period FROM tagged
+      UNION ALL
+      SELECT 'value_decile' AS dim, decile AS bucket, period FROM tagged
+    ),
+    counts AS (
+      SELECT dim, bucket,
+             CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM buckets GROUP BY dim, bucket
+    ),
+    tot AS (
+      SELECT dim, bucket, n_a, n_b,
+             CAST(SUM(n_a) OVER (PARTITION BY dim) AS BIGINT) AS tot_a,
+             CAST(SUM(n_b) OVER (PARTITION BY dim) AS BIGINT) AS tot_b,
+             CAST(COUNT(*) OVER (PARTITION BY dim) AS BIGINT) AS nb
+      FROM counts
+    )
+    SELECT dim, bucket, n_a, n_b,
+           ROUND(CAST(n_a AS DOUBLE) / tot_a, 6) AS share_a,
+           ROUND(CAST(n_b AS DOUBLE) / tot_b, 6) AS share_b,
+           ROUND((CAST(n_a + 1 AS DOUBLE) / (tot_a + nb)
+                  - CAST(n_b + 1 AS DOUBLE) / (tot_b + nb))
+                 * LN((CAST(n_a + 1 AS DOUBLE) / (tot_a + nb))
+                      / (CAST(n_b + 1 AS DOUBLE) / (tot_b + nb))), 6) AS psi_term
+    FROM tot
+"""
+
+
+def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability drift per (dimension, bucket) between the
+    first and second time halves of `events` — see the block above."""
+    e = load_table(spark, sf_dir, "events")
+    ep = epoch_of(e)
+    ev = e.select(ep("ts").alias("et"), "event_type", "value")
+    bounds = ev.agg(
+        F.min("et").alias("mn"),
+        F.max("et").alias("mx"),
+        F.min("value").alias("vmn"),
+        F.max("value").alias("vmx"),
+    )
+    decile = F.least(
+        F.floor((F.col("value") - F.col("vmn")) * 10 / (F.col("vmx") - F.col("vmn"))).cast(
+            "bigint"
+        ),
+        F.lit(9).cast("bigint"),
+    ).cast("string")
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("et") * 2 <= F.col("mn") + F.col("mx"), 0).otherwise(1).alias("period"),
+        F.col("event_type"),
+        decile.alias("decile"),
+    )
+    # one corpus scan: the dim fan-out is a 2-element literal explode
+    buckets = tagged.select(
+        "period",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("event_type").alias("dim"), F.col("event_type").alias("bucket")
+                ),
+                F.struct(
+                    F.lit("value_decile").alias("dim"), F.col("decile").alias("bucket")
+                ),
+            )
+        ).alias("db"),
+    ).select(F.col("db.dim").alias("dim"), F.col("db.bucket").alias("bucket"), "period")
+    counts = buckets.groupBy("dim", "bucket").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+    )
+    w = W.partitionBy("dim")
+    tot_a = F.sum("n_a").over(w)
+    tot_b = F.sum("n_b").over(w)
+    nb = F.count("*").over(w)
+    pa = (F.col("n_a") + 1).cast("double") / (tot_a + nb)
+    pb = (F.col("n_b") + 1).cast("double") / (tot_b + nb)
+    return counts.select(
+        "dim",
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round(F.col("n_a").cast("double") / tot_a, 6).alias("share_a"),
+        F.round(F.col("n_b").cast("double") / tot_b, 6).alias("share_b"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+    )

@@ -443,3 +443,135 @@ def m6_row_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("orders").alias("table_name"), "n_rows", "checksum")
     )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r14/r15 registration per the window budget): snapshot diff /
+# reconciliation (m7) — m4's inverse: given TWO snapshots of a table,
+# derive the change set (added / removed / changed + the per-row list of
+# changed columns). This is the migration-validation query run after a
+# copy window closes ("what drifted between source and target since the
+# cutover?") and the CDC-bootstrap when the source has no binlog: diff
+# two snapshots, feed the result to m4_cdc_apply. Snapshot B is built
+# from A by deterministic keyed rules (drop key%97=3; key%91=5 shifts
+# o_totalprice by +1.5 — pure double addition, no rounding, so both
+# engines derive bit-identical values; key%89=7 reassigns status +
+# priority; key%101=11 spawns a new key+1e8 row) so the oracle restates
+# the identical construction.
+#
+# Scale shape: ONE full-outer join on the snapshot key — with both
+# snapshots bucketed by key (the o6/layout discipline) this is an
+# exchange-free sort-merge diff; nothing else shuffles, and the output
+# is O(changes), never O(rows). Column compares are null-safe
+# (eqNullSafe / IS DISTINCT FROM) and the changed-column list is a
+# fixed alphabetical CONCAT_WS both engines render identically.
+# ---------------------------------------------------------------------------
+_DIFF_COLS = [
+    "o_custkey",
+    "o_orderdate",
+    "o_orderpriority",
+    "o_orderstatus",
+    "o_totalprice",
+]
+
+_ORACLE_SNAPSHOT_DIFF = """
+    WITH a AS (SELECT * FROM orders),
+    b AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 89 = 7 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 91 = 5 THEN o_totalprice + 1.5
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate,
+             CASE WHEN o_orderkey % 89 = 7 THEN '9-REASSIGNED'
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM a WHERE o_orderkey % 97 != 3
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM a WHERE o_orderkey % 101 = 11
+    ),
+    d AS (
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                  WHEN b.o_orderkey IS NULL THEN 'removed'
+                  ELSE 'changed' END AS change_type,
+             CASE WHEN a.o_orderkey IS NULL OR b.o_orderkey IS NULL THEN NULL
+                  ELSE CONCAT_WS(',',
+                    CASE WHEN a.o_custkey IS DISTINCT FROM b.o_custkey
+                         THEN 'o_custkey' END,
+                    CASE WHEN a.o_orderdate IS DISTINCT FROM b.o_orderdate
+                         THEN 'o_orderdate' END,
+                    CASE WHEN a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+                         THEN 'o_orderpriority' END,
+                    CASE WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                         THEN 'o_orderstatus' END,
+                    CASE WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                         THEN 'o_totalprice' END)
+             END AS changed_columns
+      FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT o_orderkey, change_type, changed_columns
+    FROM d
+    WHERE NOT (change_type = 'changed' AND changed_columns = '')
+"""
+
+
+def m7_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: the change set between snapshot A
+    (orders as-is) and the deterministically mutated snapshot B — see
+    the block above. Reference parity: the reference migrates one frozen
+    snapshot (mysql2psql.py's table loop) and leaves drift detection to
+    the operator; this is that missing re-sync step as one relational
+    diff."""
+    from pyspark.sql import functions as F
+
+    from mysql2psql_spark.sources import load_table
+
+    a = load_table(spark, sf_dir, "orders").select("o_orderkey", *_DIFF_COLS)
+    surviving = a.filter(F.col("o_orderkey") % 97 != 3).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 89 == 7, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 91 == 5, F.col("o_totalprice") + 1.5)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.col("o_orderdate"),
+        F.when(F.col("o_orderkey") % 89 == 7, F.lit("9-REASSIGNED"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    inserted = a.filter(F.col("o_orderkey") % 101 == 11).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.col("o_custkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.col("o_totalprice"),
+        F.col("o_orderdate"),
+        F.col("o_orderpriority"),
+    )
+    b = surviving.unionByName(inserted)
+    al, bl = a.alias("a"), b.alias("b")
+    j = al.join(bl, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    change_type = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .otherwise("changed")
+    )
+    diffs = [
+        F.when(~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")), F.lit(c))
+        for c in _DIFF_COLS
+    ]
+    changed_columns = F.when(
+        F.col("a.o_orderkey").isNotNull() & F.col("b.o_orderkey").isNotNull(),
+        F.concat_ws(",", *diffs),
+    )
+    d = j.select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        change_type.alias("change_type"),
+        changed_columns.alias("changed_columns"),
+    )
+    return d.filter(
+        ~((F.col("change_type") == "changed") & (F.col("changed_columns") == ""))
+    )
