@@ -830,3 +830,100 @@ def knn_label_audit(
         )
 
     return q.groupBy("cluster").applyInPandas(per_cluster, schema=out_schema)
+
+
+def kmeans_train(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    n_iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    caches: list | None = None,
+) -> DataFrame:
+    """Distributed Lloyd's algorithm to a FIXED iteration count — the IVF
+    codebook build that `kmeans_refine_step` is one round of. Starting
+    from the deterministic seed centroids (first `n_centroids` vectors),
+    each iteration assigns every vector to its nearest centroid by
+    rounded cosine (ties to the lowest cluster id) and recomputes each
+    centroid as the dimension-wise mean of its members; a cluster that
+    loses all members keeps its previous centroid. Returns the final
+    per-cluster profile (cluster, n_members, centroid_norm, mean_cos).
+
+    Scale shape (the textbook distributed Lloyd): per iteration, ONE
+    Arrow-batched assignment pass over the corpus (no shuffle — the
+    centroid table rides into the closure) plus ONE (cluster, dim)-keyed
+    hash agg with map-side combine whose output is k*d rows REGARDLESS
+    of corpus size; the centroid table collected to the driver between
+    iterations is k*d doubles by construction (the broadcast-variable
+    shape every cluster k-means uses). Nothing quadratic, nothing
+    corpus-sized ever moves.
+
+    Cross-engine determinism: centroid means are computed over
+    micro-integer-quantized inputs (SUM of BIGINT is exact and
+    order-free, divided once), so the oracle's iteration-2 centroids are
+    bit-identical to Spark's and rounding drift cannot compound across
+    iterations; cosines are rounded to 6dp before every comparison (the
+    engine-standard guard).
+    """
+    from mysql2psql_spark.operators.materialize import materialize as _materialize
+
+    base = _materialize(
+        emb.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col))
+    )
+    if caches is not None:
+        caches.append(base)
+    cents: dict[int, list[float]] = dict(
+        collect_seeds(emb, n_centroids, id_col, vec_col)
+    )
+    dim = len(next(iter(cents.values())))
+    for _ in range(n_iterations):
+        seeds = [(c, cents[c]) for c in sorted(cents)]
+        asg = ivf_assign(base, seeds, id_col, vec_col)
+        rows = (
+            asg.join(base, id_col)
+            .select("cluster", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(
+                (
+                    (
+                        F.sum(F.round(F.col("x") * 1e6).cast("long")).cast("double")
+                        / F.count("*")
+                    )
+                    / F.lit(1e6)
+                ).alias("m")
+            )
+            .collect()  # k*d rows by construction — the broadcast shape
+        )
+        new: dict[int, dict[int, float]] = {}
+        for r in rows:
+            new.setdefault(int(r["cluster"]), {})[int(r["dim"])] = float(r["m"])
+        for c in cents:
+            if c in new:  # empty clusters keep their previous centroid
+                cents[c] = [new[c][d] for d in range(dim)]
+    seeds = [(c, cents[c]) for c in sorted(cents)]
+    final = ivf_assign(base, seeds, id_col, vec_col, with_cos=True)
+    stats = final.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.round(
+            (
+                F.sum(F.round(F.col("cos") * 1e6).cast("long")).cast("double")
+                / F.count("*")
+            )
+            / F.lit(1e6),
+            6,
+        ).alias("mean_cos"),
+    )
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        [(c, d, cents[c][d]) for c in sorted(cents) for d in range(dim)],
+        "cluster int, dim int, m double",
+    )
+    norms = cent_df.groupBy("cluster").agg(
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm")
+    )
+    return stats.join(norms, "cluster").select(
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "n_members",
+        "centroid_norm",
+        "mean_cos",
+    )

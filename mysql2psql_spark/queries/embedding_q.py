@@ -577,3 +577,90 @@ def sim_ann_ivf_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf_rerank(
         emb, probe_id=0, k=10, n_centroids=16, n_probe=4, shortlist=50
     )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r14/r15 registration per the window budget): the full IVF
+# codebook build — distributed Lloyd's k-means run to a fixed 3
+# iterations from the deterministic seeds (operators/embedding.py::
+# kmeans_train). sim_kmeans_step is ONE round of this; the trained
+# codebook is what sim_ann_ivf_* / dedup_semantic probe in production.
+# The oracle unrolls all three assign->recompute rounds in ANSI SQL;
+# cross-iteration determinism holds because centroid means are computed
+# over micro-integer-quantized inputs (exact BIGINT sums, one division)
+# so both engines carry BIT-IDENTICAL centroids into the next round's
+# cosine, and every cosine comparison is rounded to 6dp before ranking
+# (the engine-standard guard). Empty clusters keep their previous
+# centroid (the COALESCE skeleton below) in both engines.
+# ---------------------------------------------------------------------------
+def _kmeans_iteration_sql(t: int) -> str:
+    prev = f"c{t - 1}"
+    return f"""
+    cent{t} AS (SELECT sid, LIST(m ORDER BY dim) AS cv FROM {prev} GROUP BY sid),
+    a{t} AS (
+      SELECT e.vec_id, e.v, c.sid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(LIST_COSINE_SIMILARITY(e.v, c.cv), 6) DESC, c.sid
+             ) AS rn
+      FROM e CROSS JOIN cent{t} c
+    ),
+    m{t} AS (
+      SELECT sid, u.i - 1 AS dim,
+             (CAST(SUM(CAST(ROUND(v[u.i] * 1000000) AS BIGINT)) AS DOUBLE)
+              / COUNT(*)) / 1000000.0 AS m
+      FROM a{t}, UNNEST(RANGE(1, 65)) AS u(i)
+      WHERE rn = 1
+      GROUP BY sid, u.i
+    ),
+    c{t} AS (
+      SELECT p.sid, p.dim, COALESCE(m{t}.m, p.m) AS m
+      FROM {prev} p LEFT JOIN m{t} ON m{t}.sid = p.sid AND m{t}.dim = p.dim
+    )"""
+
+
+_ORACLE_KMEANS_TRAIN = (
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS sid, u.i - 1 AS dim, v[u.i] AS m
+      FROM e, UNNEST(RANGE(1, 65)) AS u(i)
+      WHERE vec_id < 16
+    ),"""
+    + ",".join(_kmeans_iteration_sql(t) for t in (1, 2, 3))
+    + """,
+    centf AS (SELECT sid, LIST(m ORDER BY dim) AS cv FROM c3 GROUP BY sid),
+    af AS (
+      SELECT e.vec_id, c.sid,
+             ROUND(LIST_COSINE_SIMILARITY(e.v, c.cv), 6) AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(LIST_COSINE_SIMILARITY(e.v, c.cv), 6) DESC, c.sid
+             ) AS rn
+      FROM e CROSS JOIN centf c
+    ),
+    fstats AS (
+      SELECT sid, CAST(COUNT(*) AS BIGINT) AS n_members,
+             ROUND((CAST(SUM(CAST(ROUND(cos * 1000000) AS BIGINT)) AS DOUBLE)
+                    / COUNT(*)) / 1000000.0, 6) AS mean_cos
+      FROM af WHERE rn = 1 GROUP BY sid
+    ),
+    norms AS (
+      SELECT sid, ROUND(SQRT(SUM(m * m)), 6) AS centroid_norm FROM c3 GROUP BY sid
+    )
+    SELECT CAST(f.sid AS BIGINT) AS cluster, f.n_members,
+           n.centroid_norm, f.mean_cos
+    FROM fstats f JOIN norms n ON n.sid = f.sid
+"""
+)
+
+
+def sim_kmeans_train(
+    spark: SparkSession, sf_dir: str, caches=None
+) -> DataFrame:
+    """Three-iteration Lloyd training of the 16-centroid IVF codebook —
+    see the block above."""
+    from mysql2psql_spark.operators.embedding import kmeans_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_train(emb, n_centroids=16, n_iterations=3, caches=caches)

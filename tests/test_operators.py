@@ -1978,3 +1978,167 @@ def test_clusters_incremental_merges_bridged_clusters(spark):
         for r in connected_components(old.unionByName(new)).collect()
     }
     assert got == want == {(1, 1), (2, 1), (5, 1), (10, 1), (11, 1)}
+
+
+# --- PSI drift profile (QUEUED r14/r15 registration: full DuckDB
+# differential runs HERE until the @query row lands) ---------------------
+
+
+def test_profile_drift_psi_matches_oracle(spark, duck):
+    """Full DuckDB differential for the queued profile_drift_psi query at
+    sf0.01 (identical protocol to test_oracle.py), plus the PSI
+    invariants: every smoothed term is non-negative ((p-q)ln(p/q) has
+    matching signs) and raw shares sum to 1 per (dim, period)."""
+    import pandas as pd
+
+    from mysql2psql_spark.queries.events_q import (
+        _ORACLE_DRIFT_PSI,
+        profile_drift_psi,
+    )
+
+    got = profile_drift_psi(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_DRIFT_PSI).df()
+    key = ["dim", "bucket"]
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    g = got.sort_values(key).reset_index(drop=True)[cols]
+    w = want.sort_values(key).reset_index(drop=True)[cols]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+    assert (g.psi_term >= 0).all()
+    for dim, grp in g.groupby("dim"):
+        assert abs(grp.share_a.sum() - 1.0) < 1e-4
+        assert abs(grp.share_b.sum() - 1.0) < 1e-4
+    assert set(g.dim) == {"event_type", "value_decile"}
+
+
+def test_profile_drift_detects_planted_shift(spark):
+    """A deliberately shifted second half must score a larger PSI than
+    the null split of the same stream (sanity that the statistic moves
+    in the right direction, not just that two engines agree)."""
+    import datetime as dt
+
+    from mysql2psql_spark.queries.events_q import profile_drift_psi
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for i in range(2000):
+        # first half: 90% click / 10% error; second half: 30% / 70%
+        half = i >= 1000
+        typ = "error" if (i % 10) < (7 if half else 1) else "click"
+        rows.append((i, base + dt.timedelta(seconds=i), i, typ, float(i % 100) + 0.5, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        out = profile_drift_psi(spark, tmp).toPandas()
+    et = out[out.dim == "event_type"]
+    assert et.psi_term.sum() > 0.25, et  # the "shifted" regime
+    vd = out[out.dim == "value_decile"]
+    assert vd.psi_term.sum() < 0.1, vd  # value mix unchanged -> stable
+
+
+# --- snapshot diff (QUEUED r14/r15 registration) ------------------------
+
+
+def test_snapshot_diff_matches_oracle(spark, duck):
+    """Full DuckDB differential for the queued m7_snapshot_diff query at
+    sf0.01, plus composition pins: the change classes match the keyed
+    construction rules exactly and no 'changed' row is empty."""
+    import pandas as pd
+
+    from mysql2psql_spark.queries.migration_q import (
+        _ORACLE_SNAPSHOT_DIFF,
+        m7_snapshot_diff,
+    )
+    from mysql2psql_spark.sources import load_table
+
+    got = m7_snapshot_diff(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_SNAPSHOT_DIFF).df()
+    key = ["o_orderkey", "change_type"]
+    cols = sorted(got.columns)
+    g = got.sort_values(key).reset_index(drop=True)[cols]
+    w = want.sort_values(key).reset_index(drop=True)[cols]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+
+    keys = [
+        r.o_orderkey
+        for r in load_table(spark, SF_DIR_ORACLE, "orders").select("o_orderkey").collect()
+    ]
+    removed = {k for k in keys if k % 97 == 3}
+    added = {k + 100000000 for k in keys if k % 101 == 11}
+    changed = {
+        k for k in keys if k % 97 != 3 and (k % 91 == 5 or k % 89 == 7)
+    }
+    by_type = {t: set(grp.o_orderkey) for t, grp in g.groupby("change_type")}
+    assert by_type.get("removed", set()) == removed
+    assert by_type.get("added", set()) == added
+    assert by_type.get("changed", set()) == changed
+    ch = g[g.change_type == "changed"]
+    assert (ch.changed_columns != "").all()
+    assert set(ch.changed_columns) <= {
+        "o_totalprice",
+        "o_orderpriority,o_orderstatus",
+        "o_orderpriority,o_orderstatus,o_totalprice",
+    }
+
+
+# --- k-means training (QUEUED r14/r15 registration) ---------------------
+
+
+def test_kmeans_train_matches_oracle(spark, duck):
+    """Full DuckDB differential for the queued sim_kmeans_train query at
+    sf0.01: three unrolled Lloyd iterations must carry bit-identical
+    centroids across engines (micro-integer means), so the final
+    cluster profile hash-matches exactly."""
+    import pandas as pd
+
+    from mysql2psql_spark.operators.materialize import CacheHandle
+    from mysql2psql_spark.queries.embedding_q import (
+        _ORACLE_KMEANS_TRAIN,
+        sim_kmeans_train,
+    )
+
+    with CacheHandle() as caches:
+        got = sim_kmeans_train(spark, SF_DIR_ORACLE, caches=caches).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_KMEANS_TRAIN).df()
+    cols = sorted(got.columns)
+    g = got.sort_values("cluster").reset_index(drop=True)[cols]
+    w = want.sort_values("cluster").reset_index(drop=True)[cols]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+    assert g.n_members.sum() == 500  # every vector assigned exactly once
+
+
+def test_kmeans_train_recovers_planted_clusters(spark):
+    """On three well-separated planted clusters, 3-iteration Lloyd must
+    (a) recover the exact planted memberships and (b) tighten them:
+    final mean assignment cosine >= the seed-assignment mean (Lloyd's
+    monotone improvement on clean geometry)."""
+    import numpy as np
+
+    from mysql2psql_spark.operators.embedding import kmeans_refine_step, kmeans_train
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(3, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    # ids 0..2 are one seed per planted cluster (far apart); the rest are
+    # small perturbations so the true partition is unambiguous
+    for i in range(150):
+        c = i % 3
+        v = centers[c] + rng.normal(scale=0.05, size=64)
+        rows.append((i, [float(x) for x in v], c))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = kmeans_train(df, n_centroids=3, n_iterations=3).toPandas()
+    assert sorted(out.n_members) == [50, 50, 50]
+    step = kmeans_refine_step(df, n_centroids=3).toPandas()
+    assert out.mean_cos.min() >= step.mean_cos.min() - 1e-9
+    assert out.mean_cos.mean() > 0.9
