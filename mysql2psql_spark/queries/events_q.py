@@ -1133,6 +1133,14 @@ def a7_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doubles + ROUND 6dp is the engine-standard guard (the surprisal
 # queries' class). Documented limit: a constant `value` column would put
 # vmx = vmn (division by zero) — real event streams never trip it.
+#
+# r13 verification record (the queue contract): DuckDB-exact under a
+# vanilla session at sf0.001 (15 rows), sf0.01 (14 rows), and sf0.1
+# (15 rows); planted-shift direction test pinned (event-type PSI > 0.25
+# on a 90/10 -> 30/70 flip while the unchanged value mix stays < 0.1);
+# 5x events replica probe: wall x1.0 (output constant); first 7-rep
+# interleaved median 0.519 s at sf0.1 (loadavg 5-10, controls
+# s4/minhash_lsh at 1.21x/0.99x their floors in the same reps).
 # ---------------------------------------------------------------------------
 _ORACLE_DRIFT_PSI = """
     WITH ev AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS et,

