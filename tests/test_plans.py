@@ -324,3 +324,58 @@ def test_minhash_cross_candidates_join_is_band_keyed(spark):
     # the hash-join keys include the band/key pair (formatted explain
     # prints the join condition with the column names)
     assert re.search(r"Join.*band", plan, re.DOTALL), plan
+
+
+def test_drift_psi_single_corpus_scan_per_pass(spark):
+    """The queued PSI drift profile must attach its 1-row bounds frame
+    with a broadcast (the benign single-row BNLJ class) and never
+    sort-merge or cartesian-join; the two event scans (bounds pass +
+    tagged pass) must both prune to the 3 used columns."""
+    from mysql2psql_spark.queries.events_q import profile_drift_psi
+
+    plan = _plan(profile_drift_psi(spark, SF_DIR_ORACLE))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan[:2000]
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",")}
+        assert cols <= {"ts", "event_type", "value"}, cols
+
+
+def test_snapshot_diff_is_one_keyed_full_outer(spark):
+    """The queued snapshot diff must be ONE key-partitioned full-outer
+    SortMergeJoin (the co-partitionable diff shape — bucketed snapshots
+    make it exchange-free) with no nested-loop or cartesian fallback,
+    and every orders scan must prune to the key + compared columns."""
+    from mysql2psql_spark.queries.migration_q import m7_snapshot_diff
+
+    plan = _plan(m7_snapshot_diff(spark, SF_DIR_ORACLE))
+    assert "SortMergeJoin FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in s.split(",")}
+        assert cols <= {
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        }, cols
+
+
+def test_kmeans_train_reuses_materialized_base(spark):
+    """The queued Lloyd trainer's RESULT plan must read the corpus from
+    the materialized base (InMemoryTableScan — the frame every
+    iteration's assignment pass shared) and join its 16-row stats/norms
+    frames with a broadcast, never a sort-merge."""
+    from mysql2psql_spark.operators.materialize import CacheHandle
+    from mysql2psql_spark.queries.embedding_q import sim_kmeans_train
+
+    with CacheHandle() as caches:
+        plan = _plan(sim_kmeans_train(spark, SF_DIR_ORACLE, caches=caches))
+        assert "InMemoryTableScan" in plan
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
