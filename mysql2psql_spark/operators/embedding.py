@@ -927,3 +927,124 @@ def kmeans_train(
         "centroid_norm",
         "mean_cos",
     )
+
+
+def pq_train_step(
+    emb: DataFrame,
+    m: int = 4,
+    n_centroids: int = 16,
+    sub_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One k-means step of product-quantization codebook training — the
+    build counterpart of :func:`pq_adc_topk` (which consumes a trained
+    codebook): every vector's m subvectors are assigned to their nearest
+    sub-centroid on the integer micro-grid (argmin ties to the smallest
+    centroid id, the PQ discipline), and each (subspace, centroid) cell
+    reports its membership, the refreshed mean subvector's norm, and the
+    mean assignment distance — the DISTORTION curve PQ training watches
+    for convergence. Returns (subspace, centroid, n_members,
+    centroid_norm, distortion); cells that attracted no member are
+    absent (their centroid is unchanged — the caller keeps it).
+
+    Scale shape: NO shuffle ever touches the corpus. One Arrow kernel
+    per partition assigns against the closure-broadcast codebook and
+    emits PRE-AGGREGATED partials (<= m * n_centroids * sub_dim rows per
+    batch: per-cell member counts, integer distance sums, per-dimension
+    integer coordinate sums), so the only exchange carries
+    codebook-sized frames. Everything that crosses engines is an exact
+    BIGINT sum divided once — bit-identical in the oracle."""
+    import pandas as pd  # worker-side
+
+    dim = m * sub_dim
+    q = emb.select(
+        F.col(id_col),
+        quantize_elements(F.col(vec_col).cast("array<double>"), dim).alias("_qemb"),
+    )
+    # codebook: the first n_centroids vectors' quantized subvectors — the
+    # same counted-small driver collect as sim_ann_pq_adc_topk's build
+    cb_rows = sorted(
+        q.orderBy(id_col).limit(n_centroids).collect(), key=lambda r: r[0]
+    )
+    seed_ids = [int(r[0]) for r in cb_rows]
+    cb = np.array(
+        [
+            [list(r["_qemb"][j * sub_dim : (j + 1) * sub_dim]) for r in cb_rows]
+            for j in range(m)
+        ],
+        dtype=np.int64,
+    )  # (m, nc, sub)
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = (
+                np.stack(pdf["_qemb"].to_numpy())
+                .astype(np.int64)
+                .reshape(-1, m, sub_dim)
+            )
+            n = x.shape[0]
+            d = ((x[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=-1)
+            codes = d.argmin(axis=-1)  # first min = smallest centroid id
+            out = {"j": [], "c": [], "pos": [], "sum_qx": [], "n": [], "sum_d2n": []}
+            rows_idx = np.arange(n)
+            for j in range(m):
+                cj = codes[:, j]
+                dj = d[rows_idx, j, cj]
+                for c in range(n_centroids):
+                    mask = cj == c
+                    k = int(mask.sum())
+                    if k == 0:
+                        continue
+                    sq = x[mask, j, :].sum(axis=0)
+                    sd = int(dj[mask].sum())
+                    for pos in range(sub_dim):
+                        out["j"].append(j)
+                        out["c"].append(c)
+                        out["pos"].append(pos)
+                        out["sum_qx"].append(int(sq[pos]))
+                        out["n"].append(k if pos == 0 else 0)
+                        out["sum_d2n"].append(sd if pos == 0 else 0)
+            yield pd.DataFrame(out)
+
+    p = q.mapInPandas(
+        partials,
+        schema="j int, c int, pos int, sum_qx long, n long, sum_d2n long",
+    )
+    agg = p.groupBy("j", "c", "pos").agg(
+        F.sum(F.col("sum_qx").cast("decimal(38,0)")).alias("sq"),
+        F.sum("n").alias("n_part"),
+        F.sum(F.col("sum_d2n").cast("decimal(38,0)")).alias("sd_part"),
+    )
+    # per-cell totals via a window over the codebook-sized agg frame — a
+    # separate stats aggregation joined back would consume `agg` twice
+    # and re-run the corpus kernel (mapInPandas output sits above its
+    # last exchange, the materialize.py class), doubling the scan
+    from pyspark.sql.window import Window as _W
+
+    cell = _W.partitionBy("j", "c")
+    tot = agg.select(
+        "j",
+        "c",
+        "sq",
+        F.sum("n_part").over(cell).alias("n"),
+        F.sum("sd_part").over(cell).alias("sd"),
+    )
+    mp = F.col("sq").cast("double") / F.col("n")
+    norm = tot.groupBy("j", "c", "n", "sd").agg(
+        F.round(F.sqrt(F.sum(mp * mp)) / F.lit(1e6), 6).alias("centroid_norm")
+    )
+    seed_map = F.create_map(
+        *[x for i, s in enumerate(seed_ids) for x in (F.lit(i), F.lit(s))]
+    )
+    return norm.select(
+        F.col("j").alias("subspace"),
+        seed_map[F.col("c")].cast("bigint").alias("centroid"),
+        F.col("n").cast("bigint").alias("n_members"),
+        "centroid_norm",
+        F.round((F.col("sd").cast("double") / F.col("n")) / F.lit(1e12), 6).alias(
+            "distortion"
+        ),
+    )

@@ -841,3 +841,84 @@ def sim_bitext_ann(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
         planes=_BTX_PLANES,
         caches=caches,
     )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r14/r15 registration per the window budget): one PQ codebook
+# training step (operators/embedding.py::pq_train_step) — the build
+# counterpart of sim_ann_pq_adc_topk, which consumes a trained
+# codebook. Same grid, same constants (m=4 subspaces of 16 dims, 16
+# sub-centroids seeded from the first 16 vectors), same tie rules
+# (argmin -> smallest centroid id), so the two queries together are the
+# full PQ lifecycle. Per (subspace, centroid): members, refreshed-mean
+# norm, and mean assignment distance — the DISTORTION the training loop
+# watches. Everything cross-engine is an exact integer sum divided
+# once: the oracle restates assignment with the PQ query's own enc/codes
+# CTEs and aggregates the identical BIGINTs.
+#
+# Scale shape: the corpus NEVER shuffles — one Arrow kernel emits
+# pre-aggregated partials (<= m*nc*sub rows per batch), so the only
+# exchanges carry codebook-sized frames; map-side combine finishes the
+# job. At 100 TB this is one scan + constant-size tail work per step.
+#
+# r13 verification record (the queue contract): DuckDB-exact under a
+# vanilla session at sf0.001/sf0.01/sf0.1 (64 cells each; memberships
+# sum to m * corpus), re-verified after the one-scan restructure (the
+# first cut derived per-cell totals from a second aggregation joined
+# back, which consumed the kernel frame twice and re-ran the corpus
+# scan — plan-pinned to 1 scan in test_plans); independent numpy replay
+# matches exactly at sf0.001; 10x embeddings replica probe: wall x1.7
+# at x10 vectors with CONSTANT output (kernel-bound linear scan);
+# 7-rep interleaved median of the FINAL shape 1.143 s at sf0.1
+# (loadavg 1.6, control s4 at its floor in the same reps; pre-
+# restructure A/B read 1.254 s).
+# ---------------------------------------------------------------------------
+_ORACLE_PQ_TRAIN = f"""
+    WITH el AS MATERIALIZED (
+      SELECT e.vec_id, t.i, CAST((t.i - 1) // {_PQ_SUB} AS INT) AS j,
+             CAST((t.i - 1) % {_PQ_SUB} AS INT) AS pos,
+             CAST(ROUND(CAST(e.embedding[t.i] AS DOUBLE) * 1e6) AS BIGINT) AS qx
+      FROM embeddings e CROSS JOIN RANGE(1, {_PQ_M * _PQ_SUB} + 1) t(i)
+    ),
+    cb AS (
+      SELECT vec_id AS c_id, i, j, qx FROM el
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_PQ_NC})
+    ),
+    enc AS (
+      SELECT el.vec_id, el.j, cb.c_id,
+             CAST(SUM((el.qx - cb.qx) * (el.qx - cb.qx)) AS BIGINT) AS d2n
+      FROM el JOIN cb ON el.i = cb.i
+      GROUP BY el.vec_id, el.j, cb.c_id
+    ),
+    codes AS (
+      SELECT vec_id, j, c_id, d2n FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2n, c_id) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    ),
+    stats AS (
+      SELECT j, c_id, CAST(COUNT(*) AS BIGINT) AS n, SUM(d2n) AS sd
+      FROM codes GROUP BY j, c_id
+    ),
+    cent AS (
+      SELECT el.j, codes.c_id, el.pos, SUM(el.qx) AS sq
+      FROM el JOIN codes ON el.vec_id = codes.vec_id AND el.j = codes.j
+      GROUP BY el.j, codes.c_id, el.pos
+    )
+    SELECT s.j AS subspace, CAST(s.c_id AS BIGINT) AS centroid, s.n AS n_members,
+           ROUND(SQRT(SUM((CAST(c.sq AS DOUBLE) / s.n)
+                          * (CAST(c.sq AS DOUBLE) / s.n))) / 1000000.0, 6)
+             AS centroid_norm,
+           ROUND((CAST(s.sd AS DOUBLE) / s.n) / 1000000000000.0, 6) AS distortion
+    FROM cent c JOIN stats s ON s.j = c.j AND s.c_id = c.c_id
+    GROUP BY s.j, s.c_id, s.n, s.sd
+"""
+
+
+def sim_pq_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PQ codebook k-means step over the embeddings corpus — see the
+    block above."""
+    from mysql2psql_spark.operators.embedding import pq_train_step
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return pq_train_step(emb, m=_PQ_M, n_centroids=_PQ_NC, sub_dim=_PQ_SUB)

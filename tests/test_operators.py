@@ -2142,3 +2142,79 @@ def test_kmeans_train_recovers_planted_clusters(spark):
     step = kmeans_refine_step(df, n_centroids=3).toPandas()
     assert out.mean_cos.min() >= step.mean_cos.min() - 1e-9
     assert out.mean_cos.mean() > 0.9
+
+
+# --- PQ codebook training step (QUEUED r14/r15 registration) -------------
+
+
+def test_pq_train_step_matches_oracle(spark, duck):
+    """Full DuckDB differential for the queued sim_pq_train_step query
+    at sf0.01, plus the conservation invariant: every vector contributes
+    exactly one membership per subspace."""
+    import pandas as pd
+
+    from mysql2psql_spark.queries.similarity_q import (
+        _ORACLE_PQ_TRAIN,
+        _PQ_M,
+        sim_pq_train_step,
+    )
+    from mysql2psql_spark.sources import load_table
+
+    got = sim_pq_train_step(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_PQ_TRAIN).df()
+    key = ["subspace", "centroid"]
+    g = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    w = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+    n_vecs = load_table(spark, SF_DIR_ORACLE, "embeddings").count()
+    per_sub = g.groupby("subspace").n_members.sum()
+    assert (per_sub == n_vecs).all(), per_sub
+    assert len(per_sub) == _PQ_M
+
+
+def test_pq_train_step_matches_numpy_recompute(spark):
+    """Independent-implementation differential: a driver-side numpy
+    replay of quantize -> assign -> per-cell stats over the sf0.001
+    corpus must reproduce the distributed kernel's output exactly."""
+    import numpy as np
+
+    from mysql2psql_spark.operators.embedding import pq_train_step
+    from mysql2psql_spark.sources import load_table
+
+    m, nc, sub = 4, 16, 16
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    got = {
+        (r.subspace, r.centroid): (r.n_members, r.centroid_norm, r.distortion)
+        for r in pq_train_step(emb, m=m, n_centroids=nc, sub_dim=sub).collect()
+    }
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    x = np.round(
+        np.array([[float(v) for v in r.embedding] for r in rows]) * 1e6
+    ).astype(np.int64).reshape(len(rows), m, sub)
+    cb = x[np.argsort(ids)[:nc]]  # (nc, m, sub), seed order = id order
+    seed_ids = np.sort(ids)[:nc]
+    d = ((x[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(axis=-1)  # (N, nc, m)
+    codes = d.argmin(axis=1)  # (N, m)
+    want = {}
+    for j in range(m):
+        for c in range(nc):
+            mask = codes[:, j] == c
+            k = int(mask.sum())
+            if k == 0:
+                continue
+            mean_vec = x[mask, j, :].sum(axis=0) / k
+            norm = round(float(np.sqrt((mean_vec**2).sum())) / 1e6, 6)
+            dist = round(
+                (float(d[mask, c, j].sum()) / k) / 1e12, 6
+            )
+            want[(j, int(seed_ids[c]))] = (k, norm, dist)
+    assert set(got) == set(want)
+    for cell in want:
+        gn, gnorm, gdist = got[cell]
+        wn, wnorm, wdist = want[cell]
+        assert gn == wn, cell
+        assert abs(gnorm - wnorm) < 1e-9, (cell, gnorm, wnorm)
+        assert abs(gdist - wdist) < 1e-9, (cell, gdist, wdist)

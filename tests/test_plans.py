@@ -379,3 +379,18 @@ def test_kmeans_train_reuses_materialized_base(spark):
         assert "InMemoryTableScan" in plan
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+def test_pq_train_step_corpus_never_shuffles(spark):
+    """The queued PQ training step's only exchanges must carry the
+    codebook-sized partials (the Arrow kernel pre-aggregates per batch)
+    — never a corpus-keyed join: no sort-merge, no nested loop, one
+    parquet scan."""
+    from mysql2psql_spark.queries.similarity_q import sim_pq_train_step
+
+    plan = _plan(sim_pq_train_step(spark, SF_DIR_ORACLE))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # formatted explain prints each node twice (tree + detail)
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
