@@ -832,6 +832,51 @@ def knn_label_audit(
     return q.groupBy("cluster").applyInPandas(per_cluster, schema=out_schema)
 
 
+def _lloyd_centroids(
+    base: DataFrame,
+    emb: DataFrame,
+    n_centroids: int,
+    n_iterations: int,
+    id_col: str,
+    vec_col: str,
+) -> dict[int, list[float]]:
+    """The Lloyd refinement loop shared by :func:`kmeans_train` and
+    :func:`centroid_prune`: per iteration, one Arrow assignment pass +
+    one (cluster, dim) micro-integer mean agg (k*d rows collected — the
+    broadcast-variable shape); empty clusters keep their previous
+    centroid. ``base`` must be the double-cast (and usually
+    materialized) corpus frame; ``emb`` supplies the raw seeds."""
+    cents: dict[int, list[float]] = dict(
+        collect_seeds(emb, n_centroids, id_col, vec_col)
+    )
+    dim = len(next(iter(cents.values())))
+    for _ in range(n_iterations):
+        seeds = [(c, cents[c]) for c in sorted(cents)]
+        asg = ivf_assign(base, seeds, id_col, vec_col)
+        rows = (
+            asg.join(base, id_col)
+            .select("cluster", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(
+                (
+                    (
+                        F.sum(F.round(F.col("x") * 1e6).cast("long")).cast("double")
+                        / F.count("*")
+                    )
+                    / F.lit(1e6)
+                ).alias("m")
+            )
+            .collect()  # k*d rows by construction — the broadcast shape
+        )
+        new: dict[int, dict[int, float]] = {}
+        for r in rows:
+            new.setdefault(int(r["cluster"]), {})[int(r["dim"])] = float(r["m"])
+        for c in cents:
+            if c in new:  # empty clusters keep their previous centroid
+                cents[c] = [new[c][d] for d in range(dim)]
+    return cents
+
+
 def kmeans_train(
     emb: DataFrame,
     n_centroids: int = 16,
@@ -872,34 +917,8 @@ def kmeans_train(
     )
     if caches is not None:
         caches.append(base)
-    cents: dict[int, list[float]] = dict(
-        collect_seeds(emb, n_centroids, id_col, vec_col)
-    )
+    cents = _lloyd_centroids(base, emb, n_centroids, n_iterations, id_col, vec_col)
     dim = len(next(iter(cents.values())))
-    for _ in range(n_iterations):
-        seeds = [(c, cents[c]) for c in sorted(cents)]
-        asg = ivf_assign(base, seeds, id_col, vec_col)
-        rows = (
-            asg.join(base, id_col)
-            .select("cluster", F.posexplode(vec_col).alias("dim", "x"))
-            .groupBy("cluster", "dim")
-            .agg(
-                (
-                    (
-                        F.sum(F.round(F.col("x") * 1e6).cast("long")).cast("double")
-                        / F.count("*")
-                    )
-                    / F.lit(1e6)
-                ).alias("m")
-            )
-            .collect()  # k*d rows by construction — the broadcast shape
-        )
-        new: dict[int, dict[int, float]] = {}
-        for r in rows:
-            new.setdefault(int(r["cluster"]), {})[int(r["dim"])] = float(r["m"])
-        for c in cents:
-            if c in new:  # empty clusters keep their previous centroid
-                cents[c] = [new[c][d] for d in range(dim)]
     seeds = [(c, cents[c]) for c in sorted(cents)]
     final = ivf_assign(base, seeds, id_col, vec_col, with_cos=True)
     stats = final.groupBy("cluster").agg(
@@ -1047,4 +1066,60 @@ def pq_train_step(
         F.round((F.col("sd").cast("double") / F.col("n")) / F.lit(1e12), 6).alias(
             "distortion"
         ),
+    )
+
+
+def centroid_prune(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    drop_num: int = 3,
+    drop_den: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    caches: list | None = None,
+) -> DataFrame:
+    """Prototype-based corpus pruning (the SSL-prototypes rule of
+    Sorscher et al. 2022, arXiv:2206.14486, as used by large-corpus
+    curation pipelines): cluster the corpus, rank each cluster's members
+    by cosine to the 1-step-REFINED centroid (most prototypical first,
+    id tiebreak), and emit the top drop_num/drop_den fraction per
+    cluster — the examples a large-data regime prunes FIRST (they carry
+    the least marginal information; keeping the hard shell beats random
+    at scale). Complements ``semantic_dedup``: that drops near-DUPLICATE
+    pairs, this drops PROTOTYPICAL singletons.
+
+    Returns the prune list (vec_id, cluster, cos_to_centroid,
+    prot_rank). Scale shape: one Lloyd refinement (Arrow pass + k*d-row
+    agg, see :func:`_lloyd_centroids`) + one assignment pass + ONE
+    cluster-partitioned window over (cluster)-keyed rows — the
+    per-cluster ranking shuffles each row once and never compares
+    pairs."""
+    from pyspark.sql.window import Window as _W
+
+    from mysql2psql_spark.operators.materialize import materialize as _materialize
+
+    base = _materialize(
+        emb.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col))
+    )
+    if caches is not None:
+        caches.append(base)
+    cents = _lloyd_centroids(base, emb, n_centroids, 1, id_col, vec_col)
+    seeds = [(c, cents[c]) for c in sorted(cents)]
+    asg = ivf_assign(base, seeds, id_col, vec_col, with_cos=True)
+    rank_w = _W.partitionBy("cluster").orderBy(F.desc("cos"), F.col(id_col))
+    size_w = _W.partitionBy("cluster")
+    rk = asg.select(
+        F.col(id_col),
+        "cluster",
+        "cos",
+        F.row_number().over(rank_w).alias("prot_rank"),
+        F.count("*").over(size_w).alias("n"),
+    )
+    return rk.filter(
+        F.col("prot_rank") <= F.floor(F.col("n") * drop_num / drop_den)
+    ).select(
+        F.col(id_col),
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.col("cos").alias("cos_to_centroid"),
+        F.col("prot_rank").cast("bigint").alias("prot_rank"),
     )

@@ -673,3 +673,70 @@ def sim_kmeans_train(
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_train(emb, n_centroids=16, n_iterations=3, caches=caches)
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r14/r15 registration per the window budget): prototype-based
+# corpus pruning (operators/embedding.py::centroid_prune — the
+# SSL-prototypes rule, Sorscher et al. 2022): rank each cluster's
+# members by cosine to the 1-step-refined centroid and emit the most
+# prototypical 30% per cluster as the prune list. Complements
+# dedup_semantic (which drops near-duplicate PAIRS): this drops
+# low-marginal-information SINGLETONS — the two together are the
+# cluster-then-curate stage of a 100 TB embedding pipeline. The oracle
+# reuses the kmeans-train iteration CTE verbatim (bit-identical refined
+# centroids via micro-integer means), then restates assignment + the
+# per-cluster rank/size windows; the drop threshold FLOOR(n*3/10) is
+# integer-derived in both engines.
+#
+# r13 verification record (the queue contract): DuckDB-exact under a
+# vanilla session at sf0.001/sf0.01/sf0.1 (141/143/591 rows);
+# per-cluster drop-count + contiguous-rank invariants pinned, and the
+# core-vs-shell direction pinned on a planted dense-core cluster (the
+# prune list is exactly the core); 10x embeddings replica probe: wall
+# x4.8 at x10 vectors with x10 output (sublinear per row); first 7-rep
+# interleaved median 1.157 s at sf0.1 (loadavg 8-11, control s4 at
+# 1.22x floor in the same reps).
+# ---------------------------------------------------------------------------
+_ORACLE_CENTROID_PRUNE = (
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS sid, u.i - 1 AS dim, v[u.i] AS m
+      FROM e, UNNEST(RANGE(1, 65)) AS u(i)
+      WHERE vec_id < 16
+    ),"""
+    + _kmeans_iteration_sql(1)
+    + """,
+    centf AS (SELECT sid, LIST(m ORDER BY dim) AS cv FROM c1 GROUP BY sid),
+    af AS (
+      SELECT e.vec_id, c.sid,
+             ROUND(LIST_COSINE_SIMILARITY(e.v, c.cv), 6) AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(LIST_COSINE_SIMILARITY(e.v, c.cv), 6) DESC, c.sid
+             ) AS rn
+      FROM e CROSS JOIN centf c
+    ),
+    asg AS (SELECT vec_id, sid, cos FROM af WHERE rn = 1),
+    rk AS (
+      SELECT vec_id, sid, cos,
+             ROW_NUMBER() OVER (PARTITION BY sid ORDER BY cos DESC, vec_id)
+               AS prot_rank,
+             COUNT(*) OVER (PARTITION BY sid) AS n
+      FROM asg
+    )
+    SELECT vec_id, CAST(sid AS BIGINT) AS cluster, cos AS cos_to_centroid,
+           CAST(prot_rank AS BIGINT) AS prot_rank
+    FROM rk WHERE prot_rank <= FLOOR(n * 3 / 10.0)
+"""
+)
+
+
+def sim_centroid_prune(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
+    """Prototype-pruning list over the embeddings corpus — see the block
+    above."""
+    from mysql2psql_spark.operators.embedding import centroid_prune
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_prune(emb, n_centroids=16, drop_num=3, drop_den=10, caches=caches)

@@ -2218,3 +2218,112 @@ def test_pq_train_step_matches_numpy_recompute(spark):
         assert gn == wn, cell
         assert abs(gnorm - wnorm) < 1e-9, (cell, gnorm, wnorm)
         assert abs(gdist - wdist) < 1e-9, (cell, gdist, wdist)
+
+
+# --- prototype pruning (QUEUED r14/r15 registration) ---------------------
+
+
+def test_centroid_prune_matches_oracle(spark, duck):
+    """Full DuckDB differential for the queued sim_centroid_prune query
+    at sf0.01, plus the drop-count invariant: each cluster contributes
+    exactly floor(0.3 * |cluster|) rows with contiguous ranks from 1."""
+    import pandas as pd
+
+    from mysql2psql_spark.operators.embedding import ivf_assign, collect_seeds
+    from mysql2psql_spark.operators.materialize import CacheHandle
+    from mysql2psql_spark.queries.embedding_q import (
+        _ORACLE_CENTROID_PRUNE,
+        sim_centroid_prune,
+    )
+
+    with CacheHandle() as caches:
+        got = sim_centroid_prune(spark, SF_DIR_ORACLE, caches=caches).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_CENTROID_PRUNE).df()
+    key = ["cluster", "prot_rank"]
+    g = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    w = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+    for _, grp in g.groupby("cluster"):
+        ranks = sorted(grp.prot_rank)
+        assert ranks == list(range(1, len(ranks) + 1)), ranks
+        # within a cluster the prune list is the TOP of the cos ranking
+        by_rank = grp.sort_values("prot_rank")
+        assert (by_rank.cos_to_centroid.diff().dropna() <= 1e-12).all()
+
+
+def test_centroid_prune_drops_prototypes_not_shell(spark):
+    """On a planted cluster with one dense core and a sparse shell, the
+    prune list must be exactly the core (highest cosine to the refined
+    centroid), never the shell — the SSL-prototypes direction."""
+    import numpy as np
+
+    from mysql2psql_spark.operators.embedding import centroid_prune
+
+    rng = np.random.default_rng(5)
+    center = rng.normal(size=64)
+    center /= np.linalg.norm(center)
+    rows = []
+    # ids 0: the seed (cluster 0 only -> every vector lands in it)
+    for i in range(100):
+        scale = 0.01 if i < 40 else 0.6  # 40 core points, 60 shell
+        v = center + rng.normal(scale=scale, size=64)
+        rows.append((i, [float(x) for x in v], 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = centroid_prune(df, n_centroids=1, drop_num=3, drop_den=10).toPandas()
+    assert len(out) == 30  # floor(0.3 * 100)
+    assert set(out.vec_id) <= set(range(40)), sorted(out.vec_id)
+
+
+# --- neighbor-overlap link prediction (QUEUED r14/r15 registration) ------
+
+
+def test_jaccard_neighbors_matches_oracle_and_bruteforce(spark, duck):
+    """Full DuckDB differential for the queued graph_jaccard_neighbors
+    query at sf0.01, plus an independent python replay at sf0.001
+    (collect the bipartite pairs, recompute every candidate's Jaccard,
+    re-rank with the same tiebreaks)."""
+    import pandas as pd
+
+    from mysql2psql_spark.queries.graph_q import (
+        _ORACLE_JACCARD_NEIGHBORS,
+        graph_jaccard_neighbors,
+    )
+    from mysql2psql_spark.sources import load_table
+
+    got = graph_jaccard_neighbors(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_JACCARD_NEIGHBORS).df()
+    key = ["s_a", "s_b"]
+    g = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    w = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+    assert len(g) == 100
+
+    # brute force at the smallest SF
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey")
+    od = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    pairs = {
+        (r.l_suppkey, r.o_custkey)
+        for r in li.join(od, li.l_orderkey == od.o_orderkey).collect()
+    }
+    nbrs: dict[int, set] = {}
+    for s, c in pairs:
+        nbrs.setdefault(s, set()).add(c)
+    cand = []
+    ss = sorted(nbrs)
+    for i, a in enumerate(ss):
+        for b in ss[i + 1 :]:
+            inter = len(nbrs[a] & nbrs[b])
+            if inter:
+                jac = round(inter / len(nbrs[a] | nbrs[b]), 6)
+                cand.append((-jac, a, b, inter))
+    cand.sort()
+    want_small = [(a, b, n, -nj) for nj, a, b, n in cand[:100]]
+    got_small = [
+        (r.s_a, r.s_b, r.n_shared, r.jaccard)
+        for r in graph_jaccard_neighbors(spark, SF_DIR).collect()
+    ]
+    assert got_small == want_small
