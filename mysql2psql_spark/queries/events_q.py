@@ -1239,3 +1239,129 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_b").cast("double") / tot_b, 6).alias("share_b"),
         F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r14+ registration per the window budget): CUSUM changepoint
+# detection per event type — profile_drift_psi's companion: PSI says
+# THAT the window shifted, CUSUM says WHEN. Hourly counts on a DENSE
+# bucket spine (absent hours count 0 — skipping them biases the
+# statistic), then the classic mean-shift CUSUM: S_t = cum_t - t * mu
+# with mu the per-type mean bucket count; the changepoint is the bucket
+# maximizing |S_t| (earliest on ties), reported with the stat and the
+# before/after mean levels.
+#
+# Scale shape: ONE (type, bucket)-keyed count with map-side combine is
+# the only corpus-sized work (output O(types x hours)); the spine
+# (sequence + explode of a 1-row bounds broadcast), the zero-fill join,
+# and every window run on that post-agg frame. Determinism: counts are
+# BIGINTs, mu/S_t derive from them identically in both engines, and the
+# argmax orders by the identically-derived double with a bucket
+# tiebreak.
+#
+# r13 verification record (the queue contract): DuckDB-exact under a
+# vanilla session at sf0.001/sf0.01/sf0.1 (5 rows each); planted-shift
+# direction pinned (a 3x rate step lands cp_bucket at the last
+# pre-shift hour — where S_t peaks — with stat > 10x the constant
+# stream's, and mean_after > 2x mean_before); 5x events replica probe:
+# wall x1.0 (output constant — the hash agg is the only corpus work);
+# first 7-rep interleaved median 0.567 s at sf0.1 (loadavg 1.8,
+# control s4 at its floor in the same reps).
+# ---------------------------------------------------------------------------
+_ORACLE_CHANGEPOINT = """
+    WITH ev AS (SELECT event_type,
+                       (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600) * 3600 AS b
+                FROM events),
+    bounds AS (SELECT MIN(b) AS mn, MAX(b) AS mx FROM ev),
+    spine AS (
+      SELECT t.event_type, r.b
+      FROM (SELECT DISTINCT event_type FROM ev) t
+      CROSS JOIN (SELECT UNNEST(RANGE(mn, mx + 1, 3600)) AS b FROM bounds) r
+    ),
+    cnt AS (SELECT event_type, b, CAST(COUNT(*) AS BIGINT) AS x
+            FROM ev GROUP BY event_type, b),
+    dense AS (
+      SELECT s.event_type, s.b, COALESCE(c.x, 0) AS x
+      FROM spine s LEFT JOIN cnt c ON c.event_type = s.event_type AND c.b = s.b
+    ),
+    w AS (
+      SELECT event_type, b, x,
+             CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY b
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY b)
+                  AS BIGINT) AS t,
+             CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+      FROM dense
+    ),
+    s AS (
+      SELECT event_type, b, t, nb, cum, tot,
+             ABS(cum - t * (CAST(tot AS DOUBLE) / nb)) AS dev,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY ABS(cum - t * (CAST(tot AS DOUBLE) / nb)) DESC, b
+             ) AS rk
+      FROM w
+    )
+    SELECT event_type,
+           nb AS n_buckets,
+           b AS cp_bucket,
+           ROUND(dev, 6) AS cusum_stat,
+           ROUND(CAST(cum AS DOUBLE) / t, 6) AS mean_before,
+           CASE WHEN nb > t
+                THEN ROUND(CAST(tot - cum AS DOUBLE) / (nb - t), 6) END
+             AS mean_after
+    FROM s WHERE rk = 1
+"""
+
+
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type CUSUM changepoint over hourly event counts — see the
+    block above."""
+    e = load_table(spark, sf_dir, "events")
+    ep = epoch_of(e)
+    ev = e.select("event_type", ep("ts").alias("_et")).select(
+        "event_type", (F.expr("_et div 3600") * 3600).alias("b")
+    )
+    bounds = ev.agg(F.min("b").alias("mn"), F.max("b").alias("mx"))
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.sequence("mn", "mx", F.lit(3600))).alias("b")
+    )
+    cnt = ev.groupBy("event_type", "b").agg(F.count("*").cast("bigint").alias("x"))
+    dense = spine.join(cnt, ["event_type", "b"], "left").select(
+        "event_type", "b", F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x")
+    )
+    ord_w = W.partitionBy("event_type").orderBy("b").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    all_w = W.partitionBy("event_type")
+    w = dense.select(
+        "event_type",
+        "b",
+        F.sum("x").over(ord_w).cast("bigint").alias("cum"),
+        F.row_number().over(W.partitionBy("event_type").orderBy("b")).cast("bigint").alias("t"),
+        F.sum("x").over(all_w).cast("bigint").alias("tot"),
+        F.count("*").over(all_w).cast("bigint").alias("nb"),
+    )
+    dev = F.abs(F.col("cum") - F.col("t") * (F.col("tot").cast("double") / F.col("nb")))
+    s = w.select(
+        "event_type", "b", "t", "nb", "cum", "tot", dev.alias("dev"),
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy(dev.desc(), "b"))
+        .alias("rk"),
+    )
+    return s.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.col("nb").alias("n_buckets"),
+        F.col("b").alias("cp_bucket"),
+        F.round(F.col("dev"), 6).alias("cusum_stat"),
+        F.round(F.col("cum").cast("double") / F.col("t"), 6).alias("mean_before"),
+        F.when(
+            F.col("nb") > F.col("t"),
+            F.round(
+                (F.col("tot") - F.col("cum")).cast("double") / (F.col("nb") - F.col("t")),
+                6,
+            ),
+        ).alias("mean_after"),
+    )

@@ -102,6 +102,17 @@ FLOORS = {
     # r13 registrations: first 7-rep interleaved medians
     "dedup_minhash_incremental": 1.394,
     "dedup_leakage_safe_split": 2.256,
+    # r13 second session: first interleaved medians for the QUEUED
+    # operators (measured ad-hoc against at-floor controls — see each
+    # query's verification record). They join DEFAULT_QUERIES when the
+    # @query flips land (names must exist in QUERIES to be runnable).
+    "profile_drift_psi": 0.519,
+    "m7_snapshot_diff": 0.620,
+    "sim_kmeans_train": 2.100,
+    "sim_pq_train_step": 1.143,
+    "sim_centroid_prune": 1.157,
+    "graph_jaccard_neighbors": 0.961,
+    "events_changepoint": 0.567,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),

@@ -2327,3 +2327,57 @@ def test_jaccard_neighbors_matches_oracle_and_bruteforce(spark, duck):
         for r in graph_jaccard_neighbors(spark, SF_DIR).collect()
     ]
     assert got_small == want_small
+
+
+# --- CUSUM changepoint (QUEUED r14+ registration) ------------------------
+
+
+def test_events_changepoint_matches_oracle(spark, duck):
+    """Full DuckDB differential for the queued events_changepoint query
+    at sf0.01 (identical protocol to test_oracle.py)."""
+    import pandas as pd
+
+    from mysql2psql_spark.queries.events_q import (
+        _ORACLE_CHANGEPOINT,
+        events_changepoint,
+    )
+
+    got = events_changepoint(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_CHANGEPOINT).df()
+    g = got.sort_values("event_type").reset_index(drop=True)[sorted(got.columns)]
+    w = want.sort_values("event_type").reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+    assert (g.n_buckets > 1).all()
+
+
+def test_events_changepoint_finds_planted_step(spark):
+    """A planted 3x rate step must put the changepoint AT the plant and
+    score far above a constant-rate stream of the same length."""
+    import datetime as dt
+    import tempfile
+
+    from mysql2psql_spark.queries.events_q import events_changepoint
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for hour in range(100):
+        # 'shifted': 2/hour before hour 60, 6/hour after; 'flat': 4/hour
+        for k in range(2 if hour < 60 else 6):
+            rows.append((eid, base + dt.timedelta(hours=hour, minutes=k), eid, "shifted", 1.0, "{}")); eid += 1
+        for k in range(4):
+            rows.append((eid, base + dt.timedelta(hours=hour, minutes=30 + k), eid, "flat", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        out = {r.event_type: r for r in events_changepoint(spark, tmp).collect()}
+    sh, fl = out["shifted"], out["flat"]
+    plant_epoch = int((base + dt.timedelta(hours=59)).timestamp())
+    # S_t = cum - t*mu peaks at the LAST pre-shift bucket (hour 59)
+    assert sh.cp_bucket == plant_epoch - plant_epoch % 3600, (sh, plant_epoch)
+    assert sh.cusum_stat > 10 * max(fl.cusum_stat, 1e-9)
+    assert sh.mean_after > sh.mean_before * 2
