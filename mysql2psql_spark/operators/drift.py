@@ -1,0 +1,101 @@
+"""Population-stability (PSI) drift primitives shared by the batch query
+(`queries/events_q.py::profile_drift_psi`) and its streaming gate
+(`streaming/events.py::drift_counts_foreach_batch`).
+
+The decomposition is chosen for streaming associativity: everything up
+to the (dim, bucket, period) COUNT is row-local given a frozen bounds
+frame, counts are associative across any partitioning of the rows (so a
+sum over micro-batch count frames equals the one-shot batch counts
+EXACTLY), and the PSI tail is a deterministic function of the summed
+counts. That is the equivalence the streaming test pins frame-for-frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def drift_bounds(ev: DataFrame) -> DataFrame:
+    """1-row (mn, mx, vmn, vmx) bounds frame over (et, value) — the bin
+    definition. Batch derives it from the full window; a production
+    stream FREEZES it from the reference corpus (bins must not move
+    between triggers or the counts stop being associative)."""
+    return ev.agg(
+        F.min("et").alias("mn"),
+        F.max("et").alias("mx"),
+        F.min("value").alias("vmn"),
+        F.max("value").alias("vmx"),
+    )
+
+
+def drift_tagged(ev: DataFrame, bounds: DataFrame) -> DataFrame:
+    """(period, dim, bucket) per input row x dimension: period by the
+    midpoint of [mn, mx], value deciled into 10 fixed bins over
+    [vmn, vmx]; the dim fan-out is a literal-array explode so the input
+    scans ONCE."""
+    decile = F.least(
+        F.floor(
+            (F.col("value") - F.col("vmn")) * 10 / (F.col("vmx") - F.col("vmn"))
+        ).cast("bigint"),
+        F.lit(9).cast("bigint"),
+    ).cast("string")
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("et") * 2 <= F.col("mn") + F.col("mx"), 0)
+        .otherwise(1)
+        .alias("period"),
+        F.col("event_type"),
+        decile.alias("decile"),
+    )
+    return tagged.select(
+        "period",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("event_type").alias("dim"),
+                    F.col("event_type").alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("value_decile").alias("dim"), F.col("decile").alias("bucket")
+                ),
+            )
+        ).alias("db"),
+    ).select(F.col("db.dim").alias("dim"), F.col("db.bucket").alias("bucket"), "period")
+
+
+def drift_counts(tagged: DataFrame) -> DataFrame:
+    """(dim, bucket, period, n) — the associative partial every arm
+    reduces to (map-side combined; output O(buckets))."""
+    return tagged.groupBy("dim", "bucket", "period").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+
+def drift_psi_tail(counts: DataFrame) -> DataFrame:
+    """The PSI computation over summed (dim, bucket, period, n) counts:
+    pivot periods to n_a/n_b, window the per-dim totals, emit shares +
+    the Laplace-smoothed PSI term. Deterministic in the counts alone."""
+    nb_counts = counts.groupBy("dim", "bucket").agg(
+        F.sum(F.when(F.col("period") == 0, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("period") == 1, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    w = W.partitionBy("dim")
+    tot_a = F.sum("n_a").over(w)
+    tot_b = F.sum("n_b").over(w)
+    nb = F.count("*").over(w)
+    pa = (F.col("n_a") + 1).cast("double") / (tot_a + nb)
+    pb = (F.col("n_b") + 1).cast("double") / (tot_b + nb)
+    return nb_counts.select(
+        "dim",
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round(F.col("n_a").cast("double") / tot_a, 6).alias("share_a"),
+        F.round(F.col("n_b").cast("double") / tot_b, 6).alias("share_b"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+    )

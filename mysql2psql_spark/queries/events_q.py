@@ -1185,60 +1185,24 @@ _ORACLE_DRIFT_PSI = """
 
 def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability drift per (dimension, bucket) between the
-    first and second time halves of `events` — see the block above."""
+    first and second time halves of `events` — see the block above.
+    Built from the shared primitives in operators/drift.py (bucketize ->
+    associative counts -> PSI tail) so the streaming gate
+    (streaming/events.py::drift_counts_foreach_batch) is the SAME
+    computation over micro-batch count partials; exactness re-verified
+    at all three SFs after the factoring."""
+    from mysql2psql_spark.operators.drift import (
+        drift_bounds,
+        drift_counts,
+        drift_psi_tail,
+        drift_tagged,
+    )
+
     e = load_table(spark, sf_dir, "events")
     ep = epoch_of(e)
     ev = e.select(ep("ts").alias("et"), "event_type", "value")
-    bounds = ev.agg(
-        F.min("et").alias("mn"),
-        F.max("et").alias("mx"),
-        F.min("value").alias("vmn"),
-        F.max("value").alias("vmx"),
-    )
-    decile = F.least(
-        F.floor((F.col("value") - F.col("vmn")) * 10 / (F.col("vmx") - F.col("vmn"))).cast(
-            "bigint"
-        ),
-        F.lit(9).cast("bigint"),
-    ).cast("string")
-    tagged = ev.crossJoin(F.broadcast(bounds)).select(
-        F.when(F.col("et") * 2 <= F.col("mn") + F.col("mx"), 0).otherwise(1).alias("period"),
-        F.col("event_type"),
-        decile.alias("decile"),
-    )
-    # one corpus scan: the dim fan-out is a 2-element literal explode
-    buckets = tagged.select(
-        "period",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("event_type").alias("dim"), F.col("event_type").alias("bucket")
-                ),
-                F.struct(
-                    F.lit("value_decile").alias("dim"), F.col("decile").alias("bucket")
-                ),
-            )
-        ).alias("db"),
-    ).select(F.col("db.dim").alias("dim"), F.col("db.bucket").alias("bucket"), "period")
-    counts = buckets.groupBy("dim", "bucket").agg(
-        F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
-        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
-    )
-    w = W.partitionBy("dim")
-    tot_a = F.sum("n_a").over(w)
-    tot_b = F.sum("n_b").over(w)
-    nb = F.count("*").over(w)
-    pa = (F.col("n_a") + 1).cast("double") / (tot_a + nb)
-    pb = (F.col("n_b") + 1).cast("double") / (tot_b + nb)
-    return counts.select(
-        "dim",
-        "bucket",
-        "n_a",
-        "n_b",
-        F.round(F.col("n_a").cast("double") / tot_a, 6).alias("share_a"),
-        F.round(F.col("n_b").cast("double") / tot_b, 6).alias("share_b"),
-        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
-    )
+    counts = drift_counts(drift_tagged(ev, drift_bounds(ev)))
+    return drift_psi_tail(counts)
 
 
 # ---------------------------------------------------------------------------

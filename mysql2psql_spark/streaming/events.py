@@ -306,3 +306,47 @@ def read_continuous_agg(spark, out_dir: str) -> DataFrame:
         "n_events",
         F.round("total_value", 2).cast("double").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming PSI drift gate: the monitoring twin of
+# queries/events_q.py::profile_drift_psi. Each micro-batch reduces to
+# its (dim, bucket, period) COUNT partial (row-local given the FROZEN
+# bounds frame — bins must not move between triggers) written
+# batch_id-versioned (idempotent overwrite, the cdc_foreach_batch_sink
+# replay discipline); the summary read sums the partials and runs the
+# deterministic PSI tail. Counts are associative, so the compacted
+# answer equals the one-shot batch query EXACTLY for ANY micro-batch
+# partitioning of the same rows — the frame-for-frame equivalence
+# tests/test_streaming.py pins through a real two-trigger readStream.
+# Streaming state: ZERO (only bucket-sized count parquet accumulates).
+# ---------------------------------------------------------------------------
+def drift_counts_foreach_batch(bounds: DataFrame, out_dir: str):
+    """Return a foreachBatch function writing each micro-batch's
+    (dim, bucket, period) count partial to {out_dir}/batch=<id>.
+    ``bounds`` is the frozen 1-row bin-definition frame
+    (operators/drift.py::drift_bounds over the reference window)."""
+    from mysql2psql_spark.operators.drift import drift_counts, drift_tagged
+    from mysql2psql_spark.operators.timeutil import epoch_of
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        ep = epoch_of(batch_df)
+        ev = batch_df.select(ep("ts").alias("et"), "event_type", "value")
+        part = drift_counts(drift_tagged(ev, bounds))
+        part.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    return apply
+
+
+def read_drift_summary(spark, out_dir: str) -> DataFrame:
+    """PSI summary over everything the gate has seen: sum the per-batch
+    count partials (associative) and run the shared PSI tail — schema
+    and values identical to profile_drift_psi over the same rows."""
+    from mysql2psql_spark.operators.drift import drift_psi_tail
+
+    schema = "dim string, bucket string, period int, n bigint"
+    parts = spark.read.schema(schema).parquet(f"{out_dir}/batch=*")
+    summed = parts.groupBy("dim", "bucket", "period").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
+    return drift_psi_tail(summed)

@@ -517,3 +517,56 @@ def test_near_dup_gate_stream_matches_batch_twin(spark, tmp_path):
         for r in dedup_minhash_incremental(spark, SF_DIR).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_drift_gate_stream_matches_batch_query(spark, tmp_path):
+    """The foreachBatch PSI drift gate (streaming/events.py::
+    drift_counts_foreach_batch) must produce, compacted across a real
+    two-trigger readStream, EXACTLY profile_drift_psi's frame over the
+    same rows: counts are associative given the frozen bounds, so any
+    micro-batch partitioning sums to the one-shot batch counts."""
+    import pandas as pd
+
+    from mysql2psql_spark.operators.drift import drift_bounds
+    from mysql2psql_spark.operators.timeutil import epoch_of
+    from mysql2psql_spark.queries.events_q import profile_drift_psi
+    from mysql2psql_spark.sources import load_table
+    from mysql2psql_spark.streaming.events import (
+        drift_counts_foreach_batch,
+        read_drift_summary,
+    )
+
+    e = load_table(spark, SF_DIR, "events")
+    # two micro-batches by event_id parity — together they are the table
+    stream_dir = str(tmp_path / "arrivals")
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(stream_dir)
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(
+        stream_dir
+    )
+    ep = epoch_of(e)
+    bounds = drift_bounds(e.select(ep("ts").alias("et"), "event_type", "value"))
+    out_dir = str(tmp_path / "drift_out")
+    arrival_schema = spark.read.parquet(stream_dir).schema
+    stream = (
+        spark.readStream.schema(arrival_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = stream.writeStream.foreachBatch(
+        drift_counts_foreach_batch(bounds, out_dir)
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # two versioned partials landed (one per trigger)
+    import glob
+
+    assert len(glob.glob(f"{out_dir}/batch=*")) == 2
+    got = read_drift_summary(spark, out_dir).toPandas()
+    want = profile_drift_psi(spark, SF_DIR).toPandas()
+    key = ["dim", "bucket"]
+    g = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    w = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+    assert len(g) > 0
