@@ -1123,3 +1123,52 @@ def centroid_prune(
         F.col("cos").alias("cos_to_centroid"),
         F.col("prot_rank").cast("bigint").alias("prot_rank"),
     )
+
+
+def ivf_scored_candidates(
+    emb: DataFrame,
+    probe_id: int,
+    n_centroids: int = 16,
+    max_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The shared candidate stage of IVF ANN tuning sweeps: (id,
+    probe_rank, cos_sim) for every corpus row assigned to one of the
+    ``max_probe`` clusters nearest the probe, with each candidate
+    carrying its cluster's PROBE RANK — so callers evaluating several
+    n_probe budgets at once (`sim_ivf_probe_sweep`) score the corpus
+    ONCE at the widest budget and derive every tighter budget by a
+    row-local ``probe_rank <= b`` filter (budget-b candidates are
+    exactly that subset under the same coarse quantizer). The
+    lsh_scored_candidates pattern, cluster-rank flavored."""
+    seed_rows = (
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()  # centroid table: n_centroids rows by construction
+    )
+    seeds = [(r[0], [float(x) for x in r[1]]) for r in seed_rows]
+    probe_row = emb.filter(F.col(id_col) == probe_id).select(vec_col).head()
+    q = np.asarray(probe_row[0], dtype=np.float64)
+    s = np.array([v for _, v in seeds], dtype=np.float64)
+    cos_q = np.round(
+        (s @ q) / (np.sqrt((s * s).sum(axis=1)) * np.sqrt((q * q).sum())), 6
+    )
+    ranked = [int(c) for c in np.argsort(-cos_q, kind="stable")[:max_probe]]
+    rank_map = F.create_map(
+        *[x for r, c in enumerate(ranked) for x in (F.lit(c), F.lit(r + 1))]
+    )
+    assigned = ivf_assign(emb, seeds, id_col, vec_col).filter(
+        F.col("cluster").isin(ranked) & (F.col(id_col) != probe_id)
+    )
+    cand = assigned.join(emb.select(id_col, vec_col), id_col)
+    pairs = cand.select(
+        F.col(id_col).alias("id_a"),
+        F.lit(probe_id).alias("id_b"),
+        F.col(vec_col).alias("v_a"),
+        rank_map[F.col("cluster")].cast("int").alias("probe_rank"),
+    ).withColumn("v_b", F.array(*[F.lit(float(x)) for x in q]))
+    return cosine_pairs_df(pairs, extra_cols=("probe_rank",)).select(
+        F.col("id_a").alias(id_col), "probe_rank", "cos_sim"
+    )

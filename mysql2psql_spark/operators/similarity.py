@@ -32,7 +32,9 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def cosine_pairs_df(pairs: DataFrame, round_to: int = 6) -> Column | DataFrame:
+def cosine_pairs_df(
+    pairs: DataFrame, round_to: int = 6, extra_cols: tuple[str, ...] = ()
+) -> Column | DataFrame:
     """(id_a, id_b, v_a, v_b) -> (id_a, id_b, cos_sim), codegen'd.
 
     The row-level HOF form (aggregate over zip_with) evaluates interpreted
@@ -41,16 +43,25 @@ def cosine_pairs_df(pairs: DataFrame, round_to: int = 6) -> Column | DataFrame:
     products; a pair's exploded rows never leave their input partition, so
     map-side partial aggregation accumulates each sum sequentially in
     position order (bit-compatible with DuckDB's LIST_COSINE_SIMILARITY).
+
+    ``extra_cols``: additional pair-level columns (functionally dependent
+    on the (id_a, id_b) key — e.g. a candidate's cluster or probe rank)
+    carried through the aggregation by widening its grouping key; the
+    output cardinality is unchanged and no extra exchange is added.
     """
     ex = pairs.select(
-        "id_a", "id_b", F.posexplode(F.arrays_zip("v_a", "v_b")).alias("pos", "p")
+        "id_a",
+        "id_b",
+        *extra_cols,
+        F.posexplode(F.arrays_zip("v_a", "v_b")).alias("pos", "p"),
     ).select(
         "id_a",
         "id_b",
+        *extra_cols,
         F.col("p.v_a").cast("double").alias("xa"),
         F.col("p.v_b").cast("double").alias("xb"),
     )
-    agg = ex.groupBy("id_a", "id_b").agg(
+    agg = ex.groupBy("id_a", "id_b", *extra_cols).agg(
         F.sum(F.col("xa") * F.col("xb")).alias("dot"),
         F.sum(F.col("xa") * F.col("xa")).alias("na"),
         F.sum(F.col("xb") * F.col("xb")).alias("nb"),
@@ -58,6 +69,7 @@ def cosine_pairs_df(pairs: DataFrame, round_to: int = 6) -> Column | DataFrame:
     return agg.select(
         "id_a",
         "id_b",
+        *extra_cols,
         F.round(F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), round_to).alias("cos_sim"),
     )
 

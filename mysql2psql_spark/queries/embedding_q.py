@@ -740,3 +740,119 @@ def sim_centroid_prune(spark: SparkSession, sf_dir: str, caches=None) -> DataFra
 
     emb = load_table(spark, sf_dir, "embeddings")
     return centroid_prune(emb, n_centroids=16, drop_num=3, drop_den=10, caches=caches)
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r14+ registration per the window budget): the IVF tuning
+# curve — recall@10 vs exact for n_probe budgets 2/4/8 in ONE result,
+# the sweep run before fixing a serving probe count (more lists probed
+# = more of the corpus scored = costlier, until recall saturates). The
+# sim_lsh_budget_sweep pattern, coarse-quantizer flavored: the corpus
+# is scored ONCE at the widest budget with each candidate carrying its
+# cluster's probe rank (operators/embedding.py::ivf_scored_candidates),
+# and every tighter arm is a row-local probe_rank <= b filter + top-k
+# over the materialized frame. Arms with zero overlap drop out of BOTH
+# engines identically (inner join + group — the LSH sweep's documented
+# caveat).
+#
+# r13 verification record (the queue contract): DuckDB-exact under a
+# vanilla session at sf0.001/sf0.01/sf0.1 (sf0.001 shows the real
+# curve 0.7/0.9/1.0; the larger SFs saturate at 1.0 on the
+# near-isotropic fixture); arm-monotonicity pinned (recall
+# non-decreasing in n_probe) and the n_probe=4 arm pinned equal to
+# sim_recall_at_k's answer; 10x embeddings replica probe: wall x1.6,
+# constant output (one scored scan); first 7-rep interleaved median
+# 1.119 s at sf0.1 (loadavg 6, control s4 at its floor in the same
+# reps). cosine_pairs_df gained the extra_cols passthrough for the
+# probe_rank column — grouping-key widening only, all nine existing
+# callers regression-run green.
+# ---------------------------------------------------------------------------
+_ORACLE_IVF_SWEEP = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 16),
+    assign AS (
+      SELECT e.vec_id, e.v, s.sid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(LIST_COSINE_SIMILARITY(e.v, s.sv), 6) DESC, s.sid
+             ) AS rn
+      FROM e CROSS JOIN seeds s
+    ),
+    clus AS (SELECT vec_id, v, sid FROM assign WHERE rn = 1),
+    probe AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    pc AS (
+      SELECT s.sid,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND(LIST_COSINE_SIMILARITY(p.qv, s.sv), 6) DESC, s.sid
+             ) AS pr
+      FROM seeds s CROSS JOIN probe p
+    ),
+    exact AS (
+      SELECT e.vec_id FROM e CROSS JOIN probe p WHERE e.vec_id != 0
+      ORDER BY ROUND(LIST_COSINE_SIMILARITY(e.v, p.qv), 6) DESC, e.vec_id
+      LIMIT 10
+    ),
+    arm2 AS (
+      SELECT c.vec_id FROM clus c JOIN pc ON pc.sid = c.sid AND pc.pr <= 2
+      CROSS JOIN probe p WHERE c.vec_id != 0
+      ORDER BY ROUND(LIST_COSINE_SIMILARITY(c.v, p.qv), 6) DESC, c.vec_id
+      LIMIT 10
+    ),
+    arm4 AS (
+      SELECT c.vec_id FROM clus c JOIN pc ON pc.sid = c.sid AND pc.pr <= 4
+      CROSS JOIN probe p WHERE c.vec_id != 0
+      ORDER BY ROUND(LIST_COSINE_SIMILARITY(c.v, p.qv), 6) DESC, c.vec_id
+      LIMIT 10
+    ),
+    arm8 AS (
+      SELECT c.vec_id FROM clus c JOIN pc ON pc.sid = c.sid AND pc.pr <= 8
+      CROSS JOIN probe p WHERE c.vec_id != 0
+      ORDER BY ROUND(LIST_COSINE_SIMILARITY(c.v, p.qv), 6) DESC, c.vec_id
+      LIMIT 10
+    ),
+    u AS (
+      SELECT 2 AS budget, vec_id FROM arm2
+      UNION ALL SELECT 4, vec_id FROM arm4
+      UNION ALL SELECT 8, vec_id FROM arm8
+    )
+    SELECT CAST(budget AS INT) AS n_probe,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(ROUND(CAST(COUNT(*) AS DOUBLE) / 10, 6) AS DOUBLE) AS recall
+    FROM u JOIN exact USING (vec_id)
+    GROUP BY budget
+"""
+
+
+def sim_ivf_probe_sweep(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
+    """IVF n_probe recall curve (2/4/8) against the exact top-10 — see
+    the block above."""
+    from mysql2psql_spark.operators.embedding import ivf_scored_candidates
+    from mysql2psql_spark.operators.materialize import materialize
+    from mysql2psql_spark.queries.similarity_q import sim_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = sim_cosine_topk(spark, sf_dir).select("vec_id")
+    scored = materialize(
+        ivf_scored_candidates(emb, probe_id=0, n_centroids=16, max_probe=8)
+    )
+    if caches is not None:
+        caches.append(scored)
+    arms = None
+    for budget in (2, 4, 8):
+        arm = (
+            scored.filter(F.col("probe_rank") <= budget)
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+            .limit(10)
+            .select(F.lit(budget).alias("budget"), "vec_id")
+        )
+        arms = arm if arms is None else arms.unionByName(arm)
+    return (
+        arms.join(exact, "vec_id")
+        .groupBy(F.col("budget").cast("int").alias("n_probe"))
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            "n_probe",
+            "n_hits",
+            F.round(F.col("n_hits").cast("double") / 10, 6).cast("double").alias("recall"),
+        )
+    )

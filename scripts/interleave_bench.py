@@ -113,6 +113,7 @@ FLOORS = {
     "sim_centroid_prune": 1.157,
     "graph_jaccard_neighbors": 0.961,
     "events_changepoint": 0.567,
+    "sim_ivf_probe_sweep": 1.119,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),

@@ -2381,3 +2381,35 @@ def test_events_changepoint_finds_planted_step(spark):
     assert sh.cp_bucket == plant_epoch - plant_epoch % 3600, (sh, plant_epoch)
     assert sh.cusum_stat > 10 * max(fl.cusum_stat, 1e-9)
     assert sh.mean_after > sh.mean_before * 2
+
+
+# --- IVF probe sweep (QUEUED r14+ registration) ---------------------------
+
+
+def test_ivf_probe_sweep_matches_oracle(spark, duck):
+    """Full DuckDB differential for the queued sim_ivf_probe_sweep query
+    at sf0.01, plus the curve invariants: recall non-decreasing in
+    n_probe, and the n_probe=4 arm equal to sim_recall_at_k's answer
+    (identical construction)."""
+    import pandas as pd
+
+    from mysql2psql_spark.operators.materialize import CacheHandle
+    from mysql2psql_spark.queries import QUERIES
+    from mysql2psql_spark.queries.embedding_q import (
+        _ORACLE_IVF_SWEEP,
+        sim_ivf_probe_sweep,
+    )
+
+    with CacheHandle() as caches:
+        got = sim_ivf_probe_sweep(spark, SF_DIR_ORACLE, caches=caches).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_IVF_SWEEP).df()
+    g = got.sort_values("n_probe").reset_index(drop=True)[sorted(got.columns)]
+    w = want.sort_values("n_probe").reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+    rec = g.sort_values("n_probe").recall.tolist()
+    assert rec == sorted(rec), rec  # more probes can only help
+    at4 = g[g.n_probe == 4]
+    want4 = QUERIES["sim_recall_at_k"](spark, SF_DIR_ORACLE).collect()[0]
+    assert int(at4.n_hits.iloc[0]) == want4.n_hits
