@@ -75,7 +75,13 @@ def drift_counts(tagged: DataFrame) -> DataFrame:
 def drift_psi_tail(counts: DataFrame) -> DataFrame:
     """The PSI computation over summed (dim, bucket, period, n) counts:
     pivot periods to n_a/n_b, window the per-dim totals, emit shares +
-    the Laplace-smoothed PSI term. Deterministic in the counts alone."""
+    the Laplace-smoothed PSI term. Deterministic in the counts alone.
+
+    Precondition (the midpoint split guarantees it whenever mn < mx:
+    the min-et row lands in period a and the max-et row in period b):
+    every dim sees BOTH periods. A one-period input zeroes a raw-share
+    denominator, which ANSI mode correctly refuses — the same
+    degenerate-input class as the documented vmx = vmn limit."""
     nb_counts = counts.groupBy("dim", "bucket").agg(
         F.sum(F.when(F.col("period") == 0, F.col("n")).otherwise(0))
         .cast("bigint")

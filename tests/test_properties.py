@@ -344,3 +344,73 @@ def test_budget_capped_sample_matches_bruteforce(spark_prop, rows, budget):
             if cum <= budget:
                 want[(k, dom)] = cum
     assert got == want
+
+
+@given(
+    counts=st.lists(
+        st.tuples(
+            st.sampled_from(["d1", "d2"]),
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.integers(min_value=0, max_value=1),  # period
+            st.integers(min_value=1, max_value=500),  # n
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: (t[0], t[1], t[2]),
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_drift_psi_tail_matches_python_model(spark_prop, counts):
+    """operators/drift.py::drift_psi_tail over ARBITRARY summed count
+    tables must equal an independent python restatement of the smoothed
+    PSI formula (shares from raw counts, +1-per-bucket Laplace terms,
+    6dp rounding), and every term must be non-negative. Inputs respect
+    the real-data invariant the midpoint split guarantees whenever
+    mn < mx: every dim sees BOTH periods (the min-et row lands in a,
+    the max-et row in b) — a one-period dim would zero a share
+    denominator, which ANSI mode correctly refuses."""
+    import math
+
+    from hypothesis import assume
+
+    from mysql2psql_spark.operators.drift import drift_psi_tail
+
+    for dim in {c[0] for c in counts}:
+        periods = {c[2] for c in counts if c[0] == dim}
+        assume(periods == {0, 1})
+
+    df = spark_prop.createDataFrame(
+        counts, "dim string, bucket string, period int, n bigint"
+    )
+    got = {
+        (r.dim, r.bucket): (r.n_a, r.n_b, r.share_a, r.share_b, r.psi_term)
+        for r in drift_psi_tail(df).collect()
+    }
+    # python model
+    agg: dict = {}
+    for dim, bucket, period, n in counts:
+        cell = agg.setdefault((dim, bucket), [0, 0])
+        cell[period] += n
+    want = {}
+    for dim in {d for d, _ in agg}:
+        cells = {b: v for (d, b), v in agg.items() if d == dim}
+        tot_a = sum(v[0] for v in cells.values())
+        tot_b = sum(v[1] for v in cells.values())
+        nb = len(cells)
+        for b, (n_a, n_b) in cells.items():
+            pa = (n_a + 1) / (tot_a + nb)
+            pb = (n_b + 1) / (tot_b + nb)
+            want[(dim, b)] = (
+                n_a,
+                n_b,
+                round(n_a / tot_a, 6),
+                round(n_b / tot_b, 6),
+                round((pa - pb) * math.log(pa / pb), 6),
+            )
+    assert set(got) == set(want)
+    for k, (n_a, n_b, sa, sb, term) in want.items():
+        g = got[k]
+        assert (g[0], g[1]) == (n_a, n_b), k
+        for gi, wi in zip(g[2:], (sa, sb, term)):
+            assert gi is not None and abs(gi - wi) < 2e-6, (k, gi, wi)
+        assert g[4] >= 0
