@@ -394,3 +394,31 @@ def test_pq_train_step_corpus_never_shuffles(spark):
     assert "CartesianProduct" not in plan
     # formatted explain prints each node twice (tree + detail)
     assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+
+
+def test_kmeans_train_plan_constant_across_iterations(spark):
+    """The Lloyd trainer's RESULT plan must not grow with the iteration
+    count: every iteration restarts from the materialized base (seeds
+    ride the closure as literals), so unlike a naively-chained iterative
+    frame there is NO nested lineage to checkpoint away — the final
+    plan at 1 and at 3 iterations differs only in centroid literals."""
+    import re as _re
+
+    from mysql2psql_spark.operators.embedding import kmeans_train
+    from mysql2psql_spark.sources import load_table
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+
+    def shape(n_it: int) -> str:
+        plan = _plan(kmeans_train(emb, n_centroids=4, n_iterations=n_it))
+        # strip literal arrays and plan ids so only the operator tree
+        # shape remains
+        plan = _re.sub(r"-?\d+\.\d+(E-?\d+)?", "#", plan)
+        plan = _re.sub(r"#\d+", "#", plan)
+        plan = _re.sub(r"\(\d+\)", "()", plan)
+        plan = _re.sub(r"plan_id=\d+", "plan_id=#", plan)
+        plan = _re.sub(r"MapPartitionsRDD\[\d+\]", "MapPartitionsRDD[#]", plan)
+        return plan
+
+    s1, s3 = shape(1), shape(3)
+    assert s1 == s3, (len(s1), len(s3))
