@@ -114,6 +114,7 @@ FLOORS = {
     "graph_jaccard_neighbors": 0.961,
     "events_changepoint": 0.567,
     "sim_ivf_probe_sweep": 1.119,
+    "o7_compaction_plan": 1.107,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),

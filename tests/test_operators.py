@@ -2413,3 +2413,76 @@ def test_ivf_probe_sweep_matches_oracle(spark, duck):
     at4 = g[g.n_probe == 4]
     want4 = QUERIES["sim_recall_at_k"](spark, SF_DIR_ORACLE).collect()[0]
     assert int(at4.n_hits.iloc[0]) == want4.n_hits
+
+
+# --- compaction planning (QUEUED r14+ registration) -----------------------
+
+
+def test_o7_compaction_plan_matches_oracle_and_replay(spark, duck):
+    """Full DuckDB differential for the queued o7_compaction_plan at
+    sf0.01, plus a pure-python offset-binning replay: rebuild the file
+    inventory from the raw rows, pack by (starting offset) div target,
+    and require the identical group rollup."""
+    import pandas as pd
+
+    from mysql2psql_spark.operators.timeutil import epoch_of
+    from mysql2psql_spark.queries.core import (
+        _O7_ROW_BYTES,
+        _O7_TARGET,
+        _ORACLE_COMPACTION,
+        o7_compaction_plan,
+    )
+    from mysql2psql_spark.sources import load_table
+
+    got = o7_compaction_plan(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_COMPACTION).df()
+    key = sorted(got.columns)
+    g = got[key].sort_values(by=key).reset_index(drop=True)
+    w = want[key].sort_values(by=key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+
+    li = load_table(spark, SF_DIR_ORACLE, "lineitem")
+    ep = epoch_of(li, "l_shipdate")
+    rows = li.select(
+        "l_returnflag", "l_linestatus", ep("l_shipdate").alias("e")
+    ).collect()
+    inv: dict = {}
+    for r in rows:
+        k = (r.l_returnflag, r.l_linestatus, r.e // 86400)
+        inv[k] = inv.get(k, 0) + 1
+    want_groups: dict = {}
+    parts = {(rf, ls) for rf, ls, _ in inv}
+    for rf, ls in parts:
+        days = sorted(d for rrf, lls, d in inv if (rrf, lls) == (rf, ls))
+        cum = 0
+        for d in days:
+            n = inv[(rf, ls, d)]
+            b = n * _O7_ROW_BYTES
+            grp = cum // _O7_TARGET
+            cell = want_groups.setdefault((rf, ls, grp), [0, 0, 0])
+            cell[0] += 1
+            cell[1] += n
+            cell[2] += b
+            cum += b
+    got_groups = {
+        (r.l_returnflag, r.l_linestatus, r.file_group): [
+            r.n_files,
+            r.n_rows,
+            r.group_bytes,
+        ]
+        for r in got.itertuples()
+    }
+    assert got_groups == want_groups
+    # groups partition the inventory; every non-final group of a
+    # partition STRADDLES its bin boundary (the offset rule's invariant:
+    # the next group starts only once cum crosses the boundary)
+    for (rf, ls), _ in [((rf, ls), None) for rf, ls in parts]:
+        grps = sorted(g for rrf, lls, g in want_groups if (rrf, lls) == (rf, ls))
+        cum = 0
+        for i, g_id in enumerate(grps):
+            cum += want_groups[(rf, ls, g_id)][2]
+            if i < len(grps) - 1:
+                assert cum > (g_id + 1) * _O7_TARGET - _O7_TARGET  # started in-bin
+                assert cum >= g_id * _O7_TARGET  # monotone
