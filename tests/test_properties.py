@@ -414,3 +414,83 @@ def test_drift_psi_tail_matches_python_model(spark_prop, counts):
         for gi, wi in zip(g[2:], (sa, sb, term)):
             assert gi is not None and abs(gi - wi) < 2e-6, (k, gi, wi)
         assert g[4] >= 0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=400),  # o_orderkey
+            st.integers(min_value=1, max_value=50),  # o_custkey
+            st.sampled_from(["O", "F", "P"]),
+            st.floats(min_value=1.0, max_value=9999.0, allow_nan=False, width=32),
+            st.sampled_from(["1-URGENT", "3-MEDIUM", "5-LOW"]),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_snapshot_diff_reconstructs_b_from_a(spark_prop, rows):
+    """m7's change set, APPLIED to snapshot A in pure python (delete the
+    removed keys, add the added keys, patch exactly the columns each
+    'changed' row names with B's rule-derived values), must reconstruct
+    snapshot B — the round-trip that makes a diff a usable CDC
+    bootstrap, checked over arbitrary key sets."""
+    import datetime as dt
+    import tempfile
+
+    from mysql2psql_spark.queries.migration_q import m7_snapshot_diff
+
+    base_ts = dt.datetime(2024, 3, 1)
+    full = [
+        (k, ck, st_, float(tp), base_ts + dt.timedelta(days=k % 30), pr)
+        for k, ck, st_, tp, pr in rows
+    ]
+    df = spark_prop.createDataFrame(
+        full,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+        diff = m7_snapshot_diff(spark_prop, tmp).collect()
+
+    a = {r[0]: r for r in full}
+    # B by the rules (the operator's construction, replayed)
+    b_want = {}
+    for k, rec in a.items():
+        if k % 97 == 3:
+            pass  # removed
+        else:
+            b_want[k] = (
+                rec[1],
+                "X" if k % 89 == 7 else rec[2],
+                rec[3] + 1.5 if k % 91 == 5 else rec[3],
+                rec[4],
+                "9-REASSIGNED" if k % 89 == 7 else rec[5],
+            )
+        if k % 101 == 11:
+            b_want[k + 100000000] = (rec[1], "N", rec[3], rec[4], rec[5])
+    # apply the DIFF to A
+    b_got = {k: (r[1], r[2], r[3], r[4], r[5]) for k, r in a.items()}
+    for d in diff:
+        k = d.o_orderkey
+        if d.change_type == "removed":
+            del b_got[k]
+        elif d.change_type == "added":
+            src = a[k - 100000000]
+            b_got[k] = (src[1], "N", src[3], src[4], src[5])
+        else:
+            cur = list(b_got[k])
+            for col in d.changed_columns.split(","):
+                if col == "o_orderstatus":
+                    cur[1] = "X"
+                elif col == "o_totalprice":
+                    cur[2] = a[k][3] + 1.5
+                elif col == "o_orderpriority":
+                    cur[4] = "9-REASSIGNED"
+                else:
+                    raise AssertionError(f"unexpected changed col {col}")
+            b_got[k] = tuple(cur)
+    assert b_got == b_want
