@@ -494,3 +494,74 @@ def test_snapshot_diff_reconstructs_b_from_a(spark_prop, rows):
                     raise AssertionError(f"unexpected changed col {col}")
             b_got[k] = tuple(cur)
     assert b_got == b_want
+
+
+@given(
+    buckets=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),  # hour offset
+            st.integers(min_value=1, max_value=9),  # events that hour
+        ),
+        min_size=2,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_events_changepoint_matches_python_model(spark_prop, buckets):
+    """events_changepoint over an arbitrary single-type stream must
+    equal a pure-python CUSUM replay: dense hourly spine, S_t =
+    cum - t*mu, argmax |S_t| with earliest-bucket tiebreak, before/after
+    means."""
+    import datetime as dt
+    import tempfile
+
+    from hypothesis import assume
+
+    from mysql2psql_spark.queries.events_q import events_changepoint
+
+    hours = {h for h, _ in buckets}
+    assume(len(hours) >= 2)
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    for h, n in buckets:
+        for j in range(n):
+            rows.append(
+                (eid, base + dt.timedelta(hours=h, minutes=j), eid, "t", 1.0, "{}")
+            )
+            eid += 1
+    df = spark_prop.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        got = events_changepoint(spark_prop, tmp).collect()
+    assert len(got) == 1
+    g = got[0]
+    # python replay
+    cnt = dict(buckets)
+    lo, hi = min(hours), max(hours)
+    xs = [cnt.get(h, 0) for h in range(lo, hi + 1)]
+    nb = len(xs)
+    mu = sum(xs) / nb
+    best = None
+    cum = 0
+    for t, x in enumerate(xs, start=1):
+        cum += x
+        dev = abs(cum - t * mu)
+        if best is None or dev > best[0] + 1e-12:
+            best = (dev, t, cum)
+    dev, t, cum = best
+    assert g.n_buckets == nb
+    want_bucket = int((base + dt.timedelta(hours=lo + t - 1)).timestamp())
+    want_bucket -= want_bucket % 3600
+    assert g.cp_bucket == want_bucket
+    assert abs(g.cusum_stat - round(dev, 6)) < 1e-9
+    assert abs(g.mean_before - round(cum / t, 6)) < 1e-9
+    if nb > t:
+        assert abs(g.mean_after - round((sum(xs) - cum) / (nb - t), 6)) < 1e-9
+    else:
+        assert g.mean_after is None

@@ -570,3 +570,36 @@ def test_drift_gate_stream_matches_batch_query(spark, tmp_path):
     w = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
     pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
     assert len(g) > 0
+
+
+def test_drift_gate_replayed_batch_is_idempotent(spark, tmp_path):
+    """Structured Streaming guarantees at-least-once foreachBatch
+    invocation: re-invoking the drift gate with the SAME (batch, id)
+    must overwrite its own versioned partial, leaving the compacted
+    summary unchanged (the cdc_foreach_batch_sink replay discipline)."""
+    import pandas as pd
+
+    from mysql2psql_spark.operators.drift import drift_bounds
+    from mysql2psql_spark.operators.timeutil import epoch_of
+    from mysql2psql_spark.sources import load_table
+    from mysql2psql_spark.streaming.events import (
+        drift_counts_foreach_batch,
+        read_drift_summary,
+    )
+
+    e = load_table(spark, SF_DIR, "events")
+    ep = epoch_of(e)
+    bounds = drift_bounds(e.select(ep("ts").alias("et"), "event_type", "value"))
+    out_dir = str(tmp_path / "drift_replay")
+    gate = drift_counts_foreach_batch(bounds, out_dir)
+    b0 = e.filter(F.col("event_id") % 2 == 0)
+    b1 = e.filter(F.col("event_id") % 2 == 1)
+    gate(b0, 0)
+    gate(b1, 1)
+    first = read_drift_summary(spark, out_dir).toPandas()
+    gate(b1, 1)  # the replayed trigger
+    second = read_drift_summary(spark, out_dir).toPandas()
+    key = ["dim", "bucket"]
+    f = first.sort_values(key).reset_index(drop=True)
+    s = second.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(f, s, check_exact=True)
