@@ -1093,7 +1093,11 @@ def centroid_prune(
     agg, see :func:`_lloyd_centroids`) + one assignment pass + ONE
     cluster-partitioned window over (cluster)-keyed rows — the
     per-cluster ranking shuffles each row once and never compares
-    pairs."""
+    pairs. Parallelism note: the window runs one task per cluster, so
+    n_centroids is the parallelism AND the per-task row bound — at
+    production scale k scales with the corpus (the same
+    cluster-size-bounding discipline knn_label_audit documents), which
+    simultaneously keeps every cluster window executor-sized."""
     from pyspark.sql.window import Window as _W
 
     from mysql2psql_spark.operators.materialize import materialize as _materialize

@@ -341,7 +341,14 @@ def drift_counts_foreach_batch(bounds: DataFrame, out_dir: str):
 def read_drift_summary(spark, out_dir: str) -> DataFrame:
     """PSI summary over everything the gate has seen: sum the per-batch
     count partials (associative) and run the shared PSI tail — schema
-    and values identical to profile_drift_psi over the same rows."""
+    and values identical to profile_drift_psi over the same rows.
+
+    Long-stream posture: one bucket-sized partial lands per trigger, so
+    a months-long stream accumulates many tiny files under out_dir. The
+    partials' ASSOCIATIVITY is also the maintenance contract: a periodic
+    job may replace batch=[0..n] with their one summed partial (same
+    schema) without changing any future summary — the standard
+    roll-up-compaction every versioned-partial sink runs."""
     from mysql2psql_spark.operators.drift import drift_psi_tail
 
     schema = "dim string, bucket string, period int, n bigint"
