@@ -115,6 +115,7 @@ FLOORS = {
     "events_changepoint": 0.567,
     "sim_ivf_probe_sweep": 1.119,
     "o7_compaction_plan": 1.107,
+    "graph_adamic_adar": 1.485,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),

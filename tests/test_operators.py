@@ -2486,3 +2486,59 @@ def test_o7_compaction_plan_matches_oracle_and_replay(spark, duck):
             if i < len(grps) - 1:
                 assert cum > (g_id + 1) * _O7_TARGET - _O7_TARGET  # started in-bin
                 assert cum >= g_id * _O7_TARGET  # monotone
+
+
+# --- Adamic-Adar link prediction (QUEUED r14+/r15 registration) -----------
+
+
+def test_adamic_adar_matches_oracle_and_bruteforce(spark, duck):
+    """Full DuckDB differential for the queued graph_adamic_adar at
+    sf0.01, plus an independent python replay at sf0.001 (recompute
+    every candidate's nano-quantized AA score and re-rank with the same
+    tiebreaks)."""
+    import math
+
+    import pandas as pd
+
+    from mysql2psql_spark.queries.graph_q import (
+        _ORACLE_ADAMIC_ADAR,
+        graph_adamic_adar,
+    )
+    from mysql2psql_spark.sources import load_table
+
+    got = graph_adamic_adar(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_ADAMIC_ADAR).df()
+    key = sorted(got.columns)
+    g = got[key].sort_values(by=key).reset_index(drop=True)
+    w = want[key].sort_values(by=key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+    assert len(g) == 100
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey")
+    od = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    pairs = {
+        (r.l_suppkey, r.o_custkey)
+        for r in li.join(od, li.l_orderkey == od.o_orderkey).collect()
+    }
+    nbrs: dict[int, set] = {}
+    cdeg: dict[int, int] = {}
+    for s, c in pairs:
+        nbrs.setdefault(s, set()).add(c)
+        cdeg[c] = cdeg.get(c, 0) + 1
+    cand = []
+    ss = sorted(nbrs)
+    for i, a in enumerate(ss):
+        for b in ss[i + 1 :]:
+            shared = nbrs[a] & nbrs[b]
+            if shared:
+                q = sum(round(1e9 / math.log(cdeg[c])) for c in shared)
+                cand.append((-round(q / 1e9, 6), a, b, len(shared)))
+    cand.sort()
+    want_small = [(a, b, n, -nj) for nj, a, b, n in cand[:100]]
+    got_small = [
+        (r.s_a, r.s_b, r.n_shared, r.aa_score)
+        for r in graph_adamic_adar(spark, SF_DIR).collect()
+    ]
+    assert got_small == want_small
