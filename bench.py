@@ -250,6 +250,22 @@ HEADLINE = [
     # round-13: the two r12-queued registrations (VERDICT r12 #1)
     "dedup_minhash_incremental",
     "dedup_leakage_safe_split",
+    # round-14: the twelve r13-queued registrations (VERDICT r13 #1 /
+    # SURVEY §17.4) — streaming gate batch twin, incremental CC
+    # maintenance, drift/changepoint monitoring, snapshot diff, the ANN
+    # index-training quartet, the link-prediction pair, compaction plan
+    "stream_near_dup_gate",
+    "dedup_clusters_incremental",
+    "profile_drift_psi",
+    "events_changepoint",
+    "m7_snapshot_diff",
+    "sim_kmeans_train",
+    "sim_pq_train_step",
+    "sim_centroid_prune",
+    "sim_ivf_probe_sweep",
+    "graph_jaccard_neighbors",
+    "graph_adamic_adar",
+    "o7_compaction_plan",
 ]
 
 

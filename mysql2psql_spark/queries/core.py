@@ -1217,6 +1217,7 @@ _ORACLE_COMPACTION = f"""
 """
 
 
+@query("o7_compaction_plan", oracle=_ORACLE_COMPACTION)
 def o7_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offset-binned compaction groups over the simulated file
     inventory — see the block above."""

@@ -1062,6 +1062,7 @@ _ORACLE_STREAM_GATE = f"""
 """
 
 
+@query("stream_near_dup_gate", oracle=_ORACLE_STREAM_GATE)
 def stream_near_dup_gate(
     spark: SparkSession, sf_dir: str, caches=None
 ) -> DataFrame:
@@ -1188,6 +1189,7 @@ def stream_near_dup_gate(
 # case). 5x replica probe: x2.6 wall at x5 docs under ~25x pair fan-out
 # (256 -> 6,400 pairs; truth-pipeline-bound, the recall gate's class).
 # ---------------------------------------------------------------------------
+@query("dedup_clusters_incremental", oracle=_ORACLE_REG["dedup_clusters"])
 def dedup_clusters_incremental(
     spark: SparkSession, sf_dir: str, caches=None
 ) -> DataFrame:

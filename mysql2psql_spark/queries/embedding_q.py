@@ -664,6 +664,7 @@ _ORACLE_KMEANS_TRAIN = (
 )
 
 
+@query("sim_kmeans_train", oracle=_ORACLE_KMEANS_TRAIN)
 def sim_kmeans_train(
     spark: SparkSession, sf_dir: str, caches=None
 ) -> DataFrame:
@@ -733,6 +734,7 @@ _ORACLE_CENTROID_PRUNE = (
 )
 
 
+@query("sim_centroid_prune", oracle=_ORACLE_CENTROID_PRUNE)
 def sim_centroid_prune(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
     """Prototype-pruning list over the embeddings corpus — see the block
     above."""
@@ -823,6 +825,7 @@ _ORACLE_IVF_SWEEP = """
 """
 
 
+@query("sim_ivf_probe_sweep", oracle=_ORACLE_IVF_SWEEP)
 def sim_ivf_probe_sweep(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
     """IVF n_probe recall curve (2/4/8) against the exact top-10 — see
     the block above."""

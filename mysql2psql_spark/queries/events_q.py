@@ -1183,6 +1183,7 @@ _ORACLE_DRIFT_PSI = """
 """
 
 
+@query("profile_drift_psi", oracle=_ORACLE_DRIFT_PSI)
 def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability drift per (dimension, bucket) between the
     first and second time halves of `events` — see the block above.
@@ -1279,6 +1280,7 @@ _ORACLE_CHANGEPOINT = """
 """
 
 
+@query("events_changepoint", oracle=_ORACLE_CHANGEPOINT)
 def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type CUSUM changepoint over hourly event counts — see the
     block above."""

@@ -629,6 +629,7 @@ _ORACLE_JACCARD_NEIGHBORS = """
 """
 
 
+@query("graph_jaccard_neighbors", oracle=_ORACLE_JACCARD_NEIGHBORS)
 def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 supplier pairs by customer-set Jaccard — see the block
     above. Consumes the session's bucketed sc_pairs table (encoded ids:
@@ -711,6 +712,7 @@ _ORACLE_ADAMIC_ADAR = """
 """
 
 
+@query("graph_adamic_adar", oracle=_ORACLE_ADAMIC_ADAR)
 def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 supplier pairs by Adamic-Adar over shared customers — see
     the block above. Same encoded-id decode as graph_jaccard_neighbors."""

@@ -526,6 +526,7 @@ _ORACLE_SNAPSHOT_DIFF = """
 """
 
 
+@query("m7_snapshot_diff", oracle=_ORACLE_SNAPSHOT_DIFF)
 def m7_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation: the change set between snapshot A
     (orders as-is) and the deterministically mutated snapshot B — see

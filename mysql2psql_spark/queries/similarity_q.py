@@ -915,6 +915,7 @@ _ORACLE_PQ_TRAIN = f"""
 """
 
 
+@query("sim_pq_train_step", oracle=_ORACLE_PQ_TRAIN)
 def sim_pq_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One PQ codebook k-means step over the embeddings corpus — see the
     block above."""
