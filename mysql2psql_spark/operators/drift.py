@@ -77,11 +77,15 @@ def drift_psi_tail(counts: DataFrame) -> DataFrame:
     pivot periods to n_a/n_b, window the per-dim totals, emit shares +
     the Laplace-smoothed PSI term. Deterministic in the counts alone.
 
-    Precondition (the midpoint split guarantees it whenever mn < mx:
-    the min-et row lands in period a and the max-et row in period b):
-    every dim sees BOTH periods. A one-period input zeroes a raw-share
-    denominator, which ANSI mode correctly refuses — the same
-    degenerate-input class as the documented vmx = vmn limit."""
+    The batch query's midpoint split guarantees both periods whenever
+    mn < mx (min-et lands in period a, max-et in period b), but the
+    streaming gate does NOT inherit that guarantee: a stream arriving in
+    time order has only period-0 counts until it crosses the frozen
+    midpoint, so a mid-stream summary read sees tot_b = 0. A dim with a
+    zero period total gets NULL share/psi_term for that side — a partial
+    profile, not a failure — instead of tripping ANSI division by zero.
+    Once both periods have counts the output is bit-identical to the
+    unguarded form, so the batch oracle is unaffected."""
     nb_counts = counts.groupBy("dim", "bucket").agg(
         F.sum(F.when(F.col("period") == 0, F.col("n")).otherwise(0))
         .cast("bigint")
@@ -101,7 +105,14 @@ def drift_psi_tail(counts: DataFrame) -> DataFrame:
         "bucket",
         "n_a",
         "n_b",
-        F.round(F.col("n_a").cast("double") / tot_a, 6).alias("share_a"),
-        F.round(F.col("n_b").cast("double") / tot_b, 6).alias("share_b"),
-        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+        F.when(
+            tot_a > 0, F.round(F.col("n_a").cast("double") / tot_a, 6)
+        ).alias("share_a"),
+        F.when(
+            tot_b > 0, F.round(F.col("n_b").cast("double") / tot_b, 6)
+        ).alias("share_b"),
+        F.when(
+            (tot_a > 0) & (tot_b > 0),
+            F.round((pa - pb) * F.log(pa / pb), 6),
+        ).alias("psi_term"),
     )

@@ -1018,7 +1018,13 @@ def pq_train_step(
                     if k == 0:
                         continue
                     sq = x[mask, j, :].sum(axis=0)
-                    sd = int(dj[mask].sum())
+                    # per-cell distances are int64-bounded (~sub_dim *
+                    # qx_range^2 ≈ 6e13 each) but their BATCH sum is
+                    # not: ~1.5e5 members in one Arrow batch could wrap
+                    # int64 silently. Object dtype sums via Python ints
+                    # (arbitrary precision); the downstream partial is
+                    # DECIMAL(38,0), so the exactness survives the agg.
+                    sd = int(dj[mask].astype(object).sum())
                     for pos in range(sub_dim):
                         out["j"].append(j)
                         out["c"].append(c)
@@ -1028,14 +1034,18 @@ def pq_train_step(
                         out["sum_d2n"].append(sd if pos == 0 else 0)
             yield pd.DataFrame(out)
 
+    # sum_d2n crosses the Arrow boundary as decimal(38,0): the per-cell
+    # batch sum is a Python int that can legitimately exceed int64 (the
+    # same bound the kernel comment derives), and a `long` column would
+    # overflow at conversion exactly where the old int64 sum wrapped.
     p = q.mapInPandas(
         partials,
-        schema="j int, c int, pos int, sum_qx long, n long, sum_d2n long",
+        schema="j int, c int, pos int, sum_qx long, n long, sum_d2n decimal(38,0)",
     )
     agg = p.groupBy("j", "c", "pos").agg(
         F.sum(F.col("sum_qx").cast("decimal(38,0)")).alias("sq"),
         F.sum("n").alias("n_part"),
-        F.sum(F.col("sum_d2n").cast("decimal(38,0)")).alias("sd_part"),
+        F.sum("sum_d2n").alias("sd_part"),
     )
     # per-cell totals via a window over the codebook-sized agg frame — a
     # separate stats aggregation joined back would consume `agg` twice

@@ -325,11 +325,41 @@ def drift_counts_foreach_batch(bounds: DataFrame, out_dir: str):
     """Return a foreachBatch function writing each micro-batch's
     (dim, bucket, period) count partial to {out_dir}/batch=<id>.
     ``bounds`` is the frozen 1-row bin-definition frame
-    (operators/drift.py::drift_bounds over the reference window)."""
+    (operators/drift.py::drift_bounds over the reference window).
+
+    LIFETIME CONTRACT: ``out_dir`` is coupled to the query's CHECKPOINT
+    lineage, not to the gate object. The batch_id-versioned overwrite is
+    idempotent only because a checkpointed restart replays the same ids;
+    restarting with a NEW or cleared checkpoint restarts ids at 0, and
+    an id-0 write over an out_dir that already holds later partials
+    would silently shadow them under the same names, corrupting every
+    future summary. That exact case is refused below: batch 0 arriving
+    while batch>0 partials exist raises instead of overwriting — clear
+    (or rotate) out_dir together with the checkpoint. A per-run
+    subdirectory would NOT fix this: same-lineage replays would land in
+    a fresh run dir and double-count the replayed trigger."""
     from mysql2psql_spark.operators.drift import drift_counts, drift_tagged
     from mysql2psql_spark.operators.timeutil import epoch_of
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id == 0:
+            spark = batch_df.sparkSession
+            fs, path, jvm = _hadoop_fs(spark, out_dir)
+            if fs.exists(path):
+                stale = [
+                    s.getPath().getName()
+                    for s in fs.listStatus(path)
+                    if s.getPath().getName().startswith("batch=")
+                    and s.getPath().getName() != "batch=0"
+                ]
+                if stale:
+                    raise RuntimeError(
+                        f"drift gate: fresh query lineage (batch 0) over "
+                        f"{out_dir} which already holds {sorted(stale)}; "
+                        "the checkpoint was cleared without clearing "
+                        "out_dir — overwriting would corrupt the summary. "
+                        "Clear or rotate out_dir with the checkpoint."
+                    )
         ep = epoch_of(batch_df)
         ev = batch_df.select(ep("ts").alias("et"), "event_type", "value")
         part = drift_counts(drift_tagged(ev, bounds))

@@ -2174,6 +2174,33 @@ def test_pq_train_step_matches_oracle(spark, duck):
     assert len(per_sub) == _PQ_M
 
 
+def test_pq_train_step_distance_sum_exact_past_int64(spark):
+    """ADVICE r13: the kernel's per-batch cell distance sum used int64
+    numpy accumulation, which wraps silently once a large Arrow batch of
+    large-magnitude vectors pushes the true sum past 2^63. The sum now
+    accumulates in Python ints and crosses the Arrow boundary as
+    decimal(38,0). Construct the wrap case exactly: one 150,001-row
+    batch, codebook [0,0], members [6,6] → per-row distance
+    2·(6e6)² = 7.2e13, true cell sum 1.08e19 > int64 max 9.22e18 —
+    the old kernel reported a wrapped (negative) distortion here."""
+    from mysql2psql_spark.operators.embedding import pq_train_step
+
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "200000")
+    try:
+        rows = [(0, [0.0, 0.0])] + [(i, [6.0, 6.0]) for i in range(1, 150001)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1)
+        r = pq_train_step(df, m=1, n_centroids=1, sub_dim=2).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_batch)
+    true_sd = 150000 * 2 * (6_000_000 ** 2)
+    want = round((true_sd / 150001) / 1e12, 6)
+    assert r["n_members"] == 150001
+    assert abs(float(r["distortion"]) - want) < 1e-6, r["distortion"]
+
+
 def test_pq_train_step_matches_numpy_recompute(spark):
     """Independent-implementation differential: a driver-side numpy
     replay of quantize -> assign -> per-cell stats over the sf0.001

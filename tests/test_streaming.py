@@ -603,3 +603,64 @@ def test_drift_gate_replayed_batch_is_idempotent(spark, tmp_path):
     f = first.sort_values(key).reset_index(drop=True)
     s = second.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(f, s, check_exact=True)
+
+
+def test_drift_gate_refuses_fresh_lineage_over_stale_out_dir(spark, tmp_path):
+    """The batch_id-versioned overwrite is idempotent only within ONE
+    checkpoint lineage. A query restarted with a new/cleared checkpoint
+    restarts ids at 0; writing that batch 0 over an out_dir still
+    holding later partials would silently shadow them and corrupt every
+    future summary — the gate must refuse it loudly. A batch-0 replay
+    over an out_dir holding ONLY batch=0 stays legal (same-lineage
+    retry of the first trigger)."""
+    import pytest
+
+    from mysql2psql_spark.operators.drift import drift_bounds
+    from mysql2psql_spark.operators.timeutil import epoch_of
+    from mysql2psql_spark.sources import load_table
+    from mysql2psql_spark.streaming.events import drift_counts_foreach_batch
+
+    e = load_table(spark, SF_DIR, "events")
+    ep = epoch_of(e)
+    bounds = drift_bounds(e.select(ep("ts").alias("et"), "event_type", "value"))
+    out_dir = str(tmp_path / "drift_stale")
+    gate = drift_counts_foreach_batch(bounds, out_dir)
+    b0 = e.filter(F.col("event_id") % 2 == 0)
+    b1 = e.filter(F.col("event_id") % 2 == 1)
+    gate(b0, 0)
+    gate(b0, 0)  # batch-0 retry within the lineage: legal
+    gate(b1, 1)
+    fresh_gate = drift_counts_foreach_batch(bounds, out_dir)
+    with pytest.raises(RuntimeError, match="checkpoint was cleared"):
+        fresh_gate(b0, 0)  # new lineage over stale partials: refused
+
+
+def test_drift_summary_readable_mid_stream_one_period(spark, tmp_path):
+    """A stream arriving in time order produces only period-0 counts
+    until it crosses the frozen midpoint; a summary read at that point
+    must return a partial profile (NULL share_b / psi_term, share_a
+    populated) rather than an ANSI division-by-zero error (ADVICE r13)."""
+    from mysql2psql_spark.operators.drift import drift_bounds
+    from mysql2psql_spark.operators.timeutil import epoch_of
+    from mysql2psql_spark.sources import load_table
+    from mysql2psql_spark.streaming.events import (
+        drift_counts_foreach_batch,
+        read_drift_summary,
+    )
+
+    e = load_table(spark, SF_DIR, "events")
+    ep = epoch_of(e)
+    ev = e.select(ep("ts").alias("et"), "event_type", "value")
+    bounds = drift_bounds(ev)  # frozen over the FULL window
+    b = bounds.first()
+    mid = (b["mn"] + b["mx"]) / 2
+    out_dir = str(tmp_path / "drift_mid")
+    gate = drift_counts_foreach_batch(bounds, out_dir)
+    # the first trigger: only rows from before the midpoint (time order)
+    gate(e.filter(ep("ts") <= F.lit(mid)), 0)
+    rows = read_drift_summary(spark, out_dir).collect()
+    assert rows, "mid-stream summary must be readable"
+    assert all(r["share_a"] is not None for r in rows)
+    assert all(r["share_b"] is None for r in rows)
+    assert all(r["psi_term"] is None for r in rows)
+    assert all(r["n_b"] == 0 for r in rows)
