@@ -1207,6 +1207,121 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# QUEUED (r15 registration per the window budget): the streaming drift
+# gate as driver-visible evidence (VERDICT r13 #5 — the
+# stream_near_dup_gate promotion pattern): run streaming/events.py::
+# drift_counts_foreach_batch in BATCH MODE (the foreachBatch closure
+# invoked on two deterministic event_id-parity micro-batches with the
+# bounds FROZEN over the full window, partials written batch_id-
+# versioned under the session scratch root), read the compacted summary
+# back via read_drift_summary, and audit it against the oracle-green
+# batch twin (profile_drift_psi) as ONE row. Counts are associative and
+# the PSI tail is a deterministic function of the summed counts, so
+# streamed == batch BIT-FOR-BIT for ANY micro-batch partitioning of the
+# same rows — a red driver row means the count decomposition broke (the
+# premise tests/test_streaming.py pins through a real two-trigger
+# readStream).
+#
+# Scale shape: per-trigger cost is one batch-sized scan reduced to a
+# bucket-sized count partial (map-side combined); the audit join is
+# bucket-sized x bucket-sized. The only files written are the
+# batch_id-versioned parquet partials under the session-scoped mkdtemp
+# scratch (atexit-cleaned). Both sides of the audit reuse the SAME
+# drift_psi_tail, so the comparison is NULL-safe-exact on all five
+# value columns, not approximate.
+#
+# r14 verification record (the queue contract): DuckDB-exact under a
+# vanilla session at sf0.001 (1 row), sf0.01, and sf0.1; the real
+# readStream equivalence + replayed-trigger idempotency + one-period
+# partial-profile reads are pinned in tests/test_streaming.py; the
+# fresh-lineage-over-stale-out_dir refusal is pinned there too. Floor
+# and 5x probe recorded below before the r15 flip (README probe table).
+# ---------------------------------------------------------------------------
+_ORACLE_STREAM_DRIFT = f"""
+    WITH psi AS ({_ORACLE_DRIFT_PSI})
+    SELECT CAST(2 AS BIGINT) AS n_triggers,
+           CAST(COUNT(*) AS BIGINT) AS stream_rows,
+           CAST(COUNT(*) AS BIGINT) AS batch_rows,
+           CAST(0 AS BIGINT) AS only_stream,
+           CAST(0 AS BIGINT) AS only_batch,
+           CAST(0 AS BIGINT) AS value_mismatches
+    FROM psi
+"""
+
+
+def stream_drift_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed-equals-batch audit for the foreachBatch PSI drift gate —
+    see the block above. The two micro-batches split events by event_id
+    parity (the test_streaming.py decomposition); partial writes are
+    idempotent (mode=overwrite per batch dir), so a re-entrant call in
+    the same session overwrites its own previous output."""
+    import os
+
+    from mysql2psql_spark.operators.drift import drift_bounds
+    from mysql2psql_spark.operators.layout import session_scratch
+    from mysql2psql_spark.streaming.events import (
+        drift_counts_foreach_batch,
+        read_drift_summary,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    ep = epoch_of(e)
+    ev = e.select(ep("ts").alias("et"), "event_type", "value")
+    bounds = drift_bounds(ev)  # FROZEN over the full window, both arms
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    out_dir = os.path.join(session_scratch(spark), f"stream_drift_{sf_tag}")
+    # each invocation is a FRESH query lineage (ids restart at 0), so
+    # rotate the partial dir with it — the exact out_dir/checkpoint
+    # coupling the gate's batch-0 guard enforces (a re-entrant call
+    # would otherwise be refused as a stale-partial overwrite)
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    gate = drift_counts_foreach_batch(bounds, out_dir)
+    gate(e.filter(F.col("event_id") % 2 == 0), 0)
+    gate(e.filter(F.col("event_id") % 2 == 1), 1)
+    streamed = read_drift_summary(spark, out_dir)
+    batch = profile_drift_psi(spark, sf_dir)
+    vals = ["n_a", "n_b", "share_a", "share_b", "psi_term"]
+    s = streamed.select(
+        "dim", "bucket", *[F.col(v).alias(f"s_{v}") for v in vals]
+    )
+    b = batch.select(
+        "dim", "bucket", *[F.col(v).alias(f"b_{v}") for v in vals]
+    )
+    j = s.join(b, ["dim", "bucket"], "full_outer")
+    eq = None
+    for v in vals:
+        c = F.col(f"s_{v}").eqNullSafe(F.col(f"b_{v}"))
+        eq = c if eq is None else (eq & c)
+    return j.agg(
+        F.count(F.col("s_n_a")).cast("bigint").alias("stream_rows"),
+        F.count(F.col("b_n_a")).cast("bigint").alias("batch_rows"),
+        F.sum(F.when(F.col("b_n_a").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("only_stream"),
+        F.sum(F.when(F.col("s_n_a").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("only_batch"),
+        F.sum(
+            F.when(
+                F.col("s_n_a").isNotNull() & F.col("b_n_a").isNotNull() & ~eq,
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("value_mismatches"),
+    ).select(
+        F.lit(2).cast("bigint").alias("n_triggers"),
+        "stream_rows",
+        "batch_rows",
+        "only_stream",
+        "only_batch",
+        "value_mismatches",
+    )
+
+
+# ---------------------------------------------------------------------------
 # QUEUED (r14+ registration per the window budget): CUSUM changepoint
 # detection per event type — profile_drift_psi's companion: PSI says
 # THAT the window shifted, CUSUM says WHEN. Hourly counts on a DENSE

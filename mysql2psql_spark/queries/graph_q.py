@@ -629,13 +629,60 @@ _ORACLE_JACCARD_NEIGHBORS = """
 """
 
 
+def _drop_hub_customers(sc: DataFrame, codegree_cap: int | None) -> DataFrame:
+    """The wedge build's input frame, optionally with HUB customers
+    removed — the 100 TB skew mitigation for the link-prediction pair.
+
+    Wedge volume is quadratic in a single customer's supplier-degree
+    (degree k fans into k*(k-1)/2 supplier pairs), so one mega-hub key
+    dominates total work no matter how the shuffle is split: salting or
+    AQE skew-split spreads the k^2 rows across tasks but cannot shrink
+    them. The principled bound is the standard high-degree-common
+    discard of the link-prediction literature: a customer served by
+    thousands of suppliers contributes ~zero signal (it inflates every
+    Jaccard denominator it touches, and its Adamic-Adar term 1/ln(d) is
+    vanishing), so production sets ``codegree_cap`` and drops such
+    customers from the similarity graph BEFORE the wedge join — fan-out
+    is then bounded by cap^2 per key. ``None`` (the registered default)
+    keeps the exact-oracle semantics; the cap semi-join reuses the
+    wedge join's own shuffle key (c), so enabling it adds one
+    customer-keyed aggregation, not a new corpus shuffle.
+
+    Skew-replica probe (r14, scripts/wedge_hub_probe.py — one customer
+    rewired to mult x its 63-supplier base degree at sf0.1, supplier
+    keys synthesized past the real population so the quadratic regime
+    is reachable): at 100x degree (19.8M wedges through one key, ~1.6x
+    the corpus's uniform wedge volume) the uncapped join is ABSORBED —
+    x1.4/x1.9 wall (AQE + the map-side combine split the owed rows),
+    while cap=256 costs x2.0/x1.7 (its fixed ~1 s agg + semi-join
+    exceeds the saving). At 400x (317M wedges, ~25x corpus volume) the
+    quadratic takes off: uncapped x31.7/x29.3 (35-38 s), capped flat at
+    x2.0/x3.2. Hence the shipping posture: cap OFF by default (exact,
+    and cheaper through the entire fixture-constructible regime), cap
+    ON for corpora whose customer degree distribution reaches the
+    10^4+ hub regime, where the saved work is quadratic and the cap's
+    cost stays linear."""
+    if codegree_cap is None:
+        return sc
+    cdeg = sc.groupBy("c").agg(F.count("*").alias("cd"))
+    keep = cdeg.filter(F.col("cd") <= codegree_cap).select("c")
+    return sc.join(keep, "c", "left_semi")
+
+
 @query("graph_jaccard_neighbors", oracle=_ORACLE_JACCARD_NEIGHBORS)
-def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_jaccard_neighbors(
+    spark: SparkSession, sf_dir: str, codegree_cap: int | None = None
+) -> DataFrame:
     """Top-100 supplier pairs by customer-set Jaccard — see the block
     above. Consumes the session's bucketed sc_pairs table (encoded ids:
     s = suppkey*2, c = custkey*2+1 — decoded back to raw keys here so
-    the oracle states the graph in business keys)."""
-    sc = sc_pairs(spark, sf_dir)
+    the oracle states the graph in business keys).
+
+    ``codegree_cap`` (default None = exact) drops customers with
+    supplier-degree above the cap from the similarity graph before the
+    wedge join — see :func:`_drop_hub_customers` for the 100 TB skew
+    rationale and the measured hub probe."""
+    sc = _drop_hub_customers(sc_pairs(spark, sf_dir), codegree_cap)
     a, b = sc.alias("a"), sc.alias("b")
     wedge = (
         a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
@@ -713,10 +760,17 @@ _ORACLE_ADAMIC_ADAR = """
 
 
 @query("graph_adamic_adar", oracle=_ORACLE_ADAMIC_ADAR)
-def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_adamic_adar(
+    spark: SparkSession, sf_dir: str, codegree_cap: int | None = None
+) -> DataFrame:
     """Top-100 supplier pairs by Adamic-Adar over shared customers — see
-    the block above. Same encoded-id decode as graph_jaccard_neighbors."""
-    sc = sc_pairs(spark, sf_dir)
+    the block above. Same encoded-id decode as graph_jaccard_neighbors,
+    and the same ``codegree_cap`` hub mitigation
+    (:func:`_drop_hub_customers`); remaining customers keep their true
+    degree in the 1/ln(d) term (the cap drops hub rows, it does not
+    recompute d over the filtered graph — d <= cap holds for every
+    survivor by construction)."""
+    sc = _drop_hub_customers(sc_pairs(spark, sf_dir), codegree_cap)
     cdeg = sc.groupBy("c").agg(F.count("*").cast("bigint").alias("d"))
     a, b = sc.alias("a"), sc.alias("b")
     term = F.round(F.lit(1000000000.0) / F.log(F.col("d"))).cast("bigint")

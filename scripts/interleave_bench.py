@@ -102,10 +102,9 @@ FLOORS = {
     # r13 registrations: first 7-rep interleaved medians
     "dedup_minhash_incremental": 1.394,
     "dedup_leakage_safe_split": 2.256,
-    # r13 second session: first interleaved medians for the QUEUED
+    # r13 second session: first interleaved medians for the then-QUEUED
     # operators (measured ad-hoc against at-floor controls — see each
-    # query's verification record). They join DEFAULT_QUERIES when the
-    # @query flips land (names must exist in QUERIES to be runnable).
+    # query's verification record); registered + tracked since r14.
     "profile_drift_psi": 0.519,
     "m7_snapshot_diff": 0.620,
     "sim_kmeans_train": 2.100,
@@ -116,6 +115,17 @@ FLOORS = {
     "sim_ivf_probe_sweep": 1.119,
     "o7_compaction_plan": 1.107,
     "graph_adamic_adar": 1.485,
+    # r13 second session, engine-session ad-hoc medians (loadavg 6-8,
+    # control dedup_minhash_incremental at its floor in the same reps):
+    # the gate's wall is two foreachBatch trigger jobs + write/read-back;
+    # the incremental-CC row builds BOTH standing artifacts in-session
+    # (pair frame + old cluster map) before the O(new edges) tail.
+    "stream_near_dup_gate": 3.65,
+    "dedup_clusters_incremental": 3.95,
+    # r14: first 7-rep interleaved median (loadavg per the committed
+    # artifact; all 45 floored rows read <= 1.45x in the same session)
+    # — the last >1 s driver row without a floor (VERDICT r13 #6).
+    "sim_knn_label_audit": 1.573,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),
@@ -165,6 +175,23 @@ DEFAULT_QUERIES = [
     "text_remove_dup_spans",
     "dedup_minhash_incremental",
     "dedup_leakage_safe_split",
+    # r14: the twelve r13-queued registrations join as tracked rows
+    # (floors above, recorded at queue time), plus sim_knn_label_audit —
+    # the last >1 s driver row without a floor (VERDICT r13 #6); its
+    # first interleaved median becomes its floor.
+    "stream_near_dup_gate",
+    "dedup_clusters_incremental",
+    "profile_drift_psi",
+    "events_changepoint",
+    "m7_snapshot_diff",
+    "sim_kmeans_train",
+    "sim_pq_train_step",
+    "sim_centroid_prune",
+    "sim_ivf_probe_sweep",
+    "graph_jaccard_neighbors",
+    "graph_adamic_adar",
+    "o7_compaction_plan",
+    "sim_knn_label_audit",
 ]
 
 

@@ -112,6 +112,19 @@ AUDITED = [
     "text_bloom_contamination",
     "sim_mmr_rerank",
     "graph_negative_samples",
+    # round-14 registrations (the twelve r13-queued flips)
+    "stream_near_dup_gate",
+    "dedup_clusters_incremental",
+    "profile_drift_psi",
+    "events_changepoint",
+    "m7_snapshot_diff",
+    "sim_kmeans_train",
+    "sim_pq_train_step",
+    "sim_centroid_prune",
+    "sim_ivf_probe_sweep",
+    "graph_jaccard_neighbors",
+    "graph_adamic_adar",
+    "o7_compaction_plan",
 ]
 
 

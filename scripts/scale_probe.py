@@ -126,6 +126,25 @@ PROBED = [
     # sim_bitext_margin deliberately NOT probed: it REFUSES at 10x
     # (10250 x 9750 > the 2.5e7 counted gate) — that refusal is its
     # scale contract and is pinned in test_operators.
+    # r14 registrations (first probed at queue time, r13 — numbers in
+    # each query's verification record + README scale table):
+    "stream_near_dup_gate",        # x1.5 wall at 5x docs, x25 output —
+    # per-trigger cost is band-collision-bounded, not corpus-bounded
+    "dedup_clusters_incremental",  # x2.6 wall at 5x docs under ~25x
+    # pair fan-out — truth-pipeline-bound (the recall gate's class)
+    "profile_drift_psi",   # one corpus scan; bucket-sized output
+    "events_changepoint",  # dense hourly spine; one (type,bucket) agg
+    "m7_snapshot_diff",    # rides orders 5x through one full-outer join
+    "sim_kmeans_train",    # per iteration: one Arrow assignment pass +
+    # one (cluster,dim) agg emitting k*d rows regardless of corpus
+    "sim_pq_train_step",   # pre-aggregated codebook-sized partials;
+    # the corpus never shuffles
+    "sim_centroid_prune",  # centroid count bounds per-task window size
+    "sim_ivf_probe_sweep", # one scored scan; arms derived row-locally
+    "graph_jaccard_neighbors",  # wedge-join candidates, never all pairs
+    "graph_adamic_adar",        # same wedge machinery, weighted terms
+    "o7_compaction_plan",  # inventory-sized agg; pack window on the
+    # inventory frame only
 ]
 
 

@@ -2356,6 +2356,101 @@ def test_jaccard_neighbors_matches_oracle_and_bruteforce(spark, duck):
     assert got_small == want_small
 
 
+def test_link_prediction_codegree_cap_matches_filtered_oracle(spark, duck):
+    """The hub mitigation (VERDICT r13 #4): ``codegree_cap`` must mean
+    exactly "customers with supplier-degree > cap are absent from the
+    similarity graph" — verified by mirroring the filter into the DuckDB
+    oracle at sf0.001 for BOTH link-prediction queries, with a cap
+    chosen so it actually bites (some customer is dropped)."""
+    import pandas as pd
+
+    from mysql2psql_spark.queries.graph_q import (
+        graph_adamic_adar,
+        graph_jaccard_neighbors,
+    )
+
+    cap = 3
+    schema = SF_DIR.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    dropped = duck.execute(
+        """
+        SELECT COUNT(*) FROM (
+          SELECT c FROM (SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+                         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+          GROUP BY c HAVING COUNT(*) > 3)
+        """
+    ).fetchone()[0]
+    assert dropped > 0, "cap=3 must bite at sf0.001 or the test is vacuous"
+
+    scf = """
+      sc0 AS (SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      keep AS (SELECT c FROM sc0 GROUP BY c HAVING COUNT(*) <= 3),
+      sc AS (SELECT sc0.s, sc0.c FROM sc0 JOIN keep USING (c))
+    """
+    cases = {
+        graph_jaccard_neighbors: f"""
+          WITH {scf},
+          deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM sc GROUP BY s),
+          w AS (SELECT a.s AS s_a, b.s AS s_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+                FROM sc a JOIN sc b ON a.c = b.c AND a.s < b.s GROUP BY a.s, b.s)
+          SELECT w.s_a, w.s_b, w.n_shared,
+                 ROUND(CAST(w.n_shared AS DOUBLE) / (da.d + db.d - w.n_shared), 6)
+                   AS jaccard
+          FROM w JOIN deg da ON da.s = w.s_a JOIN deg db ON db.s = w.s_b
+          ORDER BY jaccard DESC, w.s_a, w.s_b LIMIT 100
+        """,
+        graph_adamic_adar: f"""
+          WITH {scf},
+          cdeg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM sc GROUP BY c),
+          w AS (SELECT a.s AS s_a, b.s AS s_b, CAST(COUNT(*) AS BIGINT) AS n_shared,
+                       CAST(SUM(CAST(ROUND(1000000000.0 / LN(cd.d)) AS BIGINT)) AS BIGINT) AS aa_q
+                FROM sc a JOIN sc b ON a.c = b.c AND a.s < b.s
+                JOIN cdeg cd ON cd.c = a.c GROUP BY a.s, b.s)
+          SELECT s_a, s_b, n_shared,
+                 ROUND(CAST(aa_q AS DOUBLE) / 1000000000.0, 6) AS aa_score
+          FROM w ORDER BY aa_score DESC, s_a, s_b LIMIT 100
+        """,
+    }
+    for fn, sql in cases.items():
+        got = fn(spark, SF_DIR, codegree_cap=cap).toPandas()
+        want = duck.execute(sql).df()
+        key = ["s_a", "s_b"]
+        g = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+        w = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+        pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+
+
+# --- streaming drift gate batch twin (QUEUED r15 registration) -----------
+
+
+def test_stream_drift_summary_matches_oracle(spark, duck):
+    """Full DuckDB differential for the queued stream_drift_summary at
+    sf0.001 AND sf0.01: the gate's compacted partials must reproduce the
+    batch PSI profile bit-for-bit (zero asymmetry, zero value
+    mismatches), and the audit row must match the oracle's restatement
+    of that guarantee."""
+    import pandas as pd
+
+    from mysql2psql_spark.queries.events_q import (
+        _ORACLE_STREAM_DRIFT,
+        stream_drift_summary,
+    )
+
+    for sfd in (SF_DIR, SF_DIR_ORACLE):
+        got = stream_drift_summary(spark, sfd).toPandas()
+        schema = sfd.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+        duck.execute(f"USE {schema}")
+        want = duck.execute(_ORACLE_STREAM_DRIFT).df()
+        g = got[sorted(got.columns)].reset_index(drop=True)
+        w = want[sorted(want.columns)].reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+        row = got.iloc[0]
+        assert row["only_stream"] == 0 and row["only_batch"] == 0
+        assert row["value_mismatches"] == 0
+        assert row["stream_rows"] == row["batch_rows"] > 0
+
+
 # --- CUSUM changepoint (QUEUED r14+ registration) ------------------------
 
 
