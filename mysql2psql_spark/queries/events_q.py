@@ -1231,11 +1231,16 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # value columns, not approximate.
 #
 # r14 verification record (the queue contract): DuckDB-exact under a
-# vanilla session at sf0.001 (1 row), sf0.01, and sf0.1; the real
-# readStream equivalence + replayed-trigger idempotency + one-period
-# partial-profile reads are pinned in tests/test_streaming.py; the
-# fresh-lineage-over-stale-out_dir refusal is pinned there too. Floor
-# and 5x probe recorded below before the r15 flip (README probe table).
+# vanilla session at sf0.001/sf0.01/sf0.1 (1 row each; rendered hashes
+# identical Spark-vs-oracle at all three); the real readStream
+# equivalence + replayed-trigger idempotency + one-period partial-
+# profile reads are pinned in tests/test_streaming.py, the fresh-
+# lineage-over-stale-out_dir refusal too, and the sf0.001/sf0.01
+# differential in tests/test_operators.py. 5x events replica probe:
+# x1.2 wall (count partials are bucket-sized; the wall is the two
+# trigger jobs + write/read-back, not data volume). First 7-rep
+# interleaved median 2.15 s at sf0.1 (loadavg 2-7, control
+# profile_drift_psi at 1.17x its floor in the same reps).
 # ---------------------------------------------------------------------------
 _ORACLE_STREAM_DRIFT = f"""
     WITH psi AS ({_ORACLE_DRIFT_PSI})

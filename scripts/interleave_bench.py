@@ -126,6 +126,10 @@ FLOORS = {
     # artifact; all 45 floored rows read <= 1.45x in the same session)
     # — the last >1 s driver row without a floor (VERDICT r13 #6).
     "sim_knn_label_audit": 1.573,
+    # r14 session: first interleaved median for the QUEUED r15 operator
+    # (control profile_drift_psi at 1.17x its floor in the same reps);
+    # joins DEFAULT_QUERIES when its @query flips.
+    "stream_drift_summary": 2.15,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),
