@@ -832,6 +832,122 @@ def knn_label_audit(
     return q.groupBy("cluster").applyInPandas(per_cluster, schema=out_schema)
 
 
+def hard_negatives(
+    emb: DataFrame,
+    seeds: list[tuple[int, list[float]]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: float = 1e6,
+    max_cluster_rows: int | None = 100_000,
+) -> DataFrame:
+    """Per-anchor hard-negative mining for contrastive training (the
+    ANN-shortlist negative selection of DPR, Karpukhin et al. 2020, and
+    the in-batch-negatives successors): inside each IVF cluster, every
+    vector's k nearest DIFFERENT-label neighbors on the integer
+    micro-grid L2 metric are its hard negatives — near the anchor, yet
+    labeled otherwise, exactly the examples a contrastive loss learns
+    most from. Also emits the anchor's nearest SAME-label distance and
+    the per-negative margin ``d2 - d2_pos`` (an int, exact): a negative
+    with margin < 0 sits closer than the best positive — the
+    curriculum-ordering signal mining pipelines sort by.
+
+    Returns one row per (anchor, negative): ``(id, own_label, neg_id,
+    neg_label, rank, d2, margin)``; margin is NULL when the anchor has
+    no same-label neighbor in its cluster. Anchors with no
+    different-label neighbor in their cluster emit nothing.
+
+    Scale shape — identical to :func:`knn_label_audit` (the SemDeDup
+    posture): one Arrow assignment pass (:func:`ivf_assign`, no
+    shuffle), ONE shuffle by cluster id, then a partition-local numpy
+    kernel — quadratic only within a cluster, linear in the corpus for
+    bounded cluster sizes, with the same counted max-cluster-size gate
+    refusing degenerate clusterings (``max_cluster_rows=None``
+    disables). Distances are int64 grid sums (dot terms bounded well
+    under 2^63 — the audit kernel's bound), so the kernel is
+    bit-identical to the relational oracle under any partitioning."""
+    import pyspark.sql.types as T
+
+    dim = len(seeds[0][1])
+    assign = ivf_assign(emb, seeds, id_col=id_col, vec_col=vec_col)
+    if max_cluster_rows is not None:
+        hot = (
+            assign.groupBy("cluster")
+            .agg(F.count("*").alias("n"))
+            .agg(F.max("n").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        if hot is not None and hot > max_cluster_rows:
+            raise ValueError(
+                f"hard_negatives is quadratic within a cluster; the largest "
+                f"IVF cluster holds {hot} rows > max_cluster_rows="
+                f"{max_cluster_rows}. Re-seed with more / better-spread "
+                f"centroids (collect_seeds, larger C), mine the hot cluster "
+                f"separately, or pass max_cluster_rows=None to force the "
+                f"quadratic run."
+            )
+    q = emb.select(
+        id_col,
+        F.col(label_col).cast("int").alias("_lbl"),
+        quantize_elements(F.col(vec_col).cast("array<double>"), dim, scale).alias("_q"),
+    ).join(assign, id_col)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("own_label", T.IntegerType()),
+            T.StructField("neg_id", T.LongType()),
+            T.StructField("neg_label", T.IntegerType()),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("d2", T.LongType()),
+            T.StructField("margin", T.LongType()),
+        ]
+    )
+    sent = np.iinfo(np.int64).max
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)  # stable-argsort ties then break by id
+        n = len(pdf)
+        ids = pdf[id_col].to_numpy()
+        labs = pdf["_lbl"].to_numpy()
+        if n == 1:
+            return pd.DataFrame(
+                {f.name: pd.Series([], dtype="object") for f in out_schema}
+            )
+        x = np.stack(pdf["_q"].to_numpy()).astype(np.int64)
+        s = (x * x).sum(axis=1)
+        d = s[:, None] + s[None, :] - 2 * (x @ x.T)
+        np.fill_diagonal(d, sent)
+        same = labs[:, None] == labs[None, :]
+        dneg = np.where(same, sent, d)
+        dpos = np.where(same, d, sent).min(axis=1)  # self already sentinel
+        kk = min(k, n - 1)
+        nn = np.argsort(dneg, axis=1, kind="stable")[:, :kk]
+        rows = {c: [] for c in (
+            id_col, "own_label", "neg_id", "neg_label", "rank", "d2", "margin"
+        )}
+        rr = np.arange(n)
+        picked = dneg[rr[:, None], nn]  # (n, kk)
+        for r in range(kk):
+            ok = picked[:, r] < sent
+            if not ok.any():
+                break
+            rows[id_col].extend(ids[ok])
+            rows["own_label"].extend(labs[ok])
+            rows["neg_id"].extend(ids[nn[ok, r]])
+            rows["neg_label"].extend(labs[nn[ok, r]])
+            rows["rank"].extend([r + 1] * int(ok.sum()))
+            rows["d2"].extend(picked[ok, r])
+            rows["margin"].extend(
+                int(pd_) - int(pp) if pp < sent else None
+                for pd_, pp in zip(picked[ok, r], dpos[ok])
+            )
+        return pd.DataFrame(rows)
+
+    return q.groupBy("cluster").applyInPandas(per_cluster, schema=out_schema)
+
+
 def _lloyd_centroids(
     base: DataFrame,
     emb: DataFrame,

@@ -859,3 +859,102 @@ def sim_ivf_probe_sweep(spark: SparkSession, sf_dir: str, caches=None) -> DataFr
             F.round(F.col("n_hits").cast("double") / 10, 6).cast("double").alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r15 registration per the window budget): embedding-space drift
+# — the semantic twin of profile_drift_psi (which watches the TABULAR
+# event mix; this watches whether the MEANING distribution of the vector
+# corpus moved). Bins are the frozen first-16 seed centroids (the same
+# deterministic table every IVF query restates — and the frozen-bin
+# discipline of the drift gate: bins must not move between periods);
+# each vector is assigned once (rounded-cosine argmax, ties to the
+# lowest sid), the corpus splits at the vec_id midpoint (the ingestion-
+# order proxy, mirroring the et midpoint of the tabular gate), and the
+# shared drift_psi_tail emits per-centroid shares + Laplace-smoothed
+# PSI terms. A production crawl pipeline runs exactly this before
+# trusting a new snapshot: assignment-share PSI over a frozen codebook
+# is the standard cheap detector for semantic mix shift (topic
+# drift) that row counts and tabular PSI cannot see.
+#
+# Scale shape: ONE Arrow matmul assignment pass (ivf_assign, no
+# shuffle), one bucket-sized (dim, bucket, period) hash agg with
+# map-side combine (output <= n_centroids rows), and the PSI tail's
+# window over that frame. The 1-row bounds frame broadcasts (the
+# adjudicated single-row-probe BNLJ class). Counts are associative, so
+# the operator decomposes into the SAME micro-batch partials as the
+# tabular gate if streamed.
+#
+# r14 verification record (the queue contract): DuckDB-exact under a
+# vanilla session at sf0.001/sf0.01/sf0.1 (16 rows each);
+# planted-shift direction pinned in tests (second half replaced by one
+# centroid's neighborhood -> total PSI > 0.25 and > 5x the unshifted
+# corpus's). 10x embeddings replica probe: x1.1 wall (output constant
+# at n_centroids rows — the assignment scan is the only corpus work).
+# First 7-rep interleaved median 0.745 s at sf0.1 (loadavg 2.3,
+# control sim_knn_label_audit at 0.99x floor in the same reps).
+# ---------------------------------------------------------------------------
+_EMB_DRIFT_NC = 16
+
+_ORACLE_EMB_DRIFT = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < {_EMB_DRIFT_NC}),
+    assign AS (
+      SELECT e.vec_id, s.sid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(LIST_COSINE_SIMILARITY(e.v, s.sv), 6) DESC, s.sid
+             ) AS rn
+      FROM e CROSS JOIN seeds s
+    ),
+    clus AS (SELECT vec_id, sid FROM assign WHERE rn = 1),
+    b AS (SELECT MIN(vec_id) AS mn, MAX(vec_id) AS mx FROM e),
+    counts AS (
+      SELECT 'centroid' AS dim, CAST(sid AS VARCHAR) AS bucket,
+             CAST(SUM(CASE WHEN 2 * c.vec_id <= b.mn + b.mx THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN 2 * c.vec_id <= b.mn + b.mx THEN 0 ELSE 1 END)
+               AS BIGINT) AS n_b
+      FROM clus c CROSS JOIN b GROUP BY sid
+    ),
+    tot AS (
+      SELECT dim, bucket, n_a, n_b,
+             CAST(SUM(n_a) OVER (PARTITION BY dim) AS BIGINT) AS tot_a,
+             CAST(SUM(n_b) OVER (PARTITION BY dim) AS BIGINT) AS tot_b,
+             CAST(COUNT(*) OVER (PARTITION BY dim) AS BIGINT) AS nb
+      FROM counts
+    )
+    SELECT dim, bucket, n_a, n_b,
+           ROUND(CAST(n_a AS DOUBLE) / tot_a, 6) AS share_a,
+           ROUND(CAST(n_b AS DOUBLE) / tot_b, 6) AS share_b,
+           ROUND((CAST(n_a + 1 AS DOUBLE) / (tot_a + nb)
+                  - CAST(n_b + 1 AS DOUBLE) / (tot_b + nb))
+                 * LN((CAST(n_a + 1 AS DOUBLE) / (tot_a + nb))
+                      / (CAST(n_b + 1 AS DOUBLE) / (tot_b + nb))), 6) AS psi_term
+    FROM tot
+"""
+
+
+def profile_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-centroid assignment-share PSI between the two vec_id halves
+    of the embedding corpus — see the block above."""
+    from mysql2psql_spark.operators.drift import drift_psi_tail
+    from mysql2psql_spark.operators.embedding import collect_seeds, ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = collect_seeds(emb, _EMB_DRIFT_NC, "vec_id", "embedding")
+    assigned = ivf_assign(emb, seeds)
+    bounds = emb.agg(F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx"))
+    counts = (
+        assigned.crossJoin(F.broadcast(bounds))
+        .select(
+            F.lit("centroid").alias("dim"),
+            F.col("cluster").cast("string").alias("bucket"),
+            F.when(F.col("vec_id") * 2 <= F.col("mn") + F.col("mx"), 0)
+            .otherwise(1)
+            .alias("period"),
+        )
+        .groupBy("dim", "bucket", "period")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return drift_psi_tail(counts)

@@ -395,6 +395,106 @@ def sim_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# QUEUED (r15 registration per the window budget): per-anchor hard-
+# negative mining (operators/embedding.py::hard_negatives) — the
+# ANN-shortlist negative selection contrastive training pipelines run
+# (DPR, Karpukhin et al. 2020): inside each IVF cluster, every vector's
+# 3 nearest DIFFERENT-label neighbors on the integer micro-grid are its
+# hard negatives, with the per-negative margin d2 - d2_pos against the
+# anchor's nearest SAME-label neighbor (negative margin = the negative
+# outranks the best positive — the curriculum signal). Complements
+# sim_knn_label_audit (same cluster-blocked kernel posture; that one
+# audits labels, this one EMITS the training pairs) and
+# graph_negative_samples (graph negatives; these are embedding-space).
+#
+# Scale shape — the SemDeDup posture shared with the audit: one Arrow
+# assignment pass (no shuffle), ONE shuffle by cluster id, a
+# partition-local int64 numpy kernel quadratic only within a cluster,
+# and the counted max-cluster-size gate refusing degenerate
+# clusterings. All distances/margins are exact int64 grid sums, so the
+# kernel is bit-identical to the relational oracle.
+#
+# r14 verification record (the queue contract): DuckDB-exact under a
+# vanilla session at sf0.001 (1,500 rows) and sf0.01 (1,500); at sf0.1
+# the oracle's within-cluster pair join x 64-dim unnest is the
+# all-pairs cost class (driver-gate-only, the recall-gate discipline),
+# so sf0.1 (6,000 rows) is verified spark-side: dense ranks 1..3 per
+# anchor, d2 non-decreasing in rank. Pure-python reference pinned on a
+# synthetic frame (tests/test_operators.py — planted distance tie,
+# no-positive-peer NULL margin). 10x embeddings replica probe: x2.2
+# wall at x10 vectors under ~100x within-cluster pair volume with x10
+# output — the kernel is a partition-local int64 matmul, the SemDeDup
+# class. First 7-rep interleaved median 1.489 s at sf0.1 (loadavg 2.3,
+# control sim_knn_label_audit at 0.99x its 1.573 floor in the same
+# reps).
+# ---------------------------------------------------------------------------
+_HN_K, _HN_NC, _HN_DIM = 3, 16, 64
+
+_ORACLE_HARD_NEGATIVES = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    seeds AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < {_HN_NC}),
+    assign AS (
+      SELECT e.vec_id, s.sid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(LIST_COSINE_SIMILARITY(e.v, s.sv), 6) DESC, s.sid
+             ) AS rn
+      FROM e CROSS JOIN seeds s
+    ),
+    clus AS (SELECT vec_id, sid FROM assign WHERE rn = 1),
+    el AS (
+      SELECT m.vec_id, t.i,
+             CAST(ROUND(CAST(m.embedding[t.i] AS DOUBLE) * 1e6) AS BIGINT) AS qx
+      FROM embeddings m CROSS JOIN RANGE(1, {_HN_DIM} + 1) t(i)
+    ),
+    pairs AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM clus a JOIN clus b ON a.sid = b.sid AND a.vec_id != b.vec_id
+    ),
+    d AS (
+      SELECT p.a, p.b,
+             CAST(SUM((ea.qx - eb.qx) * (ea.qx - eb.qx)) AS BIGINT) AS d2,
+             ANY_VALUE(la.label) AS la, ANY_VALUE(lb.label) AS lb
+      FROM pairs p
+      JOIN el ea ON ea.vec_id = p.a
+      JOIN el eb ON eb.vec_id = p.b AND eb.i = ea.i
+      JOIN e la ON la.vec_id = p.a
+      JOIN e lb ON lb.vec_id = p.b
+      GROUP BY p.a, p.b
+    ),
+    neg AS (
+      SELECT a, b, d2, la, lb,
+             ROW_NUMBER() OVER (PARTITION BY a ORDER BY d2, b) AS rn
+      FROM d WHERE la != lb
+    ),
+    pos AS (SELECT a, MIN(d2) AS dpos FROM d WHERE la = lb GROUP BY a)
+    SELECT n.a AS anchor, CAST(n.la AS INT) AS own_label,
+           n.b AS neg_id, CAST(n.lb AS INT) AS neg_label,
+           CAST(n.rn AS INT) AS rnk, n.d2,
+           n.d2 - p.dpos AS margin
+    FROM neg n LEFT JOIN pos p ON p.a = n.a
+    WHERE n.rn <= {_HN_K}
+"""
+
+
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative training pairs per anchor — see the block above."""
+    from mysql2psql_spark.operators.embedding import collect_seeds, hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = collect_seeds(emb, _HN_NC, "vec_id", "embedding")
+    return hard_negatives(emb, seeds, k=_HN_K).select(
+        F.col("vec_id").alias("anchor"),
+        "own_label",
+        "neg_id",
+        "neg_label",
+        F.col("rank").alias("rnk"),
+        "d2",
+        "margin",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al., SIGIR
 # 2009): a lexical BM25 arm over `documents` and a dense cosine arm over
 # `embeddings` (doc_id and vec_id share the id space) each produce their

@@ -126,10 +126,13 @@ FLOORS = {
     # artifact; all 45 floored rows read <= 1.45x in the same session)
     # — the last >1 s driver row without a floor (VERDICT r13 #6).
     "sim_knn_label_audit": 1.573,
-    # r14 session: first interleaved median for the QUEUED r15 operator
-    # (control profile_drift_psi at 1.17x its floor in the same reps);
-    # joins DEFAULT_QUERIES when its @query flips.
+    # r14 session: first interleaved medians for the QUEUED r15
+    # operators (controls at/near their floors in the same reps — see
+    # each query's verification record); they join DEFAULT_QUERIES when
+    # their @query decorators flip.
     "stream_drift_summary": 2.15,
+    "sim_hard_negatives": 1.489,
+    "profile_embedding_drift": 0.745,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),

@@ -2421,6 +2421,164 @@ def test_link_prediction_codegree_cap_matches_filtered_oracle(spark, duck):
         pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
 
 
+# --- hard-negative mining (QUEUED r15 registration) ----------------------
+
+
+def test_hard_negatives_matches_oracle_and_python_reference(spark, duck):
+    """Full DuckDB differential for the queued sim_hard_negatives at
+    sf0.01, plus a pure-python reference on a synthetic frame (the
+    knn_label_audit replay pattern): raw-vector cosine assignment
+    (round 6, argmax ties -> lowest seed id), half-up micro-grid
+    quantization, per-anchor different-label top-k with (d2, id)
+    tiebreaks, and the margin against the nearest same-label peer —
+    including a planted distance tie and an anchor with no same-label
+    cluster peer (margin NULL)."""
+    import math
+    import random
+
+    import pandas as pd
+
+    from mysql2psql_spark.operators.embedding import collect_seeds, hard_negatives
+    from mysql2psql_spark.queries.similarity_q import (
+        _ORACLE_HARD_NEGATIVES,
+        sim_hard_negatives,
+    )
+
+    got = sim_hard_negatives(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_HARD_NEGATIVES).df()
+    key = ["anchor", "rnk"]
+    g = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    w = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+    assert g.margin.isna().sum() < len(g)  # margins exist at fixture scale
+
+    # pure-python reference on a synthetic frame
+    rng = random.Random(11)
+    dim, nc, k = 8, 3, 2
+    rows = []
+    for i in range(30):
+        rows.append(
+            (i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)], rng.randrange(3))
+        )
+    rows[21] = (21, list(rows[20][1]), rows[21][2])  # planted distance tie
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    seeds = collect_seeds(df, nc, "vec_id", "embedding")
+
+    def q(x):
+        s = 1 if x >= 0 else -1
+        return s * int(math.floor(abs(x) * 1e6 + 0.5))
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return round(
+            num
+            / (
+                math.sqrt(sum(x * x for x in a))
+                * math.sqrt(sum(x * x for x in b))
+            ),
+            6,
+        )
+
+    qv = {vid: [q(v) for v in vec] for vid, vec, _ in rows}
+    labs = {vid: l for vid, _, l in rows}
+    clus: dict = {}
+    for vid, vec, _ in rows:
+        best = max(range(len(seeds)), key=lambda c: (cos(vec, seeds[c][1]), -c))
+        clus.setdefault(best, []).append(vid)
+    want_small = set()
+    for members in clus.values():
+        for a in members:
+            dpos = min(
+                (
+                    sum((x - y) ** 2 for x, y in zip(qv[a], qv[u]))
+                    for u in members
+                    if u != a and labs[u] == labs[a]
+                ),
+                default=None,
+            )
+            negs = sorted(
+                (sum((x - y) ** 2 for x, y in zip(qv[a], qv[u])), u)
+                for u in members
+                if labs[u] != labs[a]
+            )[:k]
+            for r, (dd, u) in enumerate(negs, 1):
+                want_small.add(
+                    (a, labs[a], u, labs[u], r, dd,
+                     dd - dpos if dpos is not None else None)
+                )
+    got_small = {
+        (r.vec_id, r.own_label, r.neg_id, r.neg_label, r.rank, r.d2, r.margin)
+        for r in hard_negatives(df, seeds, k=k).collect()
+    }
+    assert got_small == want_small
+
+
+# --- embedding drift (QUEUED r15 registration) ----------------------------
+
+
+def test_embedding_drift_matches_oracle_and_fires_on_planted_shift(spark, duck):
+    """Full DuckDB differential for the queued profile_embedding_drift
+    at sf0.01, plus the planted-shift direction: replacing the second
+    half of the corpus with near-copies of ONE centroid's neighborhood
+    must push the total centroid-share PSI past the 0.25 'shifted'
+    threshold, while the unshifted corpus stays below it."""
+    import pandas as pd
+
+    from mysql2psql_spark.operators.drift import drift_psi_tail
+    from mysql2psql_spark.operators.embedding import collect_seeds, ivf_assign
+    from mysql2psql_spark.queries.embedding_q import (
+        _ORACLE_EMB_DRIFT,
+        profile_embedding_drift,
+    )
+    from mysql2psql_spark.sources import load_table
+
+    got = profile_embedding_drift(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_EMB_DRIFT).df()
+    key = ["dim", "bucket"]
+    g = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    w = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+    base_psi = got.psi_term.sum()
+    assert base_psi < 0.25, base_psi
+
+    # planted shift: second half becomes jittered copies of vector 0
+    # (every shifted vector lands in vector 0's centroid bucket)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    mx = emb.agg(F.max("vec_id")).collect()[0][0]
+    seed_vec = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    shifted = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") * 2 > F.lit(mx),
+            F.array(*[F.lit(float(v)) for v in seed_vec]),
+        ).otherwise(F.col("embedding")),
+    )
+    seeds = collect_seeds(shifted, 16, "vec_id", "embedding")
+    assigned = ivf_assign(shifted, seeds)
+    bounds = shifted.agg(F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx"))
+    counts = (
+        assigned.crossJoin(F.broadcast(bounds))
+        .select(
+            F.lit("centroid").alias("dim"),
+            F.col("cluster").cast("string").alias("bucket"),
+            F.when(F.col("vec_id") * 2 <= F.col("mn") + F.col("mx"), 0)
+            .otherwise(1)
+            .alias("period"),
+        )
+        .groupBy("dim", "bucket", "period")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    shifted_psi = drift_psi_tail(counts).toPandas().psi_term.sum()
+    assert shifted_psi > 0.25, shifted_psi
+    assert shifted_psi > 5 * base_psi
+
+
 # --- streaming drift gate batch twin (QUEUED r15 registration) -----------
 
 
