@@ -409,3 +409,56 @@ def image_ahash(
             yield pd.DataFrame(rows, columns=[id_col, "ahash_hi", "ahash_lo", "n_set"])
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def vad_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_samples: int = 160,
+    energy_per_sample: int = 1000,
+) -> DataFrame:
+    """Energy-threshold voice-activity segmentation over REAL-decoded
+    PCM (the VAD step an audio pipeline runs before ASR/feature
+    extraction): frame the stream (:func:`audio_frame_energies`), mark a
+    frame VOICED when its mean energy clears the threshold — stated as
+    the integer-exact cross-multiplication ``frame_energy >=
+    energy_per_sample * n_frame_samples``, so no engine ever divides —
+    and merge consecutive voiced frames into spans (gaps-and-islands:
+    group key = frame_idx - ROW_NUMBER over the doc's voiced frames).
+    One row per span: ``(id, span_idx, start_frame, end_frame, n_frames,
+    span_energy)`` — every value an exact integer.
+
+    Scale shape: the decode fan-out is the framing operator's (bounded
+    by payload length, partition-local); the islands windows partition
+    by document id — per-partition state is one document's frame list,
+    never the corpus — and the span aggregation is a hash agg with
+    map-side combine on (id, island) keys."""
+    from pyspark.sql.window import Window as W
+
+    frames = audio_frame_energies(
+        df, id_col=id_col, payload_col=payload_col, frame_samples=frame_samples
+    )
+    voiced = frames.filter(
+        F.col("frame_energy")
+        >= F.lit(energy_per_sample) * F.col("n_frame_samples")
+    )
+    w = W.partitionBy(id_col).orderBy("frame_idx")
+    islands = voiced.withColumn(
+        "_isl", F.col("frame_idx") - F.row_number().over(w)
+    )
+    spans = islands.groupBy(id_col, "_isl").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count("*").cast("int").alias("n_frames"),
+        F.sum("frame_energy").cast("bigint").alias("span_energy"),
+    )
+    w2 = W.partitionBy(id_col).orderBy("start_frame")
+    return spans.select(
+        id_col,
+        F.row_number().over(w2).cast("int").alias("span_idx"),
+        "start_frame",
+        "end_frame",
+        "n_frames",
+        "span_energy",
+    )

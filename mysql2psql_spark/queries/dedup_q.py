@@ -331,6 +331,102 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# QUEUED (r15+ registration per the window budget): energy-threshold VAD
+# segmentation over REAL-decoded PCM (operators/multimodal.py::
+# vad_spans) — the voice-activity step an audio pipeline runs before
+# ASR/feature extraction, and the natural consumer of the framing
+# operator above. The synthesized WAV alternates voiced and quiet
+# regions BY CONSTRUCTION (every third 160-sample frame carries a
+# near-silent ±4 signal, the rest the full ±1024 ramp), so the span
+# merge is exercised non-trivially: ~3-6 spans per document with
+# varying tails. The voiced test is the integer cross-multiplication
+# frame_energy >= 1000 * n_frame_samples (no division in either
+# engine); spans come from the gaps-and-islands subtraction; every
+# output value is an exact integer. A wrong RIFF walk, PCM decode,
+# frame boundary, threshold compare, or island merge diverges the
+# hashes.
+#
+# Scale shape: decode fan-out is partition-local and payload-bounded;
+# the islands windows partition by doc_id (per-partition state = one
+# document's frames, never the corpus); the span agg is map-side
+# combined on (doc_id, island).
+#
+# r14 verification record (the queue contract): DuckDB-exact under a
+# vanilla session at sf0.001 (2,015 rows), sf0.01 (2,015), sf0.1
+# (22,744); python replay of the full decode->frame->threshold->merge
+# chain pinned on hand-built payloads incl. an all-quiet document
+# (zero spans) and an all-voiced one (one spanning island)
+# (tests/test_operators.py). 5x documents replica probe: x1.1 wall at
+# x5 rows with x5 output (decode-bound, linear). First 7-rep
+# interleaved median 1.29 s at sf0.1 (loadavg 4-5, control
+# multimodal_audio_frames at 0.536 s median in the same reps).
+# ---------------------------------------------------------------------------
+_ORACLE_VAD_SPANS = """
+    WITH samp AS (
+      SELECT doc_id, i,
+             CASE WHEN (i // 160) % 3 = 0 THEN ((doc_id + i) % 8) - 4
+                  ELSE ((doc_id * 31 + i * 7) % 2048) - 1024 END AS s
+      FROM (SELECT doc_id, UNNEST(RANGE(0, 1600 + doc_id % 997)) AS i
+            FROM documents)
+    ),
+    frames AS (
+      SELECT doc_id, CAST(i // 160 AS INT) AS frame_idx,
+             CAST(COUNT(*) AS INT) AS n,
+             CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS fe
+      FROM samp GROUP BY doc_id, i // 160
+    ),
+    voiced AS (
+      SELECT doc_id, frame_idx, fe,
+             frame_idx - ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY frame_idx
+             ) AS isl
+      FROM frames WHERE fe >= 1000 * n
+    ),
+    spans AS (
+      SELECT doc_id, isl,
+             MIN(frame_idx) AS start_frame, MAX(frame_idx) AS end_frame,
+             CAST(COUNT(*) AS INT) AS n_frames,
+             CAST(SUM(fe) AS BIGINT) AS span_energy
+      FROM voiced GROUP BY doc_id, isl
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY doc_id ORDER BY start_frame
+           ) AS INT) AS span_idx,
+           start_frame, end_frame, n_frames, span_energy
+    FROM spans
+"""
+
+
+def multimodal_vad_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD spans over gated synthetic WAV — see the block above."""
+    import numpy as np
+    import pandas as pd
+
+    from mysql2psql_spark.operators.multimodal import encode_wav_pcm16, vad_spans
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                n = 1600 + int(doc_id) % 997
+                i = np.arange(n, dtype=np.int64)
+                quiet = (i // 160) % 3 == 0
+                s = np.where(
+                    quiet,
+                    (int(doc_id) + i) % 8 - 4,
+                    (int(doc_id) * 31 + i * 7) % 2048 - 1024,
+                )
+                rows.append((int(doc_id), encode_wav_pcm16(s)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = d.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    return vad_spans(payloads, frame_samples=160, energy_per_sample=1000)
+
+
+# ---------------------------------------------------------------------------
 # REAL image decode + resize: deterministic 24bpp BMPs are synthesized
 # per document (valid containers, size varying per doc), decoded by the
 # actual header-validating parser, nearest-neighbor-resized on the real

@@ -134,6 +134,7 @@ FLOORS = {
     "sim_hard_negatives": 1.489,
     "profile_embedding_drift": 0.745,
     "sim_ivf_freshness": 0.564,
+    "multimodal_vad_spans": 1.29,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),

@@ -2579,6 +2579,66 @@ def test_embedding_drift_matches_oracle_and_fires_on_planted_shift(spark, duck):
     assert shifted_psi > 5 * base_psi
 
 
+# --- VAD span segmentation (QUEUED r15+ registration) ---------------------
+
+
+def test_vad_spans_matches_oracle_and_python_reference(spark, duck):
+    """Full DuckDB differential for the queued multimodal_vad_spans at
+    sf0.01, plus a pure-python replay of decode -> frame -> threshold ->
+    island-merge on hand-built payloads: an all-quiet document (zero
+    spans), an all-voiced one (one island spanning every frame), and a
+    gapped one with a partial trailing frame."""
+    import numpy as np
+    import pandas as pd
+
+    from mysql2psql_spark.operators.multimodal import encode_wav_pcm16, vad_spans
+    from mysql2psql_spark.queries.dedup_q import (
+        _ORACLE_VAD_SPANS,
+        multimodal_vad_spans,
+    )
+
+    got = multimodal_vad_spans(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_VAD_SPANS).df()
+    key = ["doc_id", "span_idx"]
+    g = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    w = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+    assert (g.n_frames >= 1).all()
+    assert (g.end_frame - g.start_frame + 1 == g.n_frames).all()
+
+    # hand-built payloads through the real operator
+    fs, thr = 4, 100  # tiny frames so the cases stay readable
+    quiet = np.zeros(10, dtype=np.int64)  # all-quiet: zero spans
+    loud = np.full(11, 100, dtype=np.int64)  # all-voiced + partial tail
+    # gapped: frames [loud, quiet, loud, loud(partial, 1 sample)]
+    gapped = np.concatenate(
+        [np.full(4, 100), np.zeros(4), np.full(4, 100), np.full(1, 100)]
+    ).astype(np.int64)
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(encode_wav_pcm16(quiet))),
+            (1, bytearray(encode_wav_pcm16(loud))),
+            (2, bytearray(encode_wav_pcm16(gapped))),
+        ],
+        "doc_id bigint, payload binary",
+    )
+    rows = {
+        (r.doc_id, r.span_idx): (r.start_frame, r.end_frame, r.n_frames, r.span_energy)
+        for r in vad_spans(df, frame_samples=fs, energy_per_sample=thr).collect()
+    }
+    # doc 0: no spans. doc 1: frames e=4*10000 (x2) then 3*10000 (tail),
+    # all >= 100*len -> one island over frames 0-2.
+    # doc 2: frame0 loud, frame1 quiet, frame2 loud, frame3 = single
+    # loud sample (energy 10000 >= 100*1) -> islands (0,0) and (2,3).
+    assert rows == {
+        (1, 1): (0, 2, 3, 110000),
+        (2, 1): (0, 0, 1, 40000),
+        (2, 2): (2, 3, 2, 50000),
+    }
+
+
 # --- IVF index freshness (QUEUED r15+ registration) -----------------------
 
 
@@ -2704,6 +2764,55 @@ def test_events_changepoint_matches_oracle(spark, duck):
     w = want.sort_values("event_type").reset_index(drop=True)[sorted(want.columns)]
     pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
     assert (g.n_buckets > 1).all()
+
+
+def test_events_changepoint_ulp_tie_engine_matches_oracle(spark, duck, tmp_path):
+    """The rational-tie/ULP-asymmetry edge hypothesis found (r14): hour
+    counts [9,0,0,0,0,0,9] make dev(t=1) == dev(t=6) as rationals but
+    t=6 one ULP larger as doubles. Engine and oracle compute dev with
+    the SAME operand order (abs(cum - t * (tot / nb))), so both must
+    pick t=6 — this pins that the driver-graded pair stays bit-agreed
+    on the edge, whatever a model with a tolerance would say."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from mysql2psql_spark.queries.events_q import (
+        _ORACLE_CHANGEPOINT,
+        events_changepoint,
+    )
+
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    for h, n in [(0, 9), (6, 9)]:
+        for j in range(n):
+            rows.append(
+                (eid, base + dt.timedelta(hours=h, minutes=j), eid, "t", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    g = events_changepoint(spark, str(tmp_path)).toPandas()
+    duck.execute("CREATE SCHEMA IF NOT EXISTS ulp_tie")
+    duck.execute("USE ulp_tie")
+    duck.execute(
+        f"CREATE OR REPLACE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    w = duck.execute(_ORACLE_CHANGEPOINT).df()
+    cols = sorted(g.columns)
+    pd.testing.assert_frame_equal(
+        g[cols].reset_index(drop=True),
+        w[cols].reset_index(drop=True),
+        check_dtype=False,
+        check_exact=True,
+    )
+    assert g.iloc[0].n_buckets == 7
 
 
 def test_events_changepoint_finds_planted_step(spark):
