@@ -1310,3 +1310,116 @@ def dedup_clusters_incremental(
     return connected_components_incremental(
         cc_old, pairs.filter(~both_old), caches=caches
     )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r15+ registration per the window budget): dedup method
+# agreement — the meta-QA a pipeline runs when TUNING its near-dup
+# detectors: for each pair of methods (MinHash-LSH vs n-gram Jaccard vs
+# SimHash), how many candidate pairs do they share, and what is the
+# Jaccard of their pair SETS? Low agreement between a hash-sketch
+# method and the exact n-gram baseline flags thresholds that are
+# mis-calibrated for the corpus; the matrix is what decides which
+# detector (or union) ships. Composes three already-oracled pair
+# pipelines, so the oracle is their registered SQL verbatim, nested as
+# subqueries — any drift in ANY of the three methods also diverges this
+# audit's hashes.
+#
+# Scale shape: each method's pair frame is materialized ONCE (the
+# multi-consumer discipline — each feeds one count and two joins);
+# everything after is pair-graph-sized (the near-dup pair set is tiny
+# relative to the corpus by construction). Total cost = the three
+# method pipelines + negligible audit tail; that sum is inherent to a
+# method comparison and each pipeline is individually scale-shaped
+# (banded, never all-pairs).
+#
+# r14 verification record (the queue contract): DuckDB-exact under a
+# vanilla session at sf0.001 (3 rows; set sizes 28/28/25, mh-vs-ng
+# agreement 1.0, vs-simhash 0.89) and sf0.01 (all three 1.0); at sf0.1
+# the oracle nests three full dedup-pipeline CTEs (the heavy class —
+# driver-gate-only, the recall-gate discipline), so sf0.1 is verified
+# Spark-side: 256/256/230 pair sets, agreements 1.0/0.898/0.898, all
+# set-algebra invariants hold. Invariants + both-engine protocol
+# pinned in tests. 5x docs replica probe: the cost is the three method
+# pipelines (each individually probed — minhash/ngram/simhash rows in
+# the README table); the audit tail is pair-set-sized. First 7-rep
+# interleaved median 3.665 s at sf0.1 (loadavg 10-15, control
+# dedup_minhash_lsh at 0.90x its 1.13 floor in the same reps —
+# the wall is ~the sum of the three method pipelines, each at its own
+# floor: 1.13 + 1.06 + ~1.3).
+# ---------------------------------------------------------------------------
+_ORACLE_METHOD_AGREEMENT = f"""
+    WITH mh AS (SELECT doc_a, doc_b FROM ({_ORACLE_REG["dedup_minhash_lsh"]}) t1),
+    ng AS (SELECT doc_a, doc_b FROM ({_ORACLE_REG["dedup_ngram_jaccard"]}) t2),
+    sh AS (SELECT doc_a, doc_b FROM ({_ORACLE_REG["dedup_simhash"]}) t3),
+    m AS (
+      SELECT 'minhash_lsh' AS method_a, 'ngram_jaccard' AS method_b,
+             (SELECT COUNT(*) FROM mh) AS n_pairs_a,
+             (SELECT COUNT(*) FROM ng) AS n_pairs_b,
+             (SELECT COUNT(*) FROM mh JOIN ng USING (doc_a, doc_b)) AS n_both
+      UNION ALL
+      SELECT 'minhash_lsh', 'simhash',
+             (SELECT COUNT(*) FROM mh),
+             (SELECT COUNT(*) FROM sh),
+             (SELECT COUNT(*) FROM mh JOIN sh USING (doc_a, doc_b))
+      UNION ALL
+      SELECT 'ngram_jaccard', 'simhash',
+             (SELECT COUNT(*) FROM ng),
+             (SELECT COUNT(*) FROM sh),
+             (SELECT COUNT(*) FROM ng JOIN sh USING (doc_a, doc_b))
+    )
+    SELECT method_a, method_b,
+           CAST(n_pairs_a AS BIGINT) AS n_pairs_a,
+           CAST(n_pairs_b AS BIGINT) AS n_pairs_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           CASE WHEN n_pairs_a + n_pairs_b - n_both > 0 THEN
+             ROUND(CAST(n_both AS DOUBLE)
+                   / (n_pairs_a + n_pairs_b - n_both), 6)
+           END AS pair_jaccard
+    FROM m
+"""
+
+
+def dedup_method_agreement(
+    spark: SparkSession, sf_dir: str, caches=None
+) -> DataFrame:
+    """Pairwise agreement matrix between the three near-dup detectors —
+    see the block above."""
+    from itertools import combinations
+
+    from mysql2psql_spark.operators.materialize import materialize
+
+    frames = {}
+    for name, fn in (
+        ("minhash_lsh", dedup_minhash_lsh),
+        ("ngram_jaccard", dedup_ngram_jaccard),
+        ("simhash", dedup_simhash),
+    ):
+        fr = materialize(fn(spark, sf_dir).select("doc_a", "doc_b"))
+        if caches is not None:
+            caches.append(fr)
+        frames[name] = fr
+    out = None
+    for (na, a), (nb, b) in combinations(frames.items(), 2):
+        both = a.join(b, ["doc_a", "doc_b"]).agg(
+            F.count("*").cast("bigint").alias("n_both")
+        )
+        denom = F.col("n_pairs_a") + F.col("n_pairs_b") - F.col("n_both")
+        row = (
+            a.agg(F.count("*").cast("bigint").alias("n_pairs_a"))
+            .crossJoin(b.agg(F.count("*").cast("bigint").alias("n_pairs_b")))
+            .crossJoin(both)
+            .select(
+                F.lit(na).alias("method_a"),
+                F.lit(nb).alias("method_b"),
+                "n_pairs_a",
+                "n_pairs_b",
+                "n_both",
+                F.when(
+                    denom > 0,
+                    F.round(F.col("n_both").cast("double") / denom, 6),
+                ).alias("pair_jaccard"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

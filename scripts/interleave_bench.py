@@ -135,6 +135,7 @@ FLOORS = {
     "profile_embedding_drift": 0.745,
     "sim_ivf_freshness": 0.564,
     "multimodal_vad_spans": 1.29,
+    "dedup_method_agreement": 3.665,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),

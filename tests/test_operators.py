@@ -2579,6 +2579,38 @@ def test_embedding_drift_matches_oracle_and_fires_on_planted_shift(spark, duck):
     assert shifted_psi > 5 * base_psi
 
 
+# --- dedup method agreement (QUEUED r15+ registration) --------------------
+
+
+def test_dedup_method_agreement_matches_oracle(spark, duck):
+    """Full DuckDB differential for the queued dedup_method_agreement
+    at sf0.01 plus the set-algebra invariants: the intersection can
+    never exceed either set, pair Jaccard lives in [0, 1], and the
+    minhash-vs-ngram row reads high agreement by construction (the
+    bands approximate the same shingle Jaccard the exact method
+    computes)."""
+    import pandas as pd
+
+    from mysql2psql_spark.queries.dedup_q import (
+        _ORACLE_METHOD_AGREEMENT,
+        dedup_method_agreement,
+    )
+
+    got = dedup_method_agreement(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_METHOD_AGREEMENT).df()
+    key = ["method_a", "method_b"]
+    g = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    w = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+    assert len(g) == 3
+    assert (g.n_both <= g[["n_pairs_a", "n_pairs_b"]].min(axis=1)).all()
+    assert g.pair_jaccard.dropna().between(0, 1).all()
+    mh_ng = g[(g.method_a == "minhash_lsh") & (g.method_b == "ngram_jaccard")]
+    assert mh_ng.pair_jaccard.iloc[0] > 0.8
+
+
 # --- VAD span segmentation (QUEUED r15+ registration) ---------------------
 
 
