@@ -136,6 +136,7 @@ FLOORS = {
     "sim_ivf_freshness": 0.564,
     "multimodal_vad_spans": 1.29,
     "dedup_method_agreement": 3.665,
+    "m8_schema_evolution_plan": 1.839,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),

@@ -2579,6 +2579,45 @@ def test_embedding_drift_matches_oracle_and_fires_on_planted_shift(spark, duck):
     assert shifted_psi > 5 * base_psi
 
 
+# --- schema evolution plan (QUEUED r15+ registration) ----------------------
+
+
+def test_schema_evolution_plan_matches_oracle(spark, duck):
+    """Full DuckDB differential for the queued m8_schema_evolution_plan
+    at sf0.01 plus the rule-direction invariants: dropped names hit a
+    mutation rule, added names are rename targets or the audit column,
+    moved rows carry both positions and no ddl, actionable rows carry a
+    well-formed ALTER fragment."""
+    import pandas as pd
+
+    from mysql2psql_spark.queries.migration_q import (
+        _ORACLE_SCHEMA_EVOLUTION,
+        m8_schema_evolution_plan,
+    )
+
+    got = m8_schema_evolution_plan(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_SCHEMA_EVOLUTION).df()
+    key = ["table_name", "column_name", "change_type"]
+    g = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    w = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+
+    dropped = g[g.change_type == "dropped"]
+    assert ((dropped.column_name.str.len() % 7 == 3)
+            | (dropped.column_name.str.len() % 5 == 2)).all()
+    added = g[g.change_type == "added"]
+    assert (added.column_name.str.startswith("r_")
+            | added.column_name.str.endswith("_etl_ts")).all()
+    moved = g[g.change_type == "moved"]
+    assert moved.ddl.isna().all()
+    assert moved.pos_v1.notna().all() and moved.pos_v2.notna().all()
+    action = g[g.change_type.isin(["dropped", "added"])]
+    assert action.ddl.str.match(r'^ALTER TABLE "\w+" (DROP|ADD) COLUMN "\w+";$').all()
+    assert set(g.change_type) == {"added", "dropped", "moved"}
+
+
 # --- dedup method agreement (QUEUED r15+ registration) --------------------
 
 
