@@ -572,3 +572,145 @@ def test_events_changepoint_matches_python_model(spark_prop, buckets):
         assert abs(g.mean_after - round((sum(xs) - cum) / (nb - t), 6)) < 1e-9
     else:
         assert g.mean_after is None
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    frame_samples=st.integers(min_value=1, max_value=8),
+    thr=st.integers(min_value=0, max_value=5_000_000),
+)
+@settings(max_examples=10, deadline=None)
+def test_vad_spans_matches_python_model(spark_prop, docs, frame_samples, thr):
+    """operators/multimodal.py::vad_spans over ARBITRARY PCM16 payloads
+    must equal a pure-python replay of the whole chain: real WAV encode
+    -> real decode -> fixed framing with true-length tail -> the
+    integer cross-multiplied voiced test (frame_energy >= thr * n,
+    ties INCLUSIVE) -> island merge -> per-span exact integer stats.
+    Covers empty payloads, all-quiet, all-voiced, single-sample frames,
+    and thr = 0 (every frame voiced)."""
+    from mysql2psql_spark.operators.multimodal import encode_wav_pcm16, vad_spans
+
+    rows = [(i, bytearray(encode_wav_pcm16(s))) for i, s in enumerate(docs)]
+    df = spark_prop.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {
+        (r.doc_id, r.span_idx): (
+            r.start_frame, r.end_frame, r.n_frames, r.span_energy
+        )
+        for r in vad_spans(
+            df, frame_samples=frame_samples, energy_per_sample=thr
+        ).collect()
+    }
+    want = {}
+    for i, s in enumerate(docs):
+        frames = []
+        # the decoder emits one zero-length stream for an empty payload;
+        # the framer still iterates once (range(0, max(len,1), fs)) and
+        # emits a single empty frame of energy 0 at true length 0
+        for j in range(0, max(len(s), 1), frame_samples):
+            fr = s[j : j + frame_samples]
+            frames.append((j // frame_samples, len(fr), sum(x * x for x in fr)))
+        voiced = [(idx, e) for idx, n, e in frames if e >= thr * n]
+        spans = []
+        for k, (idx, e) in enumerate(voiced):
+            if spans and idx - 1 == spans[-1][1]:
+                st_, en, nf, se = spans.pop()
+                spans.append((st_, idx, nf + 1, se + e))
+            else:
+                spans.append((idx, idx, 1, e))
+        for k, (st_, en, nf, se) in enumerate(
+            sorted(spans), start=1
+        ):
+            want[(i, k)] = (st_, en, nf, se)
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.lists(
+                st.integers(min_value=-8, max_value=8).map(lambda v: v / 8.0),
+                min_size=4,
+                max_size=4,
+            ).filter(lambda v: any(x != 0 for x in v)),
+            st.integers(min_value=0, max_value=2),
+        ),
+        min_size=3,
+        max_size=20,
+    ),
+    k=st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=10, deadline=None)
+def test_hard_negatives_matches_python_model(spark_prop, rows, k):
+    """operators/embedding.py::hard_negatives over ARBITRARY small
+    corpora must equal a pure-python model of the whole chain: rounded-
+    cosine IVF assignment (ties -> lowest seed id), exact micro-grid
+    quantization (components on the 1/8 grid are binary-exact, so
+    round(x*1e6) never sits on a rounding tie), per-anchor different-
+    label top-k by (d2, id), and the margin against the nearest same-
+    label cluster peer (None when the anchor has no positive peer)."""
+    import math
+
+    from mysql2psql_spark.operators.embedding import collect_seeds, hard_negatives
+
+    nc = 2
+    data = [(i, list(vec), lab) for i, (vec, lab) in enumerate(rows)]
+    df = spark_prop.createDataFrame(
+        data, "vec_id bigint, embedding array<double>, label int"
+    )
+    seeds = collect_seeds(df, nc, "vec_id", "embedding")
+
+    def q(x):
+        s = 1 if x >= 0 else -1
+        return s * int(math.floor(abs(x) * 1e6 + 0.5))
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return round(
+            num
+            / (
+                math.sqrt(sum(x * x for x in a))
+                * math.sqrt(sum(x * x for x in b))
+            ),
+            6,
+        )
+
+    qv = {i: [q(x) for x in vec] for i, vec, _ in data}
+    labs = {i: l for i, _, l in data}
+    clus: dict = {}
+    for i, vec, _ in data:
+        best = max(range(len(seeds)), key=lambda c: (cos(vec, seeds[c][1]), -c))
+        clus.setdefault(best, []).append(i)
+    want = set()
+    for members in clus.values():
+        for a in members:
+            dpos = min(
+                (
+                    sum((x - y) ** 2 for x, y in zip(qv[a], qv[u]))
+                    for u in members
+                    if u != a and labs[u] == labs[a]
+                ),
+                default=None,
+            )
+            negs = sorted(
+                (sum((x - y) ** 2 for x, y in zip(qv[a], qv[u])), u)
+                for u in members
+                if labs[u] != labs[a]
+            )[:k]
+            for r, (dd, u) in enumerate(negs, 1):
+                want.add(
+                    (a, labs[a], u, labs[u], r, dd,
+                     dd - dpos if dpos is not None else None)
+                )
+    got = {
+        (r.vec_id, r.own_label, r.neg_id, r.neg_label, r.rank, r.d2, r.margin)
+        for r in hard_negatives(df, seeds, k=k).collect()
+    }
+    assert got == want
