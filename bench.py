@@ -266,6 +266,17 @@ HEADLINE = [
     "graph_jaccard_neighbors",
     "graph_adamic_adar",
     "o7_compaction_plan",
+    # round-15: the seven r14-queued registrations (VERDICT r14 #1 /
+    # SURVEY §18.1) — streaming drift audit, hard-negative mining,
+    # embedding drift, IVF freshness, VAD spans, dedup method
+    # agreement, schema-evolution plan
+    "stream_drift_summary",
+    "sim_hard_negatives",
+    "profile_embedding_drift",
+    "sim_ivf_freshness",
+    "multimodal_vad_spans",
+    "dedup_method_agreement",
+    "m8_schema_evolution_plan",
 ]
 
 

@@ -398,6 +398,7 @@ _ORACLE_VAD_SPANS = """
 """
 
 
+@query("multimodal_vad_spans", oracle=_ORACLE_VAD_SPANS)
 def multimodal_vad_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VAD spans over gated synthetic WAV — see the block above."""
     import numpy as np
@@ -1380,6 +1381,7 @@ _ORACLE_METHOD_AGREEMENT = f"""
 """
 
 
+@query("dedup_method_agreement", oracle=_ORACLE_METHOD_AGREEMENT)
 def dedup_method_agreement(
     spark: SparkSession, sf_dir: str, caches=None
 ) -> DataFrame:

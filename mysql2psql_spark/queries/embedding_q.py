@@ -935,6 +935,7 @@ _ORACLE_EMB_DRIFT = f"""
 """
 
 
+@query("profile_embedding_drift", oracle=_ORACLE_EMB_DRIFT)
 def profile_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-centroid assignment-share PSI between the two vec_id halves
     of the embedding corpus — see the block above."""
@@ -1041,6 +1042,7 @@ _ORACLE_IVF_FRESHNESS = f"""
 """
 
 
+@query("sim_ivf_freshness", oracle=_ORACLE_IVF_FRESHNESS)
 def sim_ivf_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster assignment-quality freshness of the frozen IVF
     codebook on the incoming batch vs the standing corpus — see the

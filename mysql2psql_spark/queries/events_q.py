@@ -1254,6 +1254,7 @@ _ORACLE_STREAM_DRIFT = f"""
 """
 
 
+@query("stream_drift_summary", oracle=_ORACLE_STREAM_DRIFT)
 def stream_drift_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed-equals-batch audit for the foreachBatch PSI drift gate —
     see the block above. The two micro-batches split events by event_id

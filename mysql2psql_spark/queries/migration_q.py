@@ -676,6 +676,7 @@ _ORACLE_SCHEMA_EVOLUTION = f"""
 """
 
 
+@query("m8_schema_evolution_plan", oracle=_ORACLE_SCHEMA_EVOLUTION)
 def m8_schema_evolution_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered ALTER plan between the live catalog (v1) and its
     rule-mutated v2 — see the block above."""

@@ -477,6 +477,7 @@ _ORACLE_HARD_NEGATIVES = f"""
 """
 
 
+@query("sim_hard_negatives", oracle=_ORACLE_HARD_NEGATIVES)
 def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative training pairs per anchor — see the block above."""
     from mysql2psql_spark.operators.embedding import collect_seeds, hard_negatives
