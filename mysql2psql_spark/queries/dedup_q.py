@@ -98,15 +98,22 @@ def _simhash_oracle(max_hamming: int = 7, bits: int = 60) -> str:
 
 
 @query("dedup_simhash", oracle=_simhash_oracle())
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash(
+    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
+) -> DataFrame:
     # SimHash features = 3-word shingle hashes (unigram features are
     # useless on a small vocabulary: every doc has nearly the same word
     # set, so unigram SimHashes collide corpus-wide). portable=True uses
     # the md5-prefix hash so the oracle rebuilds identical fingerprints.
-    d = load_table(spark, sf_dir, "documents")
-    # the default (arrow) shingle engine always emits the portable
-    # md5-prefix hash, so the oracle rebuilds identical fingerprints
-    pairs = simhash_pairs(shingle_hash_table(d), max_hamming=7)
+    # ``shingles`` lets a composing caller (dedup_method_agreement) pass
+    # the shared persisted shingle-hash frame instead of re-deriving it
+    # — the same shared-artifact posture minhash/ngram already carry.
+    if shingles is None:
+        d = load_table(spark, sf_dir, "documents")
+        # the default (arrow) shingle engine always emits the portable
+        # md5-prefix hash, so the oracle rebuilds identical fingerprints
+        shingles = shingle_hash_table(d)
+    pairs = simhash_pairs(shingles, max_hamming=7)
     return pairs.withColumn("hamming", F.col("hamming").cast("int"))
 
 
@@ -1391,13 +1398,20 @@ def dedup_method_agreement(
 
     from mysql2psql_spark.operators.materialize import materialize
 
+    # ONE shared shingle-hash build feeds all three method pipelines
+    # (each would otherwise re-derive the same Arrow shingling scan —
+    # the dominant upstream cost); persisted because it has three
+    # consumers, the multi-consumer discipline.
+    sh = materialize(shingle_hash_table(load_table(spark, sf_dir, "documents")))
+    if caches is not None:
+        caches.append(sh)
     frames = {}
     for name, fn in (
         ("minhash_lsh", dedup_minhash_lsh),
         ("ngram_jaccard", dedup_ngram_jaccard),
         ("simhash", dedup_simhash),
     ):
-        fr = materialize(fn(spark, sf_dir).select("doc_a", "doc_b"))
+        fr = materialize(fn(spark, sf_dir, shingles=sh).select("doc_a", "doc_b"))
         if caches is not None:
             caches.append(fr)
         frames[name] = fr

@@ -203,6 +203,15 @@ DEFAULT_QUERIES = [
     "graph_adamic_adar",
     "o7_compaction_plan",
     "sim_knn_label_audit",
+    # r15: the seven r14-queued registrations join as tracked rows
+    # (floors above, recorded at queue time in the r14 session).
+    "stream_drift_summary",
+    "sim_hard_negatives",
+    "profile_embedding_drift",
+    "sim_ivf_freshness",
+    "multimodal_vad_spans",
+    "dedup_method_agreement",
+    "m8_schema_evolution_plan",
 ]
 
 

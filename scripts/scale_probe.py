@@ -145,6 +145,20 @@ PROBED = [
     "graph_adamic_adar",        # same wedge machinery, weighted terms
     "o7_compaction_plan",  # inventory-sized agg; pack window on the
     # inventory frame only
+    # r15 registrations (first probed at queue time, r14 — numbers in
+    # each query's verification record):
+    "stream_drift_summary",   # x1.2 wall at 5x events; two parity
+    # triggers + bucket-sized full-outer audit join
+    "sim_hard_negatives",     # cluster-blocked int64 kernel; x10
+    # vectors probed — blocked quadratic bounded by cluster size
+    "profile_embedding_drift",  # one assignment pass; centroid-sized agg
+    "sim_ivf_freshness",      # one assignment pass + one agg; flat at 10x
+    "multimodal_vad_spans",   # row-local decode; x1.1 wall at 5x docs
+    "dedup_method_agreement", # three at-floor method pipelines; pair
+    # sets bounded by each method's banding, never all-pairs
+    # m8_schema_evolution_plan deliberately NOT probed: SF-INVARIANT by
+    # construction (catalog-only — identical 44-row plan at all SFs,
+    # pinned in test_operators); replica probing would measure nothing.
 ]
 
 
