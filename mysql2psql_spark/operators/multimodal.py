@@ -439,9 +439,16 @@ def vad_spans(
     frames = audio_frame_energies(
         df, id_col=id_col, payload_col=payload_col, frame_samples=frame_samples
     )
+    # n_frame_samples > 0 guards the degenerate zero-length frame: the
+    # inclusive threshold would otherwise mark it trivially voiced
+    # (0 >= t*0), so an EMPTY payload would emit a "voice" span (r15,
+    # ADVICE) — semantically wrong for a VAD.
     voiced = frames.filter(
-        F.col("frame_energy")
-        >= F.lit(energy_per_sample) * F.col("n_frame_samples")
+        (F.col("n_frame_samples") > 0)
+        & (
+            F.col("frame_energy")
+            >= F.lit(energy_per_sample) * F.col("n_frame_samples")
+        )
     )
     w = W.partitionBy(id_col).orderBy("frame_idx")
     islands = voiced.withColumn(

@@ -387,7 +387,7 @@ _ORACLE_VAD_SPANS = """
              frame_idx - ROW_NUMBER() OVER (
                PARTITION BY doc_id ORDER BY frame_idx
              ) AS isl
-      FROM frames WHERE fe >= 1000 * n
+      FROM frames WHERE n > 0 AND fe >= 1000 * n
     ),
     spans AS (
       SELECT doc_id, isl,

@@ -1283,7 +1283,10 @@ def stream_drift_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)
-    gate = drift_counts_foreach_batch(bounds, out_dir)
+    # the out_dir doubles as the lineage token: it is rotated with the
+    # lineage above, so the gate's marker protocol (r15, ADVICE) sees a
+    # consistent identity on the re-entrant same-session call
+    gate = drift_counts_foreach_batch(bounds, out_dir, lineage=out_dir)
     gate(e.filter(F.col("event_id") % 2 == 0), 0)
     gate(e.filter(F.col("event_id") % 2 == 1), 1)
     streamed = read_drift_summary(spark, out_dir)

@@ -628,7 +628,24 @@ _M8_TABLES_IN = ", ".join(f"'{t}'" for t in _M8_TABLES)
 
 _ORACLE_SCHEMA_EVOLUTION = f"""
     WITH v1 AS (
-      SELECT table_name, column_name, CAST(ordinal_position AS INT) AS pos
+      SELECT table_name, column_name, CAST(ordinal_position AS INT) AS pos,
+             -- DuckDB data_type -> IR vocabulary (s8's pinned map) -> the
+             -- PostgreSQL type the ADD fragment carries; the reference's
+             -- PsqlParser always emits typed DDL (libs/PsqlParser.py:476).
+             CASE data_type
+               WHEN 'BIGINT'    THEN 'bigint'
+               WHEN 'INTEGER'   THEN 'integer'
+               WHEN 'SMALLINT'  THEN 'smallint'
+               WHEN 'DOUBLE'    THEN 'double precision'
+               WHEN 'FLOAT'     THEN 'real'
+               WHEN 'REAL'      THEN 'real'
+               WHEN 'VARCHAR'   THEN 'varchar'
+               WHEN 'TIMESTAMP' THEN 'timestamp'
+               WHEN 'DATE'      THEN 'date'
+               WHEN 'BOOLEAN'   THEN 'boolean'
+               WHEN 'BLOB'      THEN 'bytea'
+               ELSE 'varchar'
+             END AS pg_type
       FROM information_schema.columns
       WHERE table_name IN ({_M8_TABLES_IN}) AND table_schema = CURRENT_SCHEMA()
     ),
@@ -636,21 +653,22 @@ _ORACLE_SCHEMA_EVOLUTION = f"""
       SELECT table_name,
              CASE WHEN LENGTH(column_name) % 5 = 2
                   THEN 'r_' || column_name ELSE column_name END AS column_name,
-             pos
+             pos, pg_type
       FROM v1 WHERE LENGTH(column_name) % 7 != 3
     ),
     keep2 AS (
       SELECT table_name, column_name,
              CAST(ROW_NUMBER() OVER (
                PARTITION BY table_name ORDER BY pos
-             ) AS INT) AS pos
+             ) AS INT) AS pos,
+             pg_type
       FROM keep
     ),
     v2 AS (
       SELECT * FROM keep2
       UNION ALL
       SELECT table_name, table_name || '_etl_ts',
-             CAST(MAX(pos) + 1 AS INT)
+             CAST(MAX(pos) + 1 AS INT), 'timestamp'
       FROM keep2 GROUP BY table_name
     ),
     d AS (
@@ -659,18 +677,18 @@ _ORACLE_SCHEMA_EVOLUTION = f"""
              CASE WHEN a.column_name IS NULL THEN 'added'
                   WHEN b.column_name IS NULL THEN 'dropped'
                   WHEN a.pos != b.pos THEN 'moved' END AS change_type,
-             a.pos AS pos_v1, b.pos AS pos_v2
+             a.pos AS pos_v1, b.pos AS pos_v2, b.pg_type AS pg_type_v2
       FROM v1 a FULL OUTER JOIN v2 b
         ON a.table_name = b.table_name AND a.column_name = b.column_name
     )
     SELECT table_name, column_name, change_type, pos_v1, pos_v2,
            CASE change_type
              WHEN 'dropped' THEN
-               'ALTER TABLE "' || table_name || '" DROP COLUMN "'
+               'ALTER TABLE "' || table_name || '" DROP COLUMN IF EXISTS "'
                  || column_name || '";'
              WHEN 'added' THEN
                'ALTER TABLE "' || table_name || '" ADD COLUMN "'
-                 || column_name || '";'
+                 || column_name || '" ' || pg_type_v2 || ';'
            END AS ddl
     FROM d WHERE change_type IS NOT NULL
 """
@@ -683,15 +701,34 @@ def m8_schema_evolution_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as W
 
+    from mysql2psql_spark import schema_ir as ir
     from mysql2psql_spark.sources.parquet import TABLES, load_table
 
-    rows = [
-        (t, f.name, i + 1)
-        for t in TABLES
-        for i, f in enumerate(load_table(spark, sf_dir, t).schema.fields)
-    ]
+    # IR vocabulary (schema_ir.from_dataframe, the s8-pinned feed) -> the
+    # PostgreSQL type name the ADD fragment carries. The reference's
+    # PsqlParser always emits typed DDL (libs/PsqlParser.py:476-511);
+    # name-only ADD COLUMN is not valid PostgreSQL.
+    ir_to_pg = {
+        "bigint": "bigint",
+        "int": "integer",
+        "smallint": "smallint",
+        "double": "double precision",
+        "float": "real",
+        "varchar": "varchar",
+        "datetime": "timestamp",
+        "date": "date",
+        "boolean": "boolean",
+        "blob": "bytea",
+    }
+    rows = []
+    for t in TABLES:
+        table = ir.from_dataframe(t, load_table(spark, sf_dir, t))
+        for i, col in enumerate(table["columns"].values()):
+            rows.append(
+                (t, col["name"], i + 1, ir_to_pg.get(col["type"], "varchar"))
+            )
     v1 = spark.createDataFrame(
-        rows, "table_name string, column_name string, pos int"
+        rows, "table_name string, column_name string, pos int, pg_type string"
     )
     keep = v1.filter(F.length("column_name") % 7 != 3).select(
         "table_name",
@@ -702,6 +739,7 @@ def m8_schema_evolution_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("column_name"))
         .alias("column_name"),
         "pos",
+        "pg_type",
     )
     keep2 = keep.select(
         "table_name",
@@ -710,6 +748,7 @@ def m8_schema_evolution_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.partitionBy("table_name").orderBy("pos"))
         .cast("int")
         .alias("pos"),
+        "pg_type",
     )
     added = keep2.groupBy("table_name").agg(
         (F.max("pos") + 1).cast("int").alias("pos")
@@ -717,6 +756,7 @@ def m8_schema_evolution_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table_name",
         F.concat(F.col("table_name"), F.lit("_etl_ts")).alias("column_name"),
         "pos",
+        F.lit("timestamp").alias("pg_type"),
     )
     v2 = keep2.unionByName(added)
     a = v1.alias("a")
@@ -739,6 +779,7 @@ def m8_schema_evolution_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("change_type"),
         F.col("a.pos").alias("pos_v1"),
         F.col("b.pos").alias("pos_v2"),
+        F.col("b.pg_type").alias("pg_type_v2"),
     )
     return d.filter(F.col("change_type").isNotNull()).select(
         "table_name",
@@ -751,7 +792,7 @@ def m8_schema_evolution_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(
                 F.lit('ALTER TABLE "'),
                 F.col("table_name"),
-                F.lit('" DROP COLUMN "'),
+                F.lit('" DROP COLUMN IF EXISTS "'),
                 F.col("column_name"),
                 F.lit('";'),
             ),
@@ -763,7 +804,9 @@ def m8_schema_evolution_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("table_name"),
                 F.lit('" ADD COLUMN "'),
                 F.col("column_name"),
-                F.lit('";'),
+                F.lit('" '),
+                F.col("pg_type_v2"),
+                F.lit(";"),
             ),
         )
         .alias("ddl"),

@@ -321,7 +321,28 @@ def read_continuous_agg(spark, out_dir: str) -> DataFrame:
 # tests/test_streaming.py pins through a real two-trigger readStream.
 # Streaming state: ZERO (only bucket-sized count parquet accumulates).
 # ---------------------------------------------------------------------------
-def drift_counts_foreach_batch(bounds: DataFrame, out_dir: str):
+def _read_lineage_marker(fs, jvm, marker_path) -> str | None:
+    """Contents of the _LINEAGE marker file, or None if absent."""
+    if not fs.exists(marker_path):
+        return None
+    stream = fs.open(marker_path)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _write_lineage_marker(fs, jvm, marker_path, lineage: str) -> None:
+    out = fs.create(marker_path, True)
+    try:
+        out.write(bytearray(lineage.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def drift_counts_foreach_batch(
+    bounds: DataFrame, out_dir: str, lineage: str | None = None
+):
     """Return a foreachBatch function writing each micro-batch's
     (dim, bucket, period) count partial to {out_dir}/batch=<id>.
     ``bounds`` is the frozen 1-row bin-definition frame
@@ -331,39 +352,76 @@ def drift_counts_foreach_batch(bounds: DataFrame, out_dir: str):
     lineage, not to the gate object. The batch_id-versioned overwrite is
     idempotent only because a checkpointed restart replays the same ids;
     restarting with a NEW or cleared checkpoint restarts ids at 0, and
-    an id-0 write over an out_dir that already holds later partials
-    would silently shadow them under the same names, corrupting every
-    future summary. That exact case is refused below: batch 0 arriving
-    while batch>0 partials exist raises instead of overwriting — clear
-    (or rotate) out_dir together with the checkpoint. A per-run
-    subdirectory would NOT fix this: same-lineage replays would land in
-    a fresh run dir and double-count the replayed trigger."""
+    an id-0 write over an out_dir that already holds another lineage's
+    partials would silently shadow them under the same names, corrupting
+    every future summary.
+
+    ``lineage`` makes that refusal EXACT (r15, ADVICE): pass the token
+    that names the checkpoint lineage (the checkpointLocation string is
+    the natural choice — it survives restarts of the same query and
+    changes exactly when the lineage does). The gate persists it to
+    {out_dir}/_LINEAGE on the first write and refuses batch 0 whenever
+    the recorded marker names a DIFFERENT lineage — including the case
+    the dir holds only batch=0, which the partial-inference heuristic
+    below cannot distinguish from a same-lineage first-trigger retry.
+    Without ``lineage`` the gate falls back to that heuristic: batch 0
+    arriving while batch>0 partials exist raises instead of overwriting.
+    Either way: clear (or rotate) out_dir together with the checkpoint.
+    A per-run subdirectory would NOT fix this: same-lineage replays
+    would land in a fresh run dir and double-count the replayed
+    trigger."""
     from mysql2psql_spark.operators.drift import drift_counts, drift_tagged
     from mysql2psql_spark.operators.timeutil import epoch_of
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id == 0:
-            spark = batch_df.sparkSession
-            fs, path, jvm = _hadoop_fs(spark, out_dir)
-            if fs.exists(path):
-                stale = [
+        spark = batch_df.sparkSession
+        fs, path, jvm = _hadoop_fs(spark, out_dir)
+        marker_path = jvm.org.apache.hadoop.fs.Path(out_dir + "/_LINEAGE")
+        if lineage is not None:
+            recorded = _read_lineage_marker(fs, jvm, marker_path)
+            if recorded is not None and recorded != lineage:
+                raise RuntimeError(
+                    f"drift gate: query lineage {lineage!r} writing batch "
+                    f"{batch_id} over {out_dir}, which belongs to lineage "
+                    f"{recorded!r}; the checkpoint was cleared or points "
+                    "elsewhere — overwriting would corrupt the summary. "
+                    "Clear or rotate out_dir with the checkpoint."
+                )
+            if recorded is None and batch_id == 0 and fs.exists(path):
+                existing = [
                     s.getPath().getName()
                     for s in fs.listStatus(path)
                     if s.getPath().getName().startswith("batch=")
-                    and s.getPath().getName() != "batch=0"
                 ]
-                if stale:
+                if existing:
                     raise RuntimeError(
-                        f"drift gate: fresh query lineage (batch 0) over "
-                        f"{out_dir} which already holds {sorted(stale)}; "
-                        "the checkpoint was cleared without clearing "
-                        "out_dir — overwriting would corrupt the summary. "
-                        "Clear or rotate out_dir with the checkpoint."
+                        f"drift gate: lineage {lineage!r} starting at batch 0 "
+                        f"over {out_dir}, which already holds unmarked "
+                        f"partials {sorted(existing)} of unknown provenance — "
+                        "overwriting would corrupt the summary. Clear or "
+                        "rotate out_dir with the checkpoint."
                     )
+        elif batch_id == 0 and fs.exists(path):
+            stale = [
+                s.getPath().getName()
+                for s in fs.listStatus(path)
+                if s.getPath().getName().startswith("batch=")
+                and s.getPath().getName() != "batch=0"
+            ]
+            if stale:
+                raise RuntimeError(
+                    f"drift gate: fresh query lineage (batch 0) over "
+                    f"{out_dir} which already holds {sorted(stale)}; "
+                    "the checkpoint was cleared without clearing "
+                    "out_dir — overwriting would corrupt the summary. "
+                    "Clear or rotate out_dir with the checkpoint."
+                )
         ep = epoch_of(batch_df)
         ev = batch_df.select(ep("ts").alias("et"), "event_type", "value")
         part = drift_counts(drift_tagged(ev, bounds))
         part.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        if lineage is not None:
+            _write_lineage_marker(fs, jvm, marker_path, lineage)
 
     return apply
 

@@ -2614,7 +2614,18 @@ def test_schema_evolution_plan_matches_oracle(spark, duck):
     assert moved.ddl.isna().all()
     assert moved.pos_v1.notna().all() and moved.pos_v2.notna().all()
     action = g[g.change_type.isin(["dropped", "added"])]
-    assert action.ddl.str.match(r'^ALTER TABLE "\w+" (DROP|ADD) COLUMN "\w+";$').all()
+    # r15 (ADVICE): fragments must be executable PostgreSQL — drops are
+    # idempotent (IF EXISTS) and adds carry the catalog-derived type.
+    assert action.ddl.str.match(
+        r'^ALTER TABLE "\w+" (DROP COLUMN IF EXISTS "\w+"'
+        r'|ADD COLUMN "\w+" [a-z][a-z ]*);$'
+    ).all()
+    added_ddl = g[g.change_type == "added"]
+    assert (
+        added_ddl[added_ddl.column_name.str.endswith("_etl_ts")]
+        .ddl.str.endswith('" timestamp;')
+        .all()
+    )
     assert set(g.change_type) == {"added", "dropped", "moved"}
 
 
@@ -2687,11 +2698,14 @@ def test_vad_spans_matches_oracle_and_python_reference(spark, duck):
     gapped = np.concatenate(
         [np.full(4, 100), np.zeros(4), np.full(4, 100), np.full(1, 100)]
     ).astype(np.int64)
+    empty = np.zeros(0, dtype=np.int64)  # r15 ADVICE: zero spans, not
+    # a trivially-voiced zero-length frame (0 >= thr*0 held pre-fix)
     df = spark.createDataFrame(
         [
             (0, bytearray(encode_wav_pcm16(quiet))),
             (1, bytearray(encode_wav_pcm16(loud))),
             (2, bytearray(encode_wav_pcm16(gapped))),
+            (3, bytearray(encode_wav_pcm16(empty))),
         ],
         "doc_id bigint, payload binary",
     )
@@ -2703,6 +2717,8 @@ def test_vad_spans_matches_oracle_and_python_reference(spark, duck):
     # all >= 100*len -> one island over frames 0-2.
     # doc 2: frame0 loud, frame1 quiet, frame2 loud, frame3 = single
     # loud sample (energy 10000 >= 100*1) -> islands (0,0) and (2,3).
+    # doc 3 (empty payload): no spans — the zero-length frame is
+    # excluded by the n > 0 voiced guard.
     assert rows == {
         (1, 1): (0, 2, 3, 110000),
         (2, 1): (0, 0, 1, 40000),

@@ -364,3 +364,60 @@ def test_dump_rewrite_loads_live(spark, tmp_path):
     # conforming literals keep mysqldump's doubled backslash (the
     # reference's convention — same adjudication as the DuckDB twin)
     assert _scalar("SELECT note FROM t WHERE id = 3") == "back" + "\\" * 2 + "slash"
+
+
+def test_schema_evolution_fragments_execute_live(spark):
+    """The m8 plan's actionable fragments must EXECUTE on live PG (r15,
+    ADVICE: name-only ADD COLUMN is invalid PostgreSQL — the fragments
+    now carry catalog-derived types and idempotent IF EXISTS drops).
+    For every table: create v1 from the same catalog feed the plan
+    derives from, apply that table's dropped+added fragments under
+    ON_ERROR_STOP, and the live column set must equal v2's (positions
+    are advisory — ALTER cannot reorder; 'moved' rows carry no ddl).
+    Drops re-applied must stay no-ops (IF EXISTS idempotency)."""
+    from mysql2psql_spark.queries.migration_q import m8_schema_evolution_plan
+
+    plan = m8_schema_evolution_plan(spark, SF_DIR).toPandas()
+    assert plan.ddl.notna().sum() > 0
+
+    from mysql2psql_spark import schema_ir as ir
+    from mysql2psql_spark.sources.parquet import TABLES, load_table
+
+    ir_to_pg = {
+        "bigint": "bigint", "int": "integer", "smallint": "smallint",
+        "double": "double precision", "float": "real", "varchar": "varchar",
+        "datetime": "timestamp", "date": "date", "boolean": "boolean",
+        "blob": "bytea",
+    }
+    for t in TABLES:
+        cols = ir.from_dataframe(t, load_table(spark, SF_DIR, t))["columns"]
+        v1_cols = ", ".join(
+            f'"{c["name"]}" {ir_to_pg.get(c["type"], "varchar")}'
+            for c in cols.values()
+        )
+        _psql("-c", f'DROP TABLE IF EXISTS "{t}"; CREATE TABLE "{t}" ({v1_cols});')
+        frags = plan[(plan.table_name == t) & plan.ddl.notna()]
+        # drops before adds: a rename surfaces as drop+add of different
+        # names, but drop-first mirrors a real migration's safe order
+        ordered = list(frags[frags.change_type == "dropped"].ddl) + list(
+            frags[frags.change_type == "added"].ddl
+        )
+        for ddl in ordered:
+            _psql("-c", ddl)
+        # IF EXISTS idempotency: re-applying every drop is a no-op
+        for ddl in frags[frags.change_type == "dropped"].ddl:
+            _psql("-c", ddl)
+        live = set(
+            _psql(
+                "-tA", "-c",
+                "SELECT column_name FROM information_schema.columns "
+                f"WHERE table_name = '{t}'",
+            ).stdout.split()
+        )
+        v2_names = {
+            ("r_" + c["name"]) if len(c["name"]) % 5 == 2 else c["name"]
+            for c in cols.values()
+            if len(c["name"]) % 7 != 3
+        } | {f"{t}_etl_ts"}
+        assert live == v2_names, (t, live ^ v2_names)
+        _psql("-c", f'DROP TABLE "{t}";')

@@ -593,9 +593,11 @@ def test_vad_spans_matches_python_model(spark_prop, docs, frame_samples, thr):
     must equal a pure-python replay of the whole chain: real WAV encode
     -> real decode -> fixed framing with true-length tail -> the
     integer cross-multiplied voiced test (frame_energy >= thr * n,
-    ties INCLUSIVE) -> island merge -> per-span exact integer stats.
-    Covers empty payloads, all-quiet, all-voiced, single-sample frames,
-    and thr = 0 (every frame voiced)."""
+    ties INCLUSIVE, n > 0 — a zero-length frame is never voiced, so an
+    empty payload yields ZERO spans; r15 ADVICE) -> island merge ->
+    per-span exact integer stats. Covers empty payloads, all-quiet,
+    all-voiced, single-sample frames, and thr = 0 (every non-empty
+    frame voiced)."""
     from mysql2psql_spark.operators.multimodal import encode_wav_pcm16, vad_spans
 
     rows = [(i, bytearray(encode_wav_pcm16(s))) for i, s in enumerate(docs)]
@@ -613,11 +615,13 @@ def test_vad_spans_matches_python_model(spark_prop, docs, frame_samples, thr):
         frames = []
         # the decoder emits one zero-length stream for an empty payload;
         # the framer still iterates once (range(0, max(len,1), fs)) and
-        # emits a single empty frame of energy 0 at true length 0
+        # emits a single empty frame of energy 0 at true length 0 —
+        # which the voiced test must EXCLUDE (0 >= thr*0 holds, but a
+        # zero-length frame carries no voice)
         for j in range(0, max(len(s), 1), frame_samples):
             fr = s[j : j + frame_samples]
             frames.append((j // frame_samples, len(fr), sum(x * x for x in fr)))
-        voiced = [(idx, e) for idx, n, e in frames if e >= thr * n]
+        voiced = [(idx, e) for idx, n, e in frames if n > 0 and e >= thr * n]
         spans = []
         for k, (idx, e) in enumerate(voiced):
             if spans and idx - 1 == spans[-1][1]:

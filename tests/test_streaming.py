@@ -635,6 +635,51 @@ def test_drift_gate_refuses_fresh_lineage_over_stale_out_dir(spark, tmp_path):
         fresh_gate(b0, 0)  # new lineage over stale partials: refused
 
 
+def test_drift_gate_lineage_marker_refuses_foreign_batch0(spark, tmp_path):
+    """The lineage-marker protocol (r15, ADVICE): the batch>0 heuristic
+    cannot see a foreign out_dir that holds ONLY batch=0 — a fresh
+    lineage would silently overwrite another lineage's first partial
+    with data from a potentially different source/bounds. With an
+    explicit lineage token the gate records {out_dir}/_LINEAGE on first
+    write and refuses ANY batch whose token mismatches, while a
+    same-lineage batch-0 replay stays legal. Unmarked pre-existing
+    partials are refused at batch 0 as unknown provenance."""
+    import pytest
+
+    from mysql2psql_spark.operators.drift import drift_bounds
+    from mysql2psql_spark.operators.timeutil import epoch_of
+    from mysql2psql_spark.sources import load_table
+    from mysql2psql_spark.streaming.events import drift_counts_foreach_batch
+
+    e = load_table(spark, SF_DIR, "events")
+    ep = epoch_of(e)
+    bounds = drift_bounds(e.select(ep("ts").alias("et"), "event_type", "value"))
+    b0 = e.filter(F.col("event_id") % 2 == 0)
+    b1 = e.filter(F.col("event_id") % 2 == 1)
+
+    out_dir = str(tmp_path / "drift_marked")
+    gate_a = drift_counts_foreach_batch(bounds, out_dir, lineage="ckpt-A")
+    gate_a(b0, 0)
+    gate_a(b0, 0)  # same-lineage batch-0 replay: legal
+    # out_dir holds ONLY batch=0 — the exact case the heuristic misses
+    gate_b = drift_counts_foreach_batch(bounds, out_dir, lineage="ckpt-B")
+    with pytest.raises(RuntimeError, match="belongs to lineage 'ckpt-A'"):
+        gate_b(b0, 0)
+    # a mismatched lineage resuming at batch>0 is refused too
+    with pytest.raises(RuntimeError, match="belongs to lineage 'ckpt-A'"):
+        gate_b(b1, 1)
+    # the marked dir keeps serving its own lineage
+    gate_a(b1, 1)
+
+    # unmarked partials (legacy gate) + a lineage-aware gate at batch 0:
+    # refused as unknown provenance rather than silently adopted
+    legacy_dir = str(tmp_path / "drift_legacy")
+    drift_counts_foreach_batch(bounds, legacy_dir)(b0, 0)
+    gate_c = drift_counts_foreach_batch(bounds, legacy_dir, lineage="ckpt-C")
+    with pytest.raises(RuntimeError, match="unknown provenance"):
+        gate_c(b0, 0)
+
+
 def test_drift_summary_readable_mid_stream_one_period(spark, tmp_path):
     """A stream arriving in time order produces only period-0 counts
     until it crosses the frozen midpoint; a summary read at that point
