@@ -3092,3 +3092,62 @@ def test_adamic_adar_matches_oracle_and_bruteforce(spark, duck):
         for r in graph_adamic_adar(spark, SF_DIR).collect()
     ]
     assert got_small == want_small
+
+
+# --- char-n-gram language identification (QUEUED r16 registration) --------
+
+
+def test_langid_ngram_matches_oracle_and_separates_planted_langs(spark, duck):
+    """Full DuckDB differential for the queued text_langid_ngram at
+    sf0.01 (the fixture shares one vocabulary across lang labels, so
+    accuracy is near-chance there BY CONSTRUCTION — exactness is the
+    fixture's job), plus the classification DIRECTION on planted
+    languages: two corpora with disjoint character alphabets must
+    separate perfectly, and a document matching NO profile ties every
+    language at the max penalty and predicts the lexicographically
+    smallest label (the pinned tie-break)."""
+    import pandas as pd
+
+    from mysql2psql_spark.operators.text import (
+        char_ngram_table,
+        langid_classify,
+        langid_profiles,
+    )
+    from mysql2psql_spark.queries.text_q import _ORACLE_LANGID, text_langid_ngram
+
+    got = text_langid_ngram(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_LANGID).df()
+    key = ["doc_id"]
+    g = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    w = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+    # every document classified exactly once, distances non-negative
+    assert len(g) == g.doc_id.nunique()
+    assert (g.oop_distance >= 0).all()
+
+    # planted direction: disjoint alphabets separate perfectly
+    rows = []
+    for i in range(8):
+        rows.append((i, "aa", "abba cabd bacd adcb abcd"[i % 3 :] * 3))
+    for i in range(8, 16):
+        rows.append((i, "zz", "wxxy zwxy yxzw zyxw wxyz"[i % 3 :] * 3))
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    grams = char_ngram_table(df, extra_cols=("lang",))
+    profiles = langid_profiles(grams, k=10)
+    pred = langid_classify(grams.select("doc_id", "gram"), profiles, k=10)
+    got_pl = {r.doc_id: r.lang_pred for r in pred.collect()}
+    assert all(got_pl[i] == "aa" for i in range(8))
+    assert all(got_pl[i] == "zz" for i in range(8, 16))
+
+    # a doc matching neither profile: every language reads the same max
+    # penalty -> tie broken by label ASC
+    stranger = spark.createDataFrame(
+        [(99, "0101 1010 0011")], "doc_id bigint, text string"
+    )
+    sgrams = char_ngram_table(stranger)
+    srow = langid_classify(sgrams, profiles, k=10).collect()[0]
+    n_prof = sgrams.select("gram").distinct().count()
+    assert srow.lang_pred == "aa"  # min(aa, zz)
+    assert srow.oop_distance == min(n_prof, 10) * 10

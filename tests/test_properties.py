@@ -718,3 +718,68 @@ def test_hard_negatives_matches_python_model(spark_prop, rows, k):
         for r in hard_negatives(df, seeds, k=k).collect()
     }
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["p", "q", "r"]),  # label
+            st.text(alphabet="abc ", min_size=0, max_size=24),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=10, deadline=None)
+def test_langid_matches_python_model(spark_prop, docs, k):
+    """operators/text.py langid chain over ARBITRARY tiny corpora must
+    equal a pure-python Cavnar-Trenkle replay: char trigrams (docs
+    shorter than 3 chars contribute nothing), per-label and per-doc
+    top-k profiles ranked by (count DESC, gram ASC), out-of-place
+    distance with k-penalty for unmatched grams, argmin prediction with
+    (distance, label ASC) tie-break. The 4-char alphabet forces heavy
+    gram collisions and rank ties, so the total-order tie-breaks are
+    exercised hard."""
+    from mysql2psql_spark.operators.text import (
+        char_ngram_table,
+        langid_classify,
+        langid_profiles,
+    )
+
+    rows = [(i, lab, t) for i, (lab, t) in enumerate(docs)]
+    df = spark_prop.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    grams = char_ngram_table(df, extra_cols=("lang",))
+    profiles = langid_profiles(grams, k=k)
+    pred = langid_classify(grams.select("doc_id", "gram"), profiles, k=k)
+    got = {r.doc_id: (r.lang_pred, r.oop_distance) for r in pred.collect()}
+
+    # pure-python model
+    from collections import Counter
+
+    def top_ranked(counter):
+        ordered = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return {g: i + 1 for i, (g, _) in enumerate(ordered)}
+
+    lang_counts: dict[str, Counter] = {}
+    doc_counts: dict[int, Counter] = {}
+    for i, lab, t in rows:
+        gs = [t[j : j + 3] for j in range(len(t) - 2)]
+        lang_counts.setdefault(lab, Counter()).update(gs)
+        doc_counts[i] = Counter(gs)
+    lp = {lab: top_ranked(c) for lab, c in lang_counts.items() if c}
+    want = {}
+    for i, c in doc_counts.items():
+        if not c:
+            continue  # no grams -> no prediction (absent row)
+        dp = top_ranked(c)
+        best = None
+        for lab in sorted(lp):
+            dist = sum(
+                abs(r - lp[lab][g]) if g in lp[lab] else k
+                for g, r in dp.items()
+            )
+            if best is None or dist < best[1]:
+                best = (lab, dist)
+        want[i] = best
+    assert got == want
