@@ -1455,3 +1455,135 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("mean_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r16 registration per the window budget): the CDC sink as
+# driver-visible evidence (VERDICT r14 #5, the stream_drift_summary /
+# stream_near_dup_gate promotion pattern — after which every
+# foreachBatch gate in the engine has an oracled audit row): run
+# streaming/events.py::cdc_foreach_batch_sink in BATCH MODE on two
+# deterministic event_id-parity micro-batches (batch_id-versioned
+# idempotent writes under the session scratch root), resolve the
+# partitioned changelog with compact_cdc_log, and audit it against the
+# oracle-green batch twin (m4_cdc_apply) as ONE row. The changelog
+# resolution (latest op per key, tombstones drop the key) is a pure
+# function of the row SET — independent of the micro-batch partitioning
+# — so streamed == batch bit-for-bit; a red driver row means the
+# write-idempotence or the compaction window broke (the premise
+# tests/test_streaming.py pins through a real readStream).
+#
+# Scale shape: per-trigger cost is one batch-sized parquet write (the
+# sink is write-only — no per-trigger compute); the compaction is ONE
+# key-hash exchange with a history-sized per-key sort (m4's shape); the
+# audit join is |users| x |users| on the key. Files land under the
+# session-scoped mkdtemp scratch (atexit-cleaned).
+#
+# r15 verification record (the queue contract): DuckDB-exact under a
+# vanilla session at sf0.001/sf0.01/sf0.1 (1 row each; rendered hashes
+# identical Spark-vs-oracle at all three — see the session log); the
+# real readStream round-trip + replayed-trigger idempotence of the sink
+# are pinned in tests/test_streaming.py (pre-existing), the audit row's
+# differential + a planted-divergence direction pin (a dropped partial
+# MUST diverge the compacted state) in tests/test_operators.py. 5x
+# events replica probe: wall FLAT at 5x rows (5x median 1.67 s vs 1x
+# 2.48 s in the same session — the trigger-job fixed overhead dominates
+# and the 5x write volume stays off the critical path at this scale;
+# the compaction exchange is the only component that grows, linearly).
+# First 7-rep median 2.480 s at sf0.1 (loadavg ~1.5, control
+# m4_cdc_apply at 0.425 s in the same session) — the wall is the two
+# trigger writes + read-back, the stream_near_dup_gate class; samples
+# spread 1.5-3.4 s (write-jitter-bound, same as that gate).
+# ---------------------------------------------------------------------------
+_ORACLE_STREAM_CDC = """
+    WITH cur AS (
+      SELECT user_id,
+             event_type AS last_event_type,
+             CAST(ROUND(CAST(value AS DECIMAL(12,4)), 2) AS DOUBLE) AS cur_value,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS last_ts
+      FROM (
+        SELECT user_id, ts, event_id, value, event_type,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+      )
+      WHERE rn = 1 AND op = 'U'
+    )
+    SELECT CAST(2 AS BIGINT) AS n_triggers,
+           CAST(COUNT(*) AS BIGINT) AS stream_rows,
+           CAST(COUNT(*) AS BIGINT) AS batch_rows,
+           CAST(0 AS BIGINT) AS only_stream,
+           CAST(0 AS BIGINT) AS only_batch,
+           CAST(0 AS BIGINT) AS value_mismatches
+    FROM cur
+"""
+
+
+def stream_cdc_apply_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed-equals-batch audit for the exactly-once CDC sink — see
+    the block above. The two micro-batches split events by event_id
+    parity; sink writes are idempotent (mode=overwrite per batch dir),
+    so a re-entrant call in the same session overwrites its own
+    previous output."""
+    import os
+    import shutil
+
+    from mysql2psql_spark.operators.layout import session_scratch
+    from mysql2psql_spark.queries.migration_q import m4_cdc_apply
+    from mysql2psql_spark.streaming.events import (
+        cdc_foreach_batch_sink,
+        compact_cdc_log,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    out_dir = os.path.join(session_scratch(spark), f"stream_cdc_{sf_tag}")
+    # each invocation is a fresh query lineage (ids restart at 0):
+    # rotate the partial dir with it, the out_dir/checkpoint coupling
+    shutil.rmtree(out_dir, ignore_errors=True)
+    sink = cdc_foreach_batch_sink(out_dir)
+    sink(e.filter(F.col("event_id") % 2 == 0), 0)
+    sink(e.filter(F.col("event_id") % 2 == 1), 1)
+    streamed = compact_cdc_log(spark, out_dir)
+    batch = m4_cdc_apply(spark, sf_dir)
+    vals = ["last_event_type", "cur_value", "last_ts"]
+    s = streamed.select(
+        "user_id", *[F.col(v).alias(f"s_{v}") for v in vals]
+    )
+    b = batch.select(
+        "user_id", *[F.col(v).alias(f"b_{v}") for v in vals]
+    )
+    j = s.join(b, ["user_id"], "full_outer")
+    eq = None
+    for v in vals:
+        c = F.col(f"s_{v}").eqNullSafe(F.col(f"b_{v}"))
+        eq = c if eq is None else (eq & c)
+    return j.agg(
+        F.count(F.col("s_last_ts")).cast("bigint").alias("stream_rows"),
+        F.count(F.col("b_last_ts")).cast("bigint").alias("batch_rows"),
+        F.sum(F.when(F.col("b_last_ts").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("only_stream"),
+        F.sum(F.when(F.col("s_last_ts").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("only_batch"),
+        F.sum(
+            F.when(
+                F.col("s_last_ts").isNotNull()
+                & F.col("b_last_ts").isNotNull()
+                & ~eq,
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("value_mismatches"),
+    ).select(
+        F.lit(2).cast("bigint").alias("n_triggers"),
+        "stream_rows",
+        "batch_rows",
+        "only_stream",
+        "only_batch",
+        "value_mismatches",
+    )

@@ -3151,3 +3151,66 @@ def test_langid_ngram_matches_oracle_and_separates_planted_langs(spark, duck):
     n_prof = sgrams.select("gram").distinct().count()
     assert srow.lang_pred == "aa"  # min(aa, zz)
     assert srow.oop_distance == min(n_prof, 10) * 10
+
+
+# --- CDC sink streamed-equals-batch audit (QUEUED r16 registration) -------
+
+
+def test_stream_cdc_apply_summary_matches_oracle_and_detects_loss(spark, duck):
+    """Full DuckDB differential for the queued stream_cdc_apply_summary
+    at sf0.01, plus the planted-divergence direction: deleting one
+    trigger's partial AFTER the sink ran must surface as only_batch > 0
+    (keys whose latest op lived in the lost partial) or value
+    mismatches — the audit must never read all-zero over a lossy
+    changelog."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from mysql2psql_spark.operators.layout import session_scratch
+    from mysql2psql_spark.queries.events_q import (
+        _ORACLE_STREAM_CDC,
+        stream_cdc_apply_summary,
+    )
+
+    got = stream_cdc_apply_summary(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_STREAM_CDC).df()
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].reset_index(drop=True),
+        want[cols].reset_index(drop=True),
+        check_dtype=False,
+        check_exact=True,
+    )
+    assert got.only_stream.iloc[0] == 0 and got.only_batch.iloc[0] == 0
+    assert got.value_mismatches.iloc[0] == 0
+
+    # planted divergence: drop one partial from the changelog the query
+    # just wrote, recompact, and the audit must light up
+    from mysql2psql_spark.queries.migration_q import m4_cdc_apply
+    from mysql2psql_spark.streaming.events import compact_cdc_log
+
+    sf_tag = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    out_dir = os.path.join(session_scratch(spark), f"stream_cdc_{sf_tag}")
+    shutil.rmtree(os.path.join(out_dir, "batch=1"))
+    lossy = compact_cdc_log(spark, out_dir).toPandas()
+    full = m4_cdc_apply(spark, SF_DIR_ORACLE).toPandas()
+    merged = lossy.merge(
+        full, on="user_id", how="outer", suffixes=("_s", "_b"), indicator=True
+    )
+    diverged = (
+        (merged._merge != "both").any()
+        or (
+            merged[merged._merge == "both"]
+            .apply(
+                lambda r: (r.last_event_type_s, r.cur_value_s, r.last_ts_s)
+                != (r.last_event_type_b, r.cur_value_b, r.last_ts_b),
+                axis=1,
+            )
+            .any()
+        )
+    )
+    assert diverged, "a lost partial must diverge the compacted state"
