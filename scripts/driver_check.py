@@ -45,6 +45,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", nargs="*", help="check only these query names")
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="write a JSON artifact (per-query ok/rows/hash + summary) — "
+        "the committed full-sweep evidence channel for registry rows "
+        "older than the driver's 50-row window (SURVEY §16 rule 20)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -70,10 +77,12 @@ def main() -> int:
 
     names = args.only or list(qs)
     failures: list[str] = []
+    results: dict[str, dict] = {}
     for i, name in enumerate(names, 1):
         try:
             got = qs[name](spark, args.sf_dir).toPandas()
             if name not in osql:
+                results[name] = {"ok": True, "rows": len(got), "hash": None}
                 print(f"[{i:3d}/{len(names)}] {name}: rows-only {len(got)}")
                 continue
             want = con.execute(osql[name]).df()
@@ -90,16 +99,43 @@ def main() -> int:
                 # artifact, e.g. HUGEINT->float) — the driver's hash gate
                 # WILL fail this even though the engine values are right
                 failures.append(name)
+                results[name] = {
+                    "ok": False, "rows": len(got), "hash": gh[:8],
+                    "err": f"render-diff vs oracle {wh[:8]}",
+                }
                 print(
                     f"[{i:3d}/{len(names)}] {name}: RENDER-DIFF "
                     f"(values equal, rendered hash {gh[:8]} != {wh[:8]}) — "
                     "fix the oracle's column types"
                 )
                 continue
+            results[name] = {"ok": True, "rows": len(got), "hash": gh[:8]}
             print(f"[{i:3d}/{len(names)}] {name}: OK {len(got)} rows hash {gh[:8]}")
         except Exception:
             failures.append(name)
+            results[name] = {
+                "ok": False, "rows": None, "hash": None,
+                "err": traceback.format_exc(limit=1).splitlines()[-1][:200],
+            }
             print(f"[{i:3d}/{len(names)}] {name}: FAIL\n{traceback.format_exc(limit=2)}")
+
+    if args.out:
+        import json
+
+        with open(args.out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": args.sf_dir,
+                    "n_queries": len(names),
+                    "n_ok": len(names) - len(failures),
+                    "failures": failures,
+                    "queries": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"# artifact written to {args.out}")
 
     if failures:
         print(f"\n{len(failures)} FAILED: {failures}", file=sys.stderr)

@@ -125,6 +125,14 @@ AUDITED = [
     "graph_jaccard_neighbors",
     "graph_adamic_adar",
     "o7_compaction_plan",
+    # round-15 registrations (the seven r14-queued flips)
+    "stream_drift_summary",
+    "sim_hard_negatives",
+    "profile_embedding_drift",
+    "sim_ivf_freshness",
+    "multimodal_vad_spans",
+    "dedup_method_agreement",
+    "m8_schema_evolution_plan",
 ]
 
 
