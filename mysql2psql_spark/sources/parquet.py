@@ -26,6 +26,19 @@ TABLES = (
 )
 
 
+# Session-scoped schema cache: footer inference costs ~80 ms per
+# spark.read.parquet on this host while a schema-pinned read costs ~14
+# (measured r15, 30-call A/B at sf0.1) — and EVERY query calls
+# load_table 1-10 times, so inference was ~0.7 s of every catalog-class
+# query and a steady tax on all 208. This is the catalog-metadata cache
+# every production engine keeps (a real deployment reads the schema
+# from the metastore, not the file footer, on every query). Keyed by
+# (applicationId, path, mtime): a new session re-infers, a rewritten
+# local path (the probe/test overwrite pattern) re-infers via mtime;
+# non-local paths (no statable mtime) skip the cache entirely.
+_SCHEMA_CACHE: dict[tuple[str, str, float], object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Column pruning / filter pushdown is Catalyst's job —
     callers express the plan declaratively and the physical Parquet scan
@@ -36,8 +49,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (microsecond precision — every engine query orders/buckets with an
     explicit unique tie-break, so the ns truncation is semantics-free).
     """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = None
+    try:
+        key = (spark.sparkContext.applicationId, path, os.path.getmtime(path))
+    except OSError:
+        pass  # non-local / non-statable path: no caching
+    schema = _SCHEMA_CACHE.get(key) if key is not None else None
+    if schema is not None:
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_CACHE[key] = df.schema
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division: ns epochs overflow double precision
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
