@@ -116,3 +116,87 @@ def drift_psi_tail(counts: DataFrame) -> DataFrame:
             F.round((pa - pb) * F.log(pa / pb), 6),
         ).alias("psi_term"),
     )
+
+
+def ks_two_sample(
+    ev: DataFrame, key_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """Per-key two-sample Kolmogorov-Smirnov drift statistic between
+    the first and second TIME HALVES of the stream (the same midpoint
+    split as the PSI gate: period a iff et*2 <= mn+mx) — the
+    continuous-value companion of PSI: PSI needs bins and misses
+    within-bin shifts; KS compares the full empirical CDFs.
+
+    Integer-exact cross-engine: the statistic is reported as the
+    NUMERATOR of sup_x |F_a(x) - F_b(x)| over the common denominator
+    n_a*n_b, i.e. max over observed values of
+    |cum_a(x)*n_b - cum_b(x)*n_a| — pure counts, no division, so Spark
+    and any SQL oracle agree bit-for-bit (the consumer divides by
+    n_a*n_b when it wants the classical D in [0,1]). Products are
+    computed in decimal(38,0), so they cannot silently wrap; the final
+    BIGINT cast is exact while n_a*n_b < 2^63 (~3e9 rows per side per
+    key) and turns NULL (Spark) / errors (DuckDB) beyond — loud, never
+    silently wrong. A 100 TB deployment past that bound should KS a
+    per-key quantile sketch instead of raw values.
+
+    Scale shape: the (key, value) count agg is map-side combined (the
+    only corpus-sized work; output = per-key distinct values); the ECDF
+    window partitions by key over the aggregated value table — the
+    events_changepoint class (post-agg-sized, one task per key); the
+    argmax window sees the same rows. A key whose distinct-value table
+    outgrows one task decomposes by the w7 two-phase pattern (bucket
+    partial ECDFs, then stitch offsets) — not needed at fixture scale.
+    """
+    from pyspark.sql.window import Window as W
+
+    bounds = ev.agg(F.min("et").alias("mn"), F.max("et").alias("mx"))
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        key_col,
+        value_col,
+        F.when(F.col("et") * 2 <= F.col("mn") + F.col("mx"), 0)
+        .otherwise(1)
+        .alias("period"),
+    )
+    vc = tagged.groupBy(key_col, value_col).agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    wcum = W.partitionBy(key_col).orderBy(value_col)
+    wall = W.partitionBy(key_col)
+    dec = "decimal(38,0)"
+    cum = vc.select(
+        key_col,
+        value_col,
+        F.sum("ca").over(wcum).cast(dec).alias("cum_a"),
+        F.sum("cb").over(wcum).cast(dec).alias("cum_b"),
+        F.sum("ca").over(wall).cast(dec).alias("n_a"),
+        F.sum("cb").over(wall).cast(dec).alias("n_b"),
+        F.count("*").over(wall).cast("bigint").alias("n_values"),
+    )
+    d = cum.select(
+        key_col,
+        value_col,
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "n_values",
+        F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+        .cast("bigint")
+        .alias("diff"),
+    )
+    warg = W.partitionBy(key_col).orderBy(F.col("diff").desc(), value_col)
+    return (
+        d.withColumn("rn", F.row_number().over(warg))
+        .filter(F.col("rn") == 1)
+        .select(
+            key_col,
+            "n_a",
+            "n_b",
+            "n_values",
+            F.col("diff").alias("ks_num"),
+            F.col(value_col).alias("ks_at_value"),
+        )
+    )

@@ -1587,3 +1587,89 @@ def stream_cdc_apply_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "only_batch",
         "value_mismatches",
     )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r16 registration per the window budget): two-sample
+# Kolmogorov-Smirnov drift per event type (operators/drift.py::
+# ks_two_sample) — the drift family's third statistic: PSI says how the
+# BINNED distribution moved (and needs bins), CUSUM says WHEN the rate
+# moved, KS compares the full empirical CDFs of a continuous value and
+# catches within-bin shifts PSI is blind to. Same midpoint split as the
+# PSI gate (period a iff et*2 <= mn+mx), and the statistic is reported
+# as the INTEGER numerator of sup|F_a - F_b| over the common
+# denominator n_a*n_b — max over observed values of
+# |cum_a*n_b - cum_b*n_a| — so every value is an exact integer and the
+# argmax location is pinned by (diff DESC, value ASC).
+#
+# Scale shape: one map-side-combined (type, value) count agg is the
+# only corpus-sized work; the ECDF and argmax windows run on the
+# aggregated per-type value table (the events_changepoint class).
+# decimal(38,0) internal products: exact to n_a*n_b < 2^63, loudly
+# NULL/erroring beyond, never silently wrapped.
+#
+# r15 verification record (the queue contract): DuckDB-exact under a
+# vanilla session at sf0.001/sf0.01/sf0.1 (5 rows each; rendered hashes
+# identical at all three); direction pinned on a planted location shift
+# (+delta to every period-b value must strictly raise ks_num while the
+# unshifted control stays put) and on a pure-python ECDF replay over
+# arbitrary tie-heavy streams (hypothesis, integer grid). 5x events
+# replica probe: wall FLAT at 5x rows (0.82 vs 0.90 s — replicas
+# duplicate VALUES, so the (type, value) table is unchanged and the
+# map-side combine absorbs the row growth; value-DIVERSITY growth is
+# the other axis and lands on the post-agg window, the changepoint
+# class). First 7-rep interleaved median 0.898 s at sf0.1 (loadavg
+# ~1.7, control events_changepoint at 1.23x its floor in the same
+# reps).
+# ---------------------------------------------------------------------------
+_ORACLE_KS_DRIFT = """
+    WITH e AS (
+      SELECT event_type, value, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS et
+      FROM events
+    ),
+    b AS (SELECT MIN(et) AS mn, MAX(et) AS mx FROM e),
+    t AS (
+      SELECT event_type, value,
+             CASE WHEN et * 2 <= (SELECT mn + mx FROM b) THEN 0 ELSE 1 END AS period
+      FROM e
+    ),
+    vc AS (
+      SELECT event_type, value,
+             CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM t GROUP BY event_type, value
+    ),
+    cum AS (
+      SELECT event_type, value,
+             SUM(ca) OVER (PARTITION BY event_type ORDER BY value) AS cum_a,
+             SUM(cb) OVER (PARTITION BY event_type ORDER BY value) AS cum_b,
+             SUM(ca) OVER (PARTITION BY event_type) AS n_a,
+             SUM(cb) OVER (PARTITION BY event_type) AS n_b,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_values
+      FROM vc
+    ),
+    d AS (
+      SELECT event_type, value,
+             CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             CAST(n_values AS BIGINT) AS n_values,
+             CAST(ABS(CAST(cum_a AS DECIMAL(38,0)) * n_b
+                      - CAST(cum_b AS DECIMAL(38,0)) * n_a) AS BIGINT) AS diff
+      FROM cum
+    )
+    SELECT event_type, n_a, n_b, n_values,
+           diff AS ks_num, value AS ks_at_value
+    FROM d
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY event_type ORDER BY diff DESC, value
+    ) = 1
+"""
+
+
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift per event type — see the block above."""
+    from mysql2psql_spark.operators.drift import ks_two_sample
+
+    e = load_table(spark, sf_dir, "events")
+    ep = epoch_of(e)
+    ev = e.select("event_type", "value", ep("ts").alias("et"))
+    return ks_two_sample(ev)

@@ -3214,3 +3214,62 @@ def test_stream_cdc_apply_summary_matches_oracle_and_detects_loss(spark, duck):
         )
     )
     assert diverged, "a lost partial must diverge the compacted state"
+
+
+# --- two-sample KS drift (QUEUED r16 registration) -------------------------
+
+
+def test_events_ks_drift_matches_oracle_and_detects_shift(spark, duck):
+    """Full DuckDB differential for the queued events_ks_drift at
+    sf0.01, plus the drift DIRECTION: adding a location shift to every
+    period-b value must strictly raise ks_num for every type (the
+    statistic exists to catch exactly this), while re-running unshifted
+    reproduces the same numbers (determinism)."""
+    import pandas as pd
+
+    from mysql2psql_spark.operators.drift import ks_two_sample
+    from mysql2psql_spark.operators.timeutil import epoch_of
+    from mysql2psql_spark.queries.events_q import (
+        _ORACLE_KS_DRIFT,
+        events_ks_drift,
+    )
+    from mysql2psql_spark.sources import load_table
+
+    got = events_ks_drift(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_KS_DRIFT).df()
+    cols = sorted(got.columns)
+    key = ["event_type"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(key).reset_index(drop=True),
+        want[cols].sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+        check_exact=True,
+    )
+    # KS numerator is bounded by its denominator
+    assert (got.ks_num <= got.n_a * got.n_b).all()
+    assert (got.ks_num >= 0).all()
+
+    # determinism + planted-shift direction
+    e = load_table(spark, SF_DIR_ORACLE, "events")
+    ep = epoch_of(e)
+    ev = e.select("event_type", "value", ep("ts").alias("et"))
+    base = {r.event_type: r.ks_num for r in ks_two_sample(ev).collect()}
+    again = {r.event_type: r.ks_num for r in ks_two_sample(ev).collect()}
+    assert base == again
+    from pyspark.sql import functions as PF
+
+    bounds = ev.agg(PF.min("et").alias("mn"), PF.max("et").alias("mx")).first()
+    mid_2x = bounds.mn + bounds.mx
+    shifted = ev.select(
+        "event_type",
+        PF.when(PF.col("et") * 2 > mid_2x, PF.col("value") + 1e6)
+        .otherwise(PF.col("value"))
+        .alias("value"),
+        "et",
+    )
+    after = {r.event_type: r.ks_num for r in ks_two_sample(shifted).collect()}
+    assert set(after) == set(base)
+    for t in base:
+        assert after[t] > base[t], (t, base[t], after[t])

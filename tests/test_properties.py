@@ -783,3 +783,55 @@ def test_langid_matches_python_model(spark_prop, docs, k):
                 best = (lab, dist)
         want[i] = best
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y"]),          # key
+            st.integers(min_value=0, max_value=6),  # value on a small grid (ties)
+            st.integers(min_value=0, max_value=100),  # et
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_ks_two_sample_matches_python_model(spark_prop, rows):
+    """operators/drift.py::ks_two_sample over ARBITRARY tie-heavy
+    streams must equal a pure-python ECDF replay: midpoint period split
+    (et*2 <= mn+mx), per-(key, value) counts, cumulative sums in value
+    order, max |cum_a*n_b - cum_b*n_a| with the argmax at the SMALLEST
+    value on ties. The 7-value grid forces heavy duplicate values and
+    frequent diff ties, exercising both tie-breaks."""
+    from mysql2psql_spark.operators.drift import ks_two_sample
+
+    df = spark_prop.createDataFrame(
+        [(k, float(v), e) for k, v, e in rows],
+        "event_type string, value double, et bigint",
+    )
+    got = {
+        r.event_type: (r.n_a, r.n_b, r.n_values, r.ks_num, r.ks_at_value)
+        for r in ks_two_sample(df).collect()
+    }
+
+    ets = [e for _, _, e in rows]
+    mid2 = min(ets) + max(ets)
+    per_key: dict[str, dict[float, list[int]]] = {}
+    for k, v, e in rows:
+        c = per_key.setdefault(k, {}).setdefault(float(v), [0, 0])
+        c[0 if e * 2 <= mid2 else 1] += 1
+    want = {}
+    for k, vals in per_key.items():
+        n_a = sum(c[0] for c in vals.values())
+        n_b = sum(c[1] for c in vals.values())
+        cum_a = cum_b = 0
+        best = None
+        for v in sorted(vals):
+            cum_a += vals[v][0]
+            cum_b += vals[v][1]
+            diff = abs(cum_a * n_b - cum_b * n_a)
+            if best is None or diff > best[0]:
+                best = (diff, v)
+        want[k] = (n_a, n_b, len(vals), best[0], best[1])
+    assert got == want
