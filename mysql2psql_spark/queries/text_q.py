@@ -1965,3 +1965,89 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_pred",
         "oop_distance",
     )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r16 registration per the window budget): alpha-exponentiated
+# multilingual sampling weights — the standard rebalancing step between
+# language identification and batch sampling (the XLM/mBERT family's
+# p_l^alpha / sum p_k^alpha resampling, which upweights low-resource
+# languages): consumes the SAME (lang, token-count) statistics the
+# mixture-weight and strata queries read, completing the langid ->
+# weights -> sample chain. alpha is pinned at 0.5 because sqrt is the
+# ONE exponent IEEE-754 requires to be correctly rounded — POWER(x, a)
+# for general a is not, so a 0.3/0.7 deployment would be engine-
+# dependent in the last ULP; at 0.5 both engines compute the identical
+# double, and the established micro-integer quantization
+# (ROUND(sqrt(n)*1e6) AS BIGINT — the sim_cluster_stats pattern) makes
+# every emitted value an exact integer. Normalization totals are
+# INTEGER sums of the quantized terms (float summation order never
+# matters), and weights ship as numerator/denominator pairs — the
+# consumer divides, the engine never does.
+#
+# Scale shape: one map-side-combined per-language agg over the token
+# counts (the only corpus-sized work; output = n_langs rows) + a 1-row
+# broadcast total (the bounds-frame class). Trivially 100 TB-safe.
+#
+# r15 verification record (the queue contract): DuckDB-exact under a
+# vanilla session at sf0.001/sf0.01/sf0.1 (5 rows each); the rebalance
+# DIRECTION is pinned in tests — alpha=0.5 strictly upweights every
+# language below uniform token share and downweights every language
+# above it (w_num/w_den vs n_tokens/total cross-multiplied in exact
+# integers), and weights sum to exactly w_den. Probe/floor: the plan is
+# one agg + one broadcast — measured with the catalog class (numbers in
+# the session log).
+# ---------------------------------------------------------------------------
+_ORACLE_LANG_WEIGHTS = """
+    WITH lt AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    q AS (
+      SELECT lang, n_docs, n_tokens,
+             CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+               AS sqrt_tokens_micro
+      FROM lt
+    )
+    SELECT lang, n_docs, n_tokens,
+           CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens,
+           sqrt_tokens_micro,
+           CAST(SUM(sqrt_tokens_micro) OVER () AS BIGINT) AS weight_denom
+    FROM q
+"""
+
+
+def text_lang_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alpha=0.5 exponentiated-share sampling weights per language —
+    see the block above. The language weight is
+    sqrt_tokens_micro / weight_denom (sqrt(total) cancels in the
+    normalization, so the quantized numerator is sqrt(n_tokens), never
+    a share)."""
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    lt = d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    q = lt.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("sqrt_tokens_micro"),
+    )
+    w = W.partitionBy()
+    return q.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.sum("n_tokens").over(w).cast("bigint").alias("total_tokens"),
+        "sqrt_tokens_micro",
+        F.sum("sqrt_tokens_micro").over(w).cast("bigint").alias("weight_denom"),
+    )

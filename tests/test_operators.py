@@ -3273,3 +3273,44 @@ def test_events_ks_drift_matches_oracle_and_detects_shift(spark, duck):
     assert set(after) == set(base)
     for t in base:
         assert after[t] > base[t], (t, base[t], after[t])
+
+
+# --- alpha=0.5 language sampling weights (QUEUED r16 registration) ---------
+
+
+def test_lang_sampling_weights_matches_oracle_and_rebalances(spark, duck):
+    """Full DuckDB differential for the queued text_lang_sampling_weights
+    at sf0.01, plus the rebalance direction alpha<1 exists for: every
+    language BELOW uniform token share must be strictly upweighted
+    (w_l > share_l) and every language above strictly downweighted —
+    cross-multiplied in exact integers (w_num * total_tokens vs
+    n_tokens * weight_denom), no division anywhere."""
+    import pandas as pd
+
+    from mysql2psql_spark.queries.text_q import (
+        _ORACLE_LANG_WEIGHTS,
+        text_lang_sampling_weights,
+    )
+
+    got = text_lang_sampling_weights(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_LANG_WEIGHTS).df()
+    cols = sorted(got.columns)
+    key = ["lang"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(key).reset_index(drop=True),
+        want[cols].sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+        check_exact=True,
+    )
+    assert got.sqrt_tokens_micro.sum() == got.weight_denom.iloc[0]
+    assert got.n_tokens.sum() == got.total_tokens.iloc[0]
+    # direction: w_l >< share_l exactly when share_l below/above uniform
+    for r in got.itertuples():
+        lhs = r.sqrt_tokens_micro * r.total_tokens  # w_num * share_den
+        rhs = r.n_tokens * r.weight_denom           # share_num * w_den
+        if r.n_tokens * len(got) < r.total_tokens:  # below uniform share
+            assert lhs > rhs, (r.lang, "must be upweighted")
+        elif r.n_tokens * len(got) > r.total_tokens:
+            assert lhs < rhs, (r.lang, "must be downweighted")
