@@ -1994,9 +1994,10 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DIRECTION is pinned in tests — alpha=0.5 strictly upweights every
 # language below uniform token share and downweights every language
 # above it (w_num/w_den vs n_tokens/total cross-multiplied in exact
-# integers), and weights sum to exactly w_den. Probe/floor: the plan is
-# one agg + one broadcast — measured with the catalog class (numbers in
-# the session log).
+# integers), and weights sum to exactly w_den. First 7-rep median
+# 0.327 s at sf0.1 (loadavg ~5.4) — one agg + one 1-row window, the
+# catalog class; replica probing measures nothing beyond the scan (the
+# output is n_langs rows at any SF).
 # ---------------------------------------------------------------------------
 _ORACLE_LANG_WEIGHTS = """
     WITH lt AS (
