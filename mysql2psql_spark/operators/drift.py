@@ -147,21 +147,67 @@ def ks_two_sample(
     outgrows one task decomposes by the w7 two-phase pattern (bucket
     partial ECDFs, then stitch offsets) — not needed at fixture scale.
     """
-    from pyspark.sql.window import Window as W
-
     bounds = ev.agg(F.min("et").alias("mn"), F.max("et").alias("mx"))
-    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+    return ks_tail(
+        ks_value_counts(ks_tagged(ev, bounds, key_col, value_col)),
+        key_col=key_col,
+        value_col=value_col,
+    )
+
+
+def ks_tagged(
+    ev: DataFrame,
+    bounds: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """(key, value, period) per input row given a FROZEN 1-row (mn, mx)
+    bounds frame — row-local, the drift_tagged discipline: bounds must
+    not move between micro-batches or the counts stop being
+    associative."""
+    return ev.crossJoin(F.broadcast(bounds)).select(
         key_col,
         value_col,
         F.when(F.col("et") * 2 <= F.col("mn") + F.col("mx"), 0)
         .otherwise(1)
         .alias("period"),
     )
-    vc = tagged.groupBy(key_col, value_col).agg(
-        F.sum(F.when(F.col("period") == 0, 1).otherwise(0))
+
+
+def ks_value_counts(
+    tagged: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """(key, value, period, n) — the associative KS partial (map-side
+    combined; output = per-key distinct values x 2, sublinear in the
+    stream). A sum of these frames over ANY micro-batch partitioning of
+    the rows equals the one-shot counts EXACTLY, which is what makes
+    the streaming gate's summary bit-identical to the batch statistic."""
+    return tagged.groupBy(key_col, value_col, "period").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+
+def ks_tail(
+    counts: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """The KS computation over summed (key, value, period, n) counts:
+    pivot periods, cumulative ECDF sums in value order, max
+    |cum_a*n_b - cum_b*n_a| with the argmax at the smallest value on
+    ties. Deterministic in the counts alone. A mid-stream read that has
+    only seen one period yields ks_num = 0 for every key (the empty
+    side's ECDF is identically zero) — a defined partial, not an
+    error."""
+    from pyspark.sql.window import Window as W
+
+    vc = counts.groupBy(key_col, value_col).agg(
+        F.sum(F.when(F.col("period") == 0, F.col("n")).otherwise(0))
         .cast("bigint")
         .alias("ca"),
-        F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
+        F.sum(F.when(F.col("period") == 1, F.col("n")).otherwise(0))
         .cast("bigint")
         .alias("cb"),
     )

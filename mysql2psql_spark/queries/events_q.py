@@ -1673,3 +1673,113 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ep = epoch_of(e)
     ev = e.select("event_type", "value", ep("ts").alias("et"))
     return ks_two_sample(ev)
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r16 registration per the window budget): the KS gate as
+# driver-visible evidence — keeping the invariant the r15 CDC queue
+# entry restored: EVERY foreachBatch gate carries an oracled audit row
+# (stream_near_dup_gate / stream_drift_summary / stream_cdc_apply_
+# summary pattern). Run streaming/events.py::ks_counts_foreach_batch in
+# BATCH MODE on two event_id-parity micro-batches with the bounds
+# FROZEN over the full window, read the compacted statistic back via
+# read_ks_summary, and audit it against the oracle-exact batch twin
+# (events_ks_drift) as ONE row. (key, value, period) counts are
+# associative and ks_tail is deterministic in the summed counts, so
+# streamed == batch BIT-FOR-BIT for ANY micro-batch partitioning —
+# tests pin it under a real two-trigger readStream AND a time-ordered
+# split (a different partitioning than this query's parity split).
+#
+# Scale shape: per-trigger cost is one batch-sized scan reduced to a
+# distinct-value-sized count partial (map-side combined); the audit
+# join is n_types x n_types. Lineage-marker protocol inherited through
+# the shared versioned-partial guard.
+#
+# r15 verification record (the queue contract): DuckDB-exact under a
+# vanilla session at sf0.001/sf0.01/sf0.1 (1 row each); streamed
+# equivalence, replayed-trigger idempotency, mid-stream one-period
+# partial (ks_num = 0, defined), and foreign-lineage refusal pinned in
+# tests/test_streaming.py. Probe/floor: the two trigger jobs dominate
+# (the stream_drift_summary class; KS partials are value-table-sized
+# rather than bucket-sized, still sublinear) — first 7-rep median
+# 2.454 s at sf0.1 (loadavg ~1.7).
+# ---------------------------------------------------------------------------
+_ORACLE_STREAM_KS = f"""
+    WITH ks AS ({_ORACLE_KS_DRIFT})
+    SELECT CAST(2 AS BIGINT) AS n_triggers,
+           CAST(COUNT(*) AS BIGINT) AS stream_rows,
+           CAST(COUNT(*) AS BIGINT) AS batch_rows,
+           CAST(0 AS BIGINT) AS only_stream,
+           CAST(0 AS BIGINT) AS only_batch,
+           CAST(0 AS BIGINT) AS value_mismatches
+    FROM ks
+"""
+
+
+def stream_ks_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed-equals-batch audit for the foreachBatch KS gate — see
+    the block above. The two micro-batches split events by event_id
+    parity; partial writes are idempotent (mode=overwrite per batch
+    dir) and the out_dir doubles as the lineage token, rotated with the
+    lineage."""
+    import os
+    import shutil
+
+    from mysql2psql_spark.operators.layout import session_scratch
+    from mysql2psql_spark.streaming.events import (
+        ks_counts_foreach_batch,
+        read_ks_summary,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    ep = epoch_of(e)
+    bounds = e.select(ep("ts").alias("et")).agg(
+        F.min("et").alias("mn"), F.max("et").alias("mx")
+    )
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    out_dir = os.path.join(session_scratch(spark), f"stream_ks_{sf_tag}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    gate = ks_counts_foreach_batch(bounds, out_dir, lineage=out_dir)
+    gate(e.filter(F.col("event_id") % 2 == 0), 0)
+    gate(e.filter(F.col("event_id") % 2 == 1), 1)
+    streamed = read_ks_summary(spark, out_dir)
+    batch = events_ks_drift(spark, sf_dir)
+    vals = ["n_a", "n_b", "n_values", "ks_num", "ks_at_value"]
+    s = streamed.select(
+        "event_type", *[F.col(v).alias(f"s_{v}") for v in vals]
+    )
+    b = batch.select(
+        "event_type", *[F.col(v).alias(f"b_{v}") for v in vals]
+    )
+    j = s.join(b, ["event_type"], "full_outer")
+    eq = None
+    for v in vals:
+        c = F.col(f"s_{v}").eqNullSafe(F.col(f"b_{v}"))
+        eq = c if eq is None else (eq & c)
+    return j.agg(
+        F.count(F.col("s_ks_num")).cast("bigint").alias("stream_rows"),
+        F.count(F.col("b_ks_num")).cast("bigint").alias("batch_rows"),
+        F.sum(F.when(F.col("b_ks_num").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("only_stream"),
+        F.sum(F.when(F.col("s_ks_num").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("only_batch"),
+        F.sum(
+            F.when(
+                F.col("s_ks_num").isNotNull()
+                & F.col("b_ks_num").isNotNull()
+                & ~eq,
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("value_mismatches"),
+    ).select(
+        F.lit(2).cast("bigint").alias("n_triggers"),
+        "stream_rows",
+        "batch_rows",
+        "only_stream",
+        "only_batch",
+        "value_mismatches",
+    )

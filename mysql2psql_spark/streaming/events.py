@@ -374,56 +374,123 @@ def drift_counts_foreach_batch(
     from mysql2psql_spark.operators.timeutil import epoch_of
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        fs, path, jvm = _hadoop_fs(spark, out_dir)
-        marker_path = jvm.org.apache.hadoop.fs.Path(out_dir + "/_LINEAGE")
-        if lineage is not None:
-            recorded = _read_lineage_marker(fs, jvm, marker_path)
-            if recorded is not None and recorded != lineage:
-                raise RuntimeError(
-                    f"drift gate: query lineage {lineage!r} writing batch "
-                    f"{batch_id} over {out_dir}, which belongs to lineage "
-                    f"{recorded!r}; the checkpoint was cleared or points "
-                    "elsewhere — overwriting would corrupt the summary. "
-                    "Clear or rotate out_dir with the checkpoint."
-                )
-            if recorded is None and batch_id == 0 and fs.exists(path):
-                existing = [
-                    s.getPath().getName()
-                    for s in fs.listStatus(path)
-                    if s.getPath().getName().startswith("batch=")
-                ]
-                if existing:
-                    raise RuntimeError(
-                        f"drift gate: lineage {lineage!r} starting at batch 0 "
-                        f"over {out_dir}, which already holds unmarked "
-                        f"partials {sorted(existing)} of unknown provenance — "
-                        "overwriting would corrupt the summary. Clear or "
-                        "rotate out_dir with the checkpoint."
-                    )
-        elif batch_id == 0 and fs.exists(path):
-            stale = [
-                s.getPath().getName()
-                for s in fs.listStatus(path)
-                if s.getPath().getName().startswith("batch=")
-                and s.getPath().getName() != "batch=0"
-            ]
-            if stale:
-                raise RuntimeError(
-                    f"drift gate: fresh query lineage (batch 0) over "
-                    f"{out_dir} which already holds {sorted(stale)}; "
-                    "the checkpoint was cleared without clearing "
-                    "out_dir — overwriting would corrupt the summary. "
-                    "Clear or rotate out_dir with the checkpoint."
-                )
+        finish = _guard_versioned_out_dir(
+            batch_df.sparkSession, out_dir, lineage, batch_id, gate="drift gate"
+        )
         ep = epoch_of(batch_df)
         ev = batch_df.select(ep("ts").alias("et"), "event_type", "value")
         part = drift_counts(drift_tagged(ev, bounds))
         part.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        finish()
+
+    return apply
+
+
+def _guard_versioned_out_dir(
+    spark, out_dir: str, lineage: str | None, batch_id: int, gate: str
+):
+    """The shared lineage/staleness guard of every batch_id-versioned
+    partial sink (drift gate, KS gate): refuse a write that would
+    silently shadow another lineage's partials, per the contract in
+    :func:`drift_counts_foreach_batch`. Returns a ``finish`` callback
+    the caller invokes AFTER its partial write succeeds — the marker
+    must never exist without at least one partial it describes."""
+    fs, path, jvm = _hadoop_fs(spark, out_dir)
+    marker_path = jvm.org.apache.hadoop.fs.Path(out_dir + "/_LINEAGE")
+    if lineage is not None:
+        recorded = _read_lineage_marker(fs, jvm, marker_path)
+        if recorded is not None and recorded != lineage:
+            raise RuntimeError(
+                f"{gate}: query lineage {lineage!r} writing batch "
+                f"{batch_id} over {out_dir}, which belongs to lineage "
+                f"{recorded!r}; the checkpoint was cleared or points "
+                "elsewhere — overwriting would corrupt the summary. "
+                "Clear or rotate out_dir with the checkpoint."
+            )
+        if recorded is None and batch_id == 0 and fs.exists(path):
+            existing = [
+                s.getPath().getName()
+                for s in fs.listStatus(path)
+                if s.getPath().getName().startswith("batch=")
+            ]
+            if existing:
+                raise RuntimeError(
+                    f"{gate}: lineage {lineage!r} starting at batch 0 "
+                    f"over {out_dir}, which already holds unmarked "
+                    f"partials {sorted(existing)} of unknown provenance — "
+                    "overwriting would corrupt the summary. Clear or "
+                    "rotate out_dir with the checkpoint."
+                )
+    elif batch_id == 0 and fs.exists(path):
+        stale = [
+            s.getPath().getName()
+            for s in fs.listStatus(path)
+            if s.getPath().getName().startswith("batch=")
+            and s.getPath().getName() != "batch=0"
+        ]
+        if stale:
+            raise RuntimeError(
+                f"{gate}: fresh query lineage (batch 0) over "
+                f"{out_dir} which already holds {sorted(stale)}; "
+                "the checkpoint was cleared without clearing "
+                "out_dir — overwriting would corrupt the summary. "
+                "Clear or rotate out_dir with the checkpoint."
+            )
+
+    def finish() -> None:
         if lineage is not None:
             _write_lineage_marker(fs, jvm, marker_path, lineage)
 
+    return finish
+
+
+# ---------------------------------------------------------------------------
+# Streaming KS gate: the same versioned-partial decomposition as the PSI
+# drift gate, for the two-sample KS statistic — (key, value, period)
+# counts are associative given frozen bounds (operators/drift.py::
+# ks_value_counts), so any micro-batch partitioning sums to the one-shot
+# counts and read_ks_summary is bit-identical to the batch
+# events_ks_drift over the same rows. Partials are per-trigger
+# distinct-value-sized (sublinear in the stream); the long-stream
+# roll-up-compaction contract is the same associativity.
+# ---------------------------------------------------------------------------
+def ks_counts_foreach_batch(
+    bounds: DataFrame, out_dir: str, lineage: str | None = None
+):
+    """Return a foreachBatch function writing each micro-batch's
+    (event_type, value, period) KS count partial to
+    ``{out_dir}/batch=<id>``. Same lifetime/lineage contract as
+    :func:`drift_counts_foreach_batch` (shared guard)."""
+    from mysql2psql_spark.operators.drift import ks_tagged, ks_value_counts
+    from mysql2psql_spark.operators.timeutil import epoch_of
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        finish = _guard_versioned_out_dir(
+            batch_df.sparkSession, out_dir, lineage, batch_id, gate="ks gate"
+        )
+        ep = epoch_of(batch_df)
+        ev = batch_df.select("event_type", "value", ep("ts").alias("et"))
+        part = ks_value_counts(ks_tagged(ev, bounds))
+        part.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        finish()
+
     return apply
+
+
+def read_ks_summary(spark, out_dir: str) -> DataFrame:
+    """KS statistic over everything the gate has seen: sum the
+    per-batch count partials (associative) and run the shared KS tail —
+    schema and values identical to events_ks_drift over the same rows.
+    A one-period mid-stream read yields ks_num = 0 per key (defined
+    partial, see ks_tail)."""
+    from mysql2psql_spark.operators.drift import ks_tail
+
+    schema = "event_type string, value double, period int, n bigint"
+    parts = spark.read.schema(schema).parquet(f"{out_dir}/batch=*")
+    summed = parts.groupBy("event_type", "value", "period").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
+    return ks_tail(summed)
 
 
 def read_drift_summary(spark, out_dir: str) -> DataFrame:

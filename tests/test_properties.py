@@ -835,3 +835,60 @@ def test_ks_two_sample_matches_python_model(spark_prop, rows):
                 best = (diff, v)
         want[k] = (n_a, n_b, len(vals), best[0], best[1])
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["aa", "bb", "cc"]),
+            st.integers(min_value=1, max_value=50),  # token count
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_lang_sampling_weights_match_python_model(spark_prop, docs):
+    """The alpha=0.5 weight pipeline over ARBITRARY corpora must equal
+    a pure-python replay: per-language token totals, HALF_UP-rounded
+    micro-quantized sqrt (Decimal models Spark's round), integer
+    normalization totals. Texts are built with exactly the drawn token
+    counts so the whitespace tokenizer is exercised end to end."""
+    from mysql2psql_spark.queries.text_q import text_lang_sampling_weights
+
+    import math
+    import os
+    import tempfile
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = [
+        (i, lab, " ".join(f"t{j}" for j in range(n)))
+        for i, (lab, n) in enumerate(docs)
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark_prop.createDataFrame(
+            rows, "doc_id bigint, lang string, text string"
+        ).coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            r.lang: (r.n_docs, r.n_tokens, r.total_tokens,
+                     r.sqrt_tokens_micro, r.weight_denom)
+            for r in text_lang_sampling_weights(spark_prop, td).collect()
+        }
+
+    agg: dict[str, list[int]] = {}
+    for _, lab, text in rows:
+        c = agg.setdefault(lab, [0, 0])
+        c[0] += 1
+        c[1] += len(text.split(" "))
+    total = sum(v[1] for v in agg.values())
+    q = {
+        lab: int(
+            Decimal(math.sqrt(v[1]) * 1e6).quantize(Decimal(1), ROUND_HALF_UP)
+        )
+        for lab, v in agg.items()
+    }
+    denom = sum(q.values())
+    want = {
+        lab: (v[0], v[1], total, q[lab], denom) for lab, v in agg.items()
+    }
+    assert got == want

@@ -709,3 +709,104 @@ def test_drift_summary_readable_mid_stream_one_period(spark, tmp_path):
     assert all(r["share_b"] is None for r in rows)
     assert all(r["psi_term"] is None for r in rows)
     assert all(r["n_b"] == 0 for r in rows)
+
+
+def test_ks_gate_stream_matches_batch_query(spark, tmp_path):
+    """The KS gate (streaming/events.py::ks_counts_foreach_batch) must
+    produce, compacted across a real two-trigger readStream, EXACTLY
+    events_ks_drift's frame over the same rows: (key, value, period)
+    counts are associative given frozen bounds, so any micro-batch
+    partitioning sums to the one-shot counts and the shared ks_tail is
+    deterministic in the summed counts."""
+    import pandas as pd
+
+    from mysql2psql_spark.operators.timeutil import epoch_of
+    from mysql2psql_spark.queries.events_q import events_ks_drift
+    from mysql2psql_spark.sources import load_table
+    from mysql2psql_spark.streaming.events import (
+        ks_counts_foreach_batch,
+        read_ks_summary,
+    )
+
+    e = load_table(spark, SF_DIR, "events")
+    stream_dir = str(tmp_path / "ks_arrivals")
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(stream_dir)
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(
+        stream_dir
+    )
+    ep = epoch_of(e)
+    bounds = e.select(ep("ts").alias("et")).agg(
+        F.min("et").alias("mn"), F.max("et").alias("mx")
+    )
+    out_dir = str(tmp_path / "ks_out")
+    arrival_schema = spark.read.parquet(stream_dir).schema
+    stream = (
+        spark.readStream.schema(arrival_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = stream.writeStream.foreachBatch(
+        ks_counts_foreach_batch(bounds, out_dir, lineage=out_dir)
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import glob
+
+    assert len(glob.glob(f"{out_dir}/batch=*")) == 2
+    got = read_ks_summary(spark, out_dir).toPandas()
+    want = events_ks_drift(spark, SF_DIR).toPandas()
+    key = ["event_type"]
+    g = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    w = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+    assert len(g) > 0
+
+
+def test_ks_gate_replay_idempotent_and_lineage_guarded(spark, tmp_path):
+    """The KS gate inherits the versioned-partial discipline through the
+    SHARED guard: a replayed (batch, id) overwrites its own partial
+    (summary unchanged), a foreign lineage is refused on the marker even
+    over an out_dir holding only batch=0, and a one-period mid-stream
+    read yields the defined ks_num = 0 partial."""
+    import pandas as pd
+    import pytest
+
+    from mysql2psql_spark.operators.timeutil import epoch_of
+    from mysql2psql_spark.sources import load_table
+    from mysql2psql_spark.streaming.events import (
+        ks_counts_foreach_batch,
+        read_ks_summary,
+    )
+
+    e = load_table(spark, SF_DIR, "events")
+    ep = epoch_of(e)
+    bounds = e.select(ep("ts").alias("et")).agg(
+        F.min("et").alias("mn"), F.max("et").alias("mx")
+    )
+    out_dir = str(tmp_path / "ks_replay")
+    gate = ks_counts_foreach_batch(bounds, out_dir, lineage="ckpt-K")
+    b = bounds.first()
+    mid_cut = (b["mn"] + b["mx"]) / 2
+    # a TIME-ordered stream: the first trigger holds only period-a rows,
+    # so the mid-stream read sees an empty b-side -> ks_num = 0 per key
+    # (the defined partial), never a division error
+    b0 = e.filter(ep("ts") <= F.lit(mid_cut))
+    b1 = e.filter(ep("ts") > F.lit(mid_cut))
+    gate(b0, 0)
+    mid = read_ks_summary(spark, out_dir).toPandas()
+    assert (mid.ks_num == 0).all() and (mid.n_b == 0).all() and (mid.n_a > 0).all()
+    gate(b1, 1)
+    first = read_ks_summary(spark, out_dir).toPandas()
+    gate(b1, 1)  # the replayed trigger
+    second = read_ks_summary(spark, out_dir).toPandas()
+    key = ["event_type"]
+    pd.testing.assert_frame_equal(
+        first.sort_values(key).reset_index(drop=True),
+        second.sort_values(key).reset_index(drop=True),
+        check_exact=True,
+    )
+    foreign = ks_counts_foreach_batch(bounds, out_dir, lineage="ckpt-L")
+    with pytest.raises(RuntimeError, match="belongs to lineage 'ckpt-K'"):
+        foreign(b0, 0)
