@@ -730,6 +730,19 @@ def m8_schema_evolution_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = spark.createDataFrame(
         rows, "table_name string, column_name string, pos int, pg_type string"
     )
+    return schema_evolution_plan_from(v1)
+
+
+def schema_evolution_plan_from(v1: DataFrame) -> DataFrame:
+    """The rule-mutation + name-keyed differ over an arbitrary v1
+    catalog frame (table_name, column_name, pos, pg_type) — factored so
+    the differ is property-testable beyond the fixture catalog (a
+    pure-python replay over hypothesis-generated catalogs pins drops,
+    renames, reindexing, the audit column, move classification, and the
+    exact DDL strings)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
     keep = v1.filter(F.length("column_name") % 7 != 3).select(
         "table_name",
         F.when(

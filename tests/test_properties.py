@@ -892,3 +892,72 @@ def test_lang_sampling_weights_match_python_model(spark_prop, docs):
         lab: (v[0], v[1], total, q[lab], denom) for lab, v in agg.items()
     }
     assert got == want
+
+
+@given(
+    catalog=st.dictionaries(
+        st.sampled_from(["t1", "t2", "tbl"]),
+        st.lists(
+            st.text(alphabet="abcdefgh_", min_size=1, max_size=12).filter(
+                lambda n: not n.endswith("_etl_ts") and not n.startswith("r_")
+            ),
+            min_size=1,
+            max_size=8,
+            unique=True,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_schema_evolution_differ_matches_python_model(spark_prop, catalog):
+    """The m8 differ over ARBITRARY catalogs must equal a pure-python
+    replay of the whole chain: drop len%7==3, rename len%5==2 -> r_,
+    reindex positions, append <table>_etl_ts timestamp, name-keyed full
+    outer diff, added/dropped/moved classification, exact DDL strings
+    (typed ADD, idempotent DROP IF EXISTS). Arbitrary name lengths
+    exercise rule collisions the fixture never hits (e.g. a name both
+    renamed AND colliding with an existing one is excluded by the
+    unique filter, but drop-vs-rename interplay is fully covered)."""
+    from mysql2psql_spark.queries.migration_q import schema_evolution_plan_from
+
+    rows = [
+        (t, c, i + 1, "varchar")
+        for t, cols in sorted(catalog.items())
+        for i, c in enumerate(cols)
+    ]
+    v1 = spark_prop.createDataFrame(
+        rows, "table_name string, column_name string, pos int, pg_type string"
+    )
+    got = {
+        (r.table_name, r.column_name, r.change_type): (
+            r.pos_v1, r.pos_v2, r.ddl
+        )
+        for r in schema_evolution_plan_from(v1).collect()
+    }
+
+    want = {}
+    for t, cols in catalog.items():
+        v1_pos = {c: i + 1 for i, c in enumerate(cols)}
+        kept = [c for c in cols if len(c) % 7 != 3]
+        v2 = [("r_" + c) if len(c) % 5 == 2 else c for c in kept]
+        v2_pos = {c: i + 1 for i, c in enumerate(v2)}
+        v2_pos[f"{t}_etl_ts"] = len(v2) + 1
+        v2_type = {f"{t}_etl_ts": "timestamp"}
+        for c in v2:
+            v2_type[c] = "varchar"
+        for c, p in v1_pos.items():
+            if c not in v2_pos:
+                want[(t, c, "dropped")] = (
+                    p, None,
+                    f'ALTER TABLE "{t}" DROP COLUMN IF EXISTS "{c}";',
+                )
+            elif v2_pos[c] != p:
+                want[(t, c, "moved")] = (p, v2_pos[c], None)
+        for c, p in v2_pos.items():
+            if c not in v1_pos:
+                want[(t, c, "added")] = (
+                    None, p,
+                    f'ALTER TABLE "{t}" ADD COLUMN "{c}" {v2_type[c]};',
+                )
+    assert got == want
