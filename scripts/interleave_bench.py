@@ -141,6 +141,15 @@ FLOORS = {
     "multimodal_vad_spans": 1.29,
     "dedup_method_agreement": 3.665,
     "m8_schema_evolution_plan": 1.31,
+    # r15 session: first medians for the QUEUED r16 operators (controls
+    # at/near their floors in the same reps — see each query's
+    # verification record); they join DEFAULT_QUERIES when their
+    # @query decorators flip.
+    "stream_cdc_apply_summary": 2.480,
+    "text_langid_ngram": 3.57,
+    "events_ks_drift": 0.898,
+    "text_lang_sampling_weights": 0.327,
+    "stream_ks_summary": 2.454,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),
