@@ -1616,9 +1616,12 @@ def stream_cdc_apply_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arbitrary tie-heavy streams (hypothesis, integer grid). 5x events
 # replica probe: wall FLAT at 5x rows (0.82 vs 0.90 s — replicas
 # duplicate VALUES, so the (type, value) table is unchanged and the
-# map-side combine absorbs the row growth; value-DIVERSITY growth is
-# the other axis and lands on the post-agg window, the changepoint
-# class). First 7-rep interleaved median 0.898 s at sf0.1 (loadavg
+# map-side combine absorbs the row growth). The value-DIVERSITY axis
+# was probed separately (r15): replicas with 2^-13-perturbed values
+# grow the ECDF table exactly 5x (49,089 -> 245,445 distinct values)
+# and the wall stays FLAT (x0.85 in-session) — the post-agg per-type
+# windows absorb it, the changepoint class as predicted. First 7-rep
+# interleaved median 0.898 s at sf0.1 (loadavg
 # ~1.7, control events_changepoint at 1.23x its floor in the same
 # reps).
 # ---------------------------------------------------------------------------
