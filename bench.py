@@ -277,6 +277,14 @@ HEADLINE = [
     "multimodal_vad_spans",
     "dedup_method_agreement",
     "m8_schema_evolution_plan",
+    # round-16: the five r15-queued registrations (VERDICT r15 #2) —
+    # language ID, alpha=0.5 sampling weights, two-sample KS drift, the
+    # KS gate audit, the CDC sink audit
+    "text_langid_ngram",
+    "text_lang_sampling_weights",
+    "events_ks_drift",
+    "stream_ks_summary",
+    "stream_cdc_apply_summary",
 ]
 
 

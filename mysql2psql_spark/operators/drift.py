@@ -135,9 +135,10 @@ def ks_two_sample(
     n_a*n_b when it wants the classical D in [0,1]). Products are
     computed in decimal(38,0), so they cannot silently wrap; the final
     BIGINT cast is exact while n_a*n_b < 2^63 (~3e9 rows per side per
-    key) and turns NULL (Spark) / errors (DuckDB) beyond — loud, never
-    silently wrong. A 100 TB deployment past that bound should KS a
-    per-key quantile sketch instead of raw values.
+    key) and RAISES beyond (ks_tail guards the cast — a bare non-ANSI
+    cast would go NULL and the argmax would silently understate) —
+    loud, never silently wrong. A 100 TB deployment past that bound
+    should KS a per-key quantile sketch instead of raw values.
 
     Scale shape: the (key, value) count agg is map-side combined (the
     only corpus-sized work; output = per-key distinct values); the ECDF
@@ -223,14 +224,36 @@ def ks_tail(
         F.sum("cb").over(wall).cast(dec).alias("n_b"),
         F.count("*").over(wall).cast("bigint").alias("n_values"),
     )
+    # |cum_a*n_b - cum_b*n_a| is exact in decimal(38,0); the bigint cast
+    # is exact while it fits and must RAISE beyond (r16, ADVICE): under
+    # non-ANSI Spark an overflowing cast yields NULL, and the argmax
+    # window (diff DESC, nulls last) would then silently return the
+    # largest NON-overflowed diff — understating ks_num instead of
+    # failing. Reachable only past n_a*n_b >= 2^63 (~3e9 rows per side
+    # per key); such a deployment should KS a quantile sketch instead.
+    diff_dec = F.abs(
+        F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+    )
+    max_long = F.lit("9223372036854775807").cast(dec)
     d = cum.select(
         key_col,
         value_col,
         F.col("n_a").cast("bigint").alias("n_a"),
         F.col("n_b").cast("bigint").alias("n_b"),
         "n_values",
-        F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
-        .cast("bigint")
+        F.when(diff_dec <= max_long, diff_dec.cast("bigint"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "ks_tail: |cum_a*n_b - cum_b*n_a| overflows bigint "
+                        "(n_a*n_b >= 2^63) for key "
+                    ),
+                    F.col(key_col).cast("string"),
+                    F.lit(" — KS a per-key quantile sketch at this scale"),
+                )
+            ).cast("bigint")
+        )
         .alias("diff"),
     )
     warg = W.partitionBy(key_col).orderBy(F.col("diff").desc(), value_col)

@@ -1281,12 +1281,17 @@ def stream_drift_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coupling the gate's batch-0 guard enforces (a re-entrant call
     # would otherwise be refused as a stale-partial overwrite)
     import shutil
+    import uuid
 
     shutil.rmtree(out_dir, ignore_errors=True)
-    # the out_dir doubles as the lineage token: it is rotated with the
-    # lineage above, so the gate's marker protocol (r15, ADVICE) sees a
-    # consistent identity on the re-entrant same-session call
-    gate = drift_counts_foreach_batch(bounds, out_dir, lineage=out_dir)
+    # the lineage token rotates WITH the lineage (r16, ADVICE): a
+    # per-invocation uuid, not the fixed out_dir — a token equal to the
+    # output path is vacuous for any two lineages sharing that path
+    # (the marker then never mismatches), and in a real readStream the
+    # natural token is the checkpointLocation string
+    gate = drift_counts_foreach_batch(
+        bounds, out_dir, lineage=f"stream_drift_summary:{uuid.uuid4()}"
+    )
     gate(e.filter(F.col("event_id") % 2 == 0), 0)
     gate(e.filter(F.col("event_id") % 2 == 1), 1)
     streamed = read_drift_summary(spark, out_dir)
@@ -1458,7 +1463,7 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# QUEUED (r16 registration per the window budget): the CDC sink as
+# REGISTERED r16 (queued r15): the CDC sink as
 # driver-visible evidence (VERDICT r14 #5, the stream_drift_summary /
 # stream_near_dup_gate promotion pattern — after which every
 # foreachBatch gate in the engine has an oracled audit row): run
@@ -1521,6 +1526,7 @@ _ORACLE_STREAM_CDC = """
 """
 
 
+@query("stream_cdc_apply_summary", oracle=_ORACLE_STREAM_CDC)
 def stream_cdc_apply_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed-equals-batch audit for the exactly-once CDC sink — see
     the block above. The two micro-batches split events by event_id
@@ -1529,6 +1535,7 @@ def stream_cdc_apply_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous output."""
     import os
     import shutil
+    import uuid
 
     from mysql2psql_spark.operators.layout import session_scratch
     from mysql2psql_spark.queries.migration_q import m4_cdc_apply
@@ -1541,9 +1548,13 @@ def stream_cdc_apply_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     out_dir = os.path.join(session_scratch(spark), f"stream_cdc_{sf_tag}")
     # each invocation is a fresh query lineage (ids restart at 0):
-    # rotate the partial dir with it, the out_dir/checkpoint coupling
+    # rotate the partial dir with it, the out_dir/checkpoint coupling;
+    # the sink carries the shared lineage guard (r16, ADVICE) with a
+    # per-invocation uuid token
     shutil.rmtree(out_dir, ignore_errors=True)
-    sink = cdc_foreach_batch_sink(out_dir)
+    sink = cdc_foreach_batch_sink(
+        out_dir, lineage=f"stream_cdc_apply_summary:{uuid.uuid4()}"
+    )
     sink(e.filter(F.col("event_id") % 2 == 0), 0)
     sink(e.filter(F.col("event_id") % 2 == 1), 1)
     streamed = compact_cdc_log(spark, out_dir)
@@ -1590,7 +1601,7 @@ def stream_cdc_apply_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# QUEUED (r16 registration per the window budget): two-sample
+# REGISTERED r16 (queued r15): two-sample
 # Kolmogorov-Smirnov drift per event type (operators/drift.py::
 # ks_two_sample) — the drift family's third statistic: PSI says how the
 # BINNED distribution moved (and needs bins), CUSUM says WHEN the rate
@@ -1606,7 +1617,7 @@ def stream_cdc_apply_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only corpus-sized work; the ECDF and argmax windows run on the
 # aggregated per-type value table (the events_changepoint class).
 # decimal(38,0) internal products: exact to n_a*n_b < 2^63, loudly
-# NULL/erroring beyond, never silently wrapped.
+# RAISING beyond (the guarded cast in ks_tail), never silently wrapped.
 #
 # r15 verification record (the queue contract): DuckDB-exact under a
 # vanilla session at sf0.001/sf0.01/sf0.1 (5 rows each; rendered hashes
@@ -1668,6 +1679,7 @@ _ORACLE_KS_DRIFT = """
 """
 
 
+@query("events_ks_drift", oracle=_ORACLE_KS_DRIFT)
 def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample KS drift per event type — see the block above."""
     from mysql2psql_spark.operators.drift import ks_two_sample
@@ -1679,7 +1691,7 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# QUEUED (r16 registration per the window budget): the KS gate as
+# REGISTERED r16 (queued r15): the KS gate as
 # driver-visible evidence — keeping the invariant the r15 CDC queue
 # entry restored: EVERY foreachBatch gate carries an oracled audit row
 # (stream_near_dup_gate / stream_drift_summary / stream_cdc_apply_
@@ -1719,14 +1731,16 @@ _ORACLE_STREAM_KS = f"""
 """
 
 
+@query("stream_ks_summary", oracle=_ORACLE_STREAM_KS)
 def stream_ks_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed-equals-batch audit for the foreachBatch KS gate — see
     the block above. The two micro-batches split events by event_id
     parity; partial writes are idempotent (mode=overwrite per batch
-    dir) and the out_dir doubles as the lineage token, rotated with the
-    lineage."""
+    dir) and the lineage token is a per-invocation uuid, rotated with
+    the partial dir."""
     import os
     import shutil
+    import uuid
 
     from mysql2psql_spark.operators.layout import session_scratch
     from mysql2psql_spark.streaming.events import (
@@ -1742,7 +1756,11 @@ def stream_ks_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     out_dir = os.path.join(session_scratch(spark), f"stream_ks_{sf_tag}")
     shutil.rmtree(out_dir, ignore_errors=True)
-    gate = ks_counts_foreach_batch(bounds, out_dir, lineage=out_dir)
+    # per-invocation uuid lineage token (r16, ADVICE — never the fixed
+    # out_dir, which makes the marker mismatch vacuous)
+    gate = ks_counts_foreach_batch(
+        bounds, out_dir, lineage=f"stream_ks_summary:{uuid.uuid4()}"
+    )
     gate(e.filter(F.col("event_id") % 2 == 0), 0)
     gate(e.filter(F.col("event_id") % 2 == 1), 1)
     streamed = read_ks_summary(spark, out_dir)

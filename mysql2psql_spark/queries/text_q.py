@@ -1837,7 +1837,7 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# QUEUED (r16 registration per the window budget): profile-based
+# REGISTERED r16 (queued r15): profile-based
 # language identification (VERDICT r14 #6 — the one standard corpus-prep
 # stage still absent; mixture weights and per-language strata assume a
 # trusted `lang` column, and THIS operator is what produces one). The
@@ -1937,6 +1937,7 @@ _ORACLE_LANGID = f"""
 """
 
 
+@query("text_langid_ngram", oracle=_ORACLE_LANGID)
 def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cavnar-Trenkle char-trigram language identification — see the
     block above. Documents shorter than 3 characters contribute no
@@ -1968,7 +1969,7 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# QUEUED (r16 registration per the window budget): alpha-exponentiated
+# REGISTERED r16 (queued r15): alpha-exponentiated
 # multilingual sampling weights — the standard rebalancing step between
 # language identification and batch sampling (the XLM/mBERT family's
 # p_l^alpha / sum p_k^alpha resampling, which upweights low-resource
@@ -2020,6 +2021,7 @@ _ORACLE_LANG_WEIGHTS = """
 """
 
 
+@query("text_lang_sampling_weights", oracle=_ORACLE_LANG_WEIGHTS)
 def text_lang_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """alpha=0.5 exponentiated-share sampling weights per language —
     see the block above. The language weight is
@@ -2051,4 +2053,325 @@ def text_lang_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").over(w).cast("bigint").alias("total_tokens"),
         "sqrt_tokens_micro",
         F.sum("sqrt_tokens_micro").over(w).cast("bigint").alias("weight_denom"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r17 registration per the window budget): the langid ->
+# sampling-weights COMPOSITION audit (VERDICT r15 #4) — the end-to-end
+# corpus-prep chain a production pipeline actually runs: classify the
+# corpus with text_langid_ngram's PREDICTED labels, recompute the
+# alpha=0.5 exponentiated-share sampling weights over the PREDICTED
+# language partition (not the fixture's trusted `lang` column), and
+# report predicted-vs-label agreement per language alongside the
+# weights. This is the operator-composition proof (each stage's output
+# is the next stage's input — the reference's staged-IR shape,
+# /root/reference/main.py:54-69) and the QA a pipeline needs before
+# trusting an automatic labeler for mixture weighting: a language whose
+# n_docs_pred collapses to 0 (or whose n_agree/n_docs_pred is noise)
+# gets a weight built on misclassified tokens, and this one frame shows
+# exactly that.
+#
+# Semantics: the label universe (distinct fixture labels) is the spine;
+# per language L the frame reports how many docs CARRY label L, how
+# many were PREDICTED L, how many of the predictions agree with the
+# label, the token mass of the predicted partition, and the alpha=0.5
+# quantized weight numerator/denominator over that predicted mass (the
+# text_lang_sampling_weights tail verbatim — sqrt is the one exponent
+# IEEE-754 requires correctly rounded, ROUND(sqrt*1e6) makes every
+# value an exact integer; a language with zero predicted docs has
+# n_tokens_pred = 0 -> sqrt_tokens_micro = 0, weight exactly zero).
+# Documents shorter than 3 chars receive no prediction and join neither
+# predicted-side count (identical absence in both engines).
+#
+# Scale shape: the langid pipeline's shape verbatim (two gram scans,
+# broadcast langs x 40 profile table, WindowGroupLimit-pruned doc
+# profiles — the r15 A/B-measured recompute-over-persist layout), plus
+# one corpus-sized token-count scan joined to the per-doc predictions
+# (doc_id-keyed hash join), one map-side-combined per-language agg
+# (output = n_langs rows), and the 1-row total window. Nothing beyond
+# the proven langid plan grows with the corpus.
+# ---------------------------------------------------------------------------
+_ORACLE_LANGID_MIXTURE = f"""
+    WITH pred_full AS ({_ORACLE_LANGID}),
+    tok AS (
+      SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    pa AS (
+      SELECT p.lang_pred AS lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs_pred,
+             CAST(SUM(CASE WHEN p.lang_pred = p.lang_label THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_agree,
+             CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens_pred
+      FROM pred_full p JOIN tok t USING (doc_id)
+      GROUP BY p.lang_pred
+    ),
+    la AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs_label
+      FROM documents GROUP BY lang
+    ),
+    q AS (
+      SELECT la.lang,
+             la.n_docs_label,
+             COALESCE(pa.n_docs_pred, 0) AS n_docs_pred,
+             COALESCE(pa.n_agree, 0) AS n_agree,
+             COALESCE(pa.n_tokens_pred, 0) AS n_tokens_pred,
+             CAST(ROUND(SQRT(CAST(COALESCE(pa.n_tokens_pred, 0) AS DOUBLE))
+                        * 1000000) AS BIGINT) AS sqrt_tokens_micro
+      FROM la LEFT JOIN pa ON pa.lang = la.lang
+    )
+    SELECT lang, n_docs_label, n_docs_pred, n_agree, n_tokens_pred,
+           sqrt_tokens_micro,
+           CAST(SUM(sqrt_tokens_micro) OVER () AS BIGINT) AS weight_denom
+    FROM q
+"""
+
+
+def text_langid_mixture_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """langid -> alpha=0.5 sampling weights over PREDICTED labels, with
+    per-language label agreement — see the block above."""
+    from pyspark.sql.window import Window as W
+
+    from mysql2psql_spark.operators.text import (
+        char_ngram_table,
+        langid_classify,
+        langid_profiles,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = char_ngram_table(d, extra_cols=("lang",))
+    profiles = langid_profiles(grams, k=_LANGID_K)
+    pred = langid_classify(
+        grams.select("doc_id", "gram"),
+        profiles,
+        k=_LANGID_K,
+        langs=d.select("lang").distinct(),
+    )
+    tok = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    pa = (
+        pred.join(tok, "doc_id")
+        .groupBy(F.col("lang_pred").alias("lang"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs_pred"),
+            F.sum(
+                F.when(F.col("lang_pred") == F.col("lang_label"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_agree"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens_pred"),
+        )
+    )
+    la = d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs_label")
+    )
+    q = la.join(pa, "lang", "left").select(
+        "lang",
+        "n_docs_label",
+        F.coalesce("n_docs_pred", F.lit(0)).cast("bigint").alias("n_docs_pred"),
+        F.coalesce("n_agree", F.lit(0)).cast("bigint").alias("n_agree"),
+        F.coalesce("n_tokens_pred", F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens_pred"),
+        F.round(
+            F.sqrt(F.coalesce("n_tokens_pred", F.lit(0)).cast("double"))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("sqrt_tokens_micro"),
+    )
+    w = W.partitionBy()
+    return q.select(
+        "lang",
+        "n_docs_label",
+        "n_docs_pred",
+        "n_agree",
+        "n_tokens_pred",
+        "sqrt_tokens_micro",
+        F.sum("sqrt_tokens_micro").over(w).cast("bigint").alias("weight_denom"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r17 registration per the window budget): BPE ENCODING at
+# scale (VERDICT r15 #5) — the corpus -> token-ids application of a
+# learned merge table, the stage that actually tokenizes a pretraining
+# corpus. The surface already had merge INDUCTION (text_bpe_merge_step)
+# and token counts; this closes the last standard corpus-prep stage.
+# The merge table is the pinned learned artifact (the merges.txt shape
+# every production tokenizer ships — induction is offline, application
+# is the corpus-sized job), applied IN RANK ORDER with the published
+# greedy-leftmost-with-skip semantics: for each rule (a,b), scan the
+# word's token sequence left to right, replacing adjacent (a,b) with ab
+# and continuing AFTER the merged token.
+#
+# Exactness across engines rests on a small lemma: within one rule, a
+# merged token ab can never re-match that rule (|ab| > |a| and
+# |ab| > |b|, so ab equals neither side), hence "repeatedly merge the
+# LEFTMOST matching pair until none" produces the same sequence as the
+# single greedy scan. Spark implements the greedy scan directly as ONE
+# fold per rule (F.aggregate with a (emitted, pending) struct
+# accumulator — pure Catalyst expressions, zero Python); the DuckDB
+# oracle implements leftmost-until-none as a recursive CTE (one merge
+# per step; depth <= max word length + n_rules, words drop out when
+# their rule index passes the table). The lemma makes them bit-equal.
+#
+# Scale shape: tokens are computed over DISTINCT WORDS ONLY (the
+# per-word encode cache every production BPE encoder keeps, as a
+# vocabulary-sized frame instead of a process cache): the corpus-sized
+# work is one word explode + two map-side-combined aggs (word counts;
+# distinct doc-word pairs for doc frequencies); the fold chain runs on
+# the vocab-sized distinct-word frame; the final per-token roll-ups are
+# token-vocabulary-sized. No quadratic anything; 12 chained
+# higher-order folds evaluate per distinct word, linear in word length.
+# Output is bounded by the emitted token vocabulary.
+# ---------------------------------------------------------------------------
+_BPE_MERGES = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("e", "r"),
+    ("a", "n"),
+    ("r", "e"),
+    ("o", "n"),
+    ("a", "t"),
+    ("e", "n"),
+    ("o", "r"),
+    ("an", "d"),
+    ("in", "g"),
+]
+
+_BPE_RULE_VALUES = ",".join(
+    f"({i + 1},'{pa}','{pb}')" for i, (pa, pb) in enumerate(_BPE_MERGES)
+)
+
+_ORACLE_BPE_ENCODE = f"""
+    WITH RECURSIVE
+    rules(rule_idx, pa, pb) AS (VALUES {_BPE_RULE_VALUES}),
+    words AS (
+      SELECT doc_id, w AS word
+      FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+      WHERE LEN(w) > 0
+    ),
+    wc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_word_occ
+      FROM words GROUP BY word
+    ),
+    base AS (
+      SELECT word, 1 AS rule_idx,
+             list_transform(range(1, LEN(word) + 1), i -> word[i]) AS toks
+      FROM wc
+    ),
+    enc AS (
+      SELECT word, rule_idx, toks FROM base
+      UNION ALL
+      SELECT word,
+             CASE WHEN p IS NULL THEN rule_idx + 1 ELSE rule_idx END,
+             CASE WHEN p IS NULL THEN toks
+                  ELSE toks[1:p-1] || [toks[p] || toks[p+1]] || toks[p+2:]
+             END
+      FROM (
+        SELECT e.word, e.rule_idx, e.toks,
+               list_filter(range(1, len(e.toks)),
+                           i -> e.toks[i] = r.pa AND e.toks[i+1] = r.pb)[1] AS p
+        FROM enc e JOIN rules r ON r.rule_idx = e.rule_idx
+      )
+    ),
+    final AS (
+      SELECT word, toks FROM enc WHERE rule_idx = {len(_BPE_MERGES) + 1}
+    ),
+    wtc AS (
+      SELECT word, t AS token, CAST(COUNT(*) AS BIGINT) AS n_in_word
+      FROM (SELECT word, UNNEST(toks) AS t FROM final)
+      GROUP BY word, t
+    ),
+    occ AS (
+      SELECT token,
+             CAST(SUM(n_in_word * n_word_occ) AS BIGINT) AS n_occurrences,
+             CAST(COUNT(*) AS BIGINT) AS n_words
+      FROM wtc JOIN wc USING (word)
+      GROUP BY token
+    ),
+    dw AS (SELECT DISTINCT doc_id, word FROM words),
+    docs AS (
+      SELECT token, CAST(COUNT(DISTINCT dw.doc_id) AS BIGINT) AS n_docs
+      FROM wtc JOIN dw USING (word)
+      GROUP BY token
+    )
+    SELECT occ.token,
+           CAST(ROW_NUMBER() OVER (ORDER BY occ.n_occurrences DESC, occ.token)
+             AS BIGINT) AS token_id,
+           occ.n_occurrences, occ.n_words, docs.n_docs
+    FROM occ JOIN docs ON docs.token = occ.token
+"""
+
+
+def _bpe_fold_expr(src: str, pa: str, pb: str) -> str:
+    """One rank-order BPE rule as a Catalyst fold over a token array:
+    the accumulator carries (emitted tokens, pending token); a pending/
+    current pair matching the rule emits the merged token (which, by
+    the lemma in the block above, can never re-match this rule), any
+    other pair emits pending and carries current."""
+    return (
+        "aggregate({src}, "
+        "struct(cast(array() as array<string>) as out,"
+        " cast(null as string) as pend), "
+        "(acc, x) -> case "
+        " when acc.pend is null then struct(acc.out as out, x as pend) "
+        " when acc.pend = '{pa}' and x = '{pb}' then"
+        "  struct(acc.out || array('{pa}{pb}') as out,"
+        "   cast(null as string) as pend) "
+        " else struct(acc.out || array(acc.pend) as out, x as pend) end, "
+        "acc -> case when acc.pend is null then acc.out"
+        " else acc.out || array(acc.pend) end)"
+    ).format(src=src, pa=pa, pb=pb)
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization with a pinned learned BPE merge table — see
+    the block above. Per-token output: id (frequency rank), occurrence,
+    word and document frequencies."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+    )
+    wc = words.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("n_word_occ")
+    )
+    toks_expr = "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    for pa, pb in _BPE_MERGES:
+        toks_expr = _bpe_fold_expr(toks_expr, pa, pb)
+    enc = wc.select("word", "n_word_occ", F.expr(toks_expr).alias("toks"))
+    wtc = (
+        enc.select("word", "n_word_occ", F.explode("toks").alias("token"))
+        .groupBy("word", "n_word_occ", "token")
+        .agg(F.count("*").cast("bigint").alias("n_in_word"))
+    )
+    occ = wtc.groupBy("token").agg(
+        F.sum(F.col("n_in_word") * F.col("n_word_occ"))
+        .cast("bigint")
+        .alias("n_occurrences"),
+        F.count("*").cast("bigint").alias("n_words"),
+    )
+    dw = words.select("doc_id", "word").distinct()
+    docs = (
+        wtc.select("word", "token")
+        .join(dw, "word")
+        .groupBy("token")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy(F.col("n_occurrences").desc(), "token")
+    return occ.join(docs, "token").select(
+        "token",
+        F.row_number().over(w).cast("bigint").alias("token_id"),
+        "n_occurrences",
+        "n_words",
+        "n_docs",
     )

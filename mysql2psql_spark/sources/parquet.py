@@ -36,7 +36,32 @@ TABLES = (
 # (applicationId, path, mtime): a new session re-infers, a rewritten
 # local path (the probe/test overwrite pattern) re-infers via mtime;
 # non-local paths (no statable mtime) skip the cache entirely.
-_SCHEMA_CACHE: dict[tuple[str, str, float], object] = {}
+# mtime is the MAX over the path and its direct entries (r16, ADVICE):
+# POSIX directory mtime only moves on entry add/remove, so an in-place
+# rewrite of a part file inside a parquet DIRECTORY would otherwise
+# serve a stale schema. Bounded LRU so a long session scanning many
+# paths cannot grow the dict without limit.
+from collections import OrderedDict as _OrderedDict
+
+_SCHEMA_CACHE: _OrderedDict[tuple[str, str, float], object] = _OrderedDict()
+_SCHEMA_CACHE_MAX = 256
+
+
+def _path_mtime(path: str) -> float:
+    """Newest mtime among ``path`` and (for a directory) its direct
+    entries — the footer files whose in-place rewrite must invalidate."""
+    import os
+
+    st = os.stat(path)
+    mt = st.st_mtime
+    if os.path.isdir(path):
+        with os.scandir(path) as it:
+            for e in it:
+                try:
+                    mt = max(mt, e.stat().st_mtime)
+                except OSError:
+                    continue
+    return mt
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -55,16 +80,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     key = None
     try:
-        key = (spark.sparkContext.applicationId, path, os.path.getmtime(path))
+        key = (spark.sparkContext.applicationId, path, _path_mtime(path))
     except OSError:
         pass  # non-local / non-statable path: no caching
     schema = _SCHEMA_CACHE.get(key) if key is not None else None
     if schema is not None:
+        _SCHEMA_CACHE.move_to_end(key)
         df = spark.read.schema(schema).parquet(path)
     else:
         df = spark.read.parquet(path)
         if key is not None:
             _SCHEMA_CACHE[key] = df.schema
+            while len(_SCHEMA_CACHE) > _SCHEMA_CACHE_MAX:
+                _SCHEMA_CACHE.popitem(last=False)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division: ns epochs overflow double precision
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -164,11 +164,23 @@ def attribution_join_stream(
 # the oracled batch twin (queries/migration_q.py::m4_cdc_apply): latest
 # op per key wins, tombstones drop the key.
 # ---------------------------------------------------------------------------
-def cdc_foreach_batch_sink(out_dir: str):
+def cdc_foreach_batch_sink(out_dir: str, lineage: str | None = None):
     """Return a foreachBatch function writing each micro-batch to
-    ``{out_dir}/batch=<id>`` idempotently (overwrite)."""
+    ``{out_dir}/batch=<id>`` idempotently (overwrite).
+
+    Carries the SAME lineage/staleness guard as the drift/KS gates
+    (r16, ADVICE — this was the one batch_id-versioned partial sink
+    without it): a cleared-checkpoint restart whose batch 0 would
+    silently shadow another lineage's partials is refused instead of
+    corrupting the compacted changelog. Pass the checkpointLocation
+    string (or any token that rotates with the query lineage) as
+    ``lineage`` for the exact marker protocol; without it the batch-0
+    stale-partial heuristic still applies."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        _guard_versioned_out_dir(
+            batch_df.sparkSession, out_dir, lineage, batch_id, gate="cdc sink"
+        )
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
     return apply
@@ -374,27 +386,30 @@ def drift_counts_foreach_batch(
     from mysql2psql_spark.operators.timeutil import epoch_of
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        finish = _guard_versioned_out_dir(
+        _guard_versioned_out_dir(
             batch_df.sparkSession, out_dir, lineage, batch_id, gate="drift gate"
         )
         ep = epoch_of(batch_df)
         ev = batch_df.select(ep("ts").alias("et"), "event_type", "value")
         part = drift_counts(drift_tagged(ev, bounds))
         part.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-        finish()
 
     return apply
 
 
 def _guard_versioned_out_dir(
     spark, out_dir: str, lineage: str | None, batch_id: int, gate: str
-):
+) -> None:
     """The shared lineage/staleness guard of every batch_id-versioned
-    partial sink (drift gate, KS gate): refuse a write that would
-    silently shadow another lineage's partials, per the contract in
-    :func:`drift_counts_foreach_batch`. Returns a ``finish`` callback
-    the caller invokes AFTER its partial write succeeds — the marker
-    must never exist without at least one partial it describes."""
+    partial sink (drift gate, KS gate, CDC sink): refuse a write that
+    would silently shadow another lineage's partials, per the contract
+    in :func:`drift_counts_foreach_batch`. The marker is written BEFORE
+    the caller's partial write (r16, ADVICE): a crash between the two
+    leaves a marker describing zero partials — which every summary read
+    fails on LOUDLY (the batch=* glob matches nothing) — whereas the
+    previous marker-after-partial order left a crashed batch 0 unmarked
+    and then refused the legitimate same-lineage replay as 'unknown
+    provenance', a replay-availability regression."""
     fs, path, jvm = _hadoop_fs(spark, out_dir)
     marker_path = jvm.org.apache.hadoop.fs.Path(out_dir + "/_LINEAGE")
     if lineage is not None:
@@ -436,12 +451,8 @@ def _guard_versioned_out_dir(
                 "out_dir — overwriting would corrupt the summary. "
                 "Clear or rotate out_dir with the checkpoint."
             )
-
-    def finish() -> None:
-        if lineage is not None:
-            _write_lineage_marker(fs, jvm, marker_path, lineage)
-
-    return finish
+    if lineage is not None and recorded is None:
+        _write_lineage_marker(fs, jvm, marker_path, lineage)
 
 
 # ---------------------------------------------------------------------------
@@ -465,14 +476,13 @@ def ks_counts_foreach_batch(
     from mysql2psql_spark.operators.timeutil import epoch_of
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        finish = _guard_versioned_out_dir(
+        _guard_versioned_out_dir(
             batch_df.sparkSession, out_dir, lineage, batch_id, gate="ks gate"
         )
         ep = epoch_of(batch_df)
         ev = batch_df.select("event_type", "value", ep("ts").alias("et"))
         part = ks_value_counts(ks_tagged(ev, bounds))
         part.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-        finish()
 
     return apply
 

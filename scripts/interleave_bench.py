@@ -225,6 +225,13 @@ DEFAULT_QUERIES = [
     "multimodal_vad_spans",
     "dedup_method_agreement",
     "m8_schema_evolution_plan",
+    # r16: the five r15-queued registrations join as tracked rows
+    # (floors above, recorded at queue time in the r15 session).
+    "stream_cdc_apply_summary",
+    "text_langid_ngram",
+    "events_ks_drift",
+    "text_lang_sampling_weights",
+    "stream_ks_summary",
 ]
 
 

@@ -133,6 +133,12 @@ AUDITED = [
     "multimodal_vad_spans",
     "dedup_method_agreement",
     "m8_schema_evolution_plan",
+    # round-16 registrations (the five r15-queued flips)
+    "text_langid_ngram",
+    "text_lang_sampling_weights",
+    "events_ks_drift",
+    "stream_ks_summary",
+    "stream_cdc_apply_summary",
 ]
 
 

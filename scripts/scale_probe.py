@@ -159,6 +159,19 @@ PROBED = [
     # m8_schema_evolution_plan deliberately NOT probed: SF-INVARIANT by
     # construction (catalog-only — identical 44-row plan at all SFs,
     # pinned in test_operators); replica probing would measure nothing.
+    # r16 registrations (first probed at queue time, r15 — numbers in
+    # each query's verification record):
+    "stream_cdc_apply_summary",  # wall flat at 5x events; trigger-job
+    # fixed overhead dominates, compaction exchange grows linearly
+    "text_langid_ngram",      # x1.15 wall at 5x docs; profile table
+    # constant (langs x 40), gram scans dominate
+    "events_ks_drift",        # wall flat on BOTH growth axes (5x rows
+    # via value-replicas; 5x ECDF table via perturbed values — r15)
+    "stream_ks_summary",      # two parity triggers over value-table-
+    # sized partials; the stream_drift_summary class
+    # text_lang_sampling_weights deliberately NOT probed: output is
+    # n_langs rows at any SF (one map-side-combined agg + a 1-row
+    # window); replica probing measures nothing beyond the scan.
 ]
 
 

@@ -3314,3 +3314,247 @@ def test_lang_sampling_weights_matches_oracle_and_rebalances(spark, duck):
             assert lhs > rhs, (r.lang, "must be upweighted")
         elif r.n_tokens * len(got) > r.total_tokens:
             assert lhs < rhs, (r.lang, "must be downweighted")
+
+
+def test_ks_tail_overflow_raises_not_understates(spark):
+    """The guarded bigint cast in ks_tail (r16, ADVICE): when
+    |cum_a*n_b - cum_b*n_a| exceeds 2^63-1 the statistic must RAISE,
+    not go NULL — under non-ANSI Spark a bare cast yields NULL and the
+    argmax window (diff DESC, nulls last) would then silently return
+    the largest non-overflowed diff, understating ks_num. Synthetic
+    counts make the bound reachable: two values per period with
+    n = 2^32 puts cum_a*n_b at 2^64 > 2^63-1."""
+    import pytest
+
+    from mysql2psql_spark.operators.drift import ks_tail
+
+    n = 2**32
+    counts = spark.createDataFrame(
+        [
+            ("k", 1.0, 0, n),
+            ("k", 2.0, 0, n),
+            ("k", 3.0, 1, n),
+            ("k", 4.0, 1, n),
+        ],
+        "event_type string, value double, period int, n bigint",
+    )
+    with pytest.raises(Exception, match="overflows bigint"):
+        ks_tail(counts).collect()
+    # the same tail on in-range counts still answers
+    small = spark.createDataFrame(
+        [("k", 1.0, 0, 3), ("k", 2.0, 1, 2)],
+        "event_type string, value double, period int, n bigint",
+    )
+    row = ks_tail(small).collect()[0]
+    assert row["ks_num"] == 6 and row["n_a"] == 3 and row["n_b"] == 2
+
+
+def test_parquet_schema_cache_sees_in_place_rewrite(spark, tmp_path):
+    """The load_table schema cache keys on the MAX mtime of the parquet
+    path's entries (r16, ADVICE): POSIX directory mtime does not move
+    when an existing file inside is rewritten in place, so a dir-mtime
+    key would serve the STALE schema after such a rewrite."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "cachetbl.parquet"
+    d.mkdir()
+    part = d / "part-00000.parquet"
+    pq.write_table(pa.table({"a": pa.array([1, 2], pa.int64())}), part)
+
+    from mysql2psql_spark.sources.parquet import load_table
+
+    df1 = load_table(spark, str(tmp_path), "cachetbl")
+    assert df1.columns == ["a"]
+    # rewrite the SAME file in place with a different schema; pin the
+    # directory mtime so only the entry-level key can see the change
+    dir_stat = os.stat(d)
+    pq.write_table(
+        pa.table({"a": pa.array([1], pa.int64()), "b": pa.array(["x"])}), part
+    )
+    os.utime(part, (dir_stat.st_atime + 10, dir_stat.st_mtime + 10))
+    os.utime(d, (dir_stat.st_atime, dir_stat.st_mtime))
+    df2 = load_table(spark, str(tmp_path), "cachetbl")
+    assert df2.columns == ["a", "b"], "stale cached schema served"
+
+
+def test_parquet_schema_cache_bounded(spark, tmp_path):
+    """The cache is LRU-bounded so a long session scanning many paths
+    cannot grow it without limit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql2psql_spark.sources import parquet as psrc
+
+    for i in range(3):
+        d = tmp_path / f"t{i}.parquet"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"a": pa.array([i], pa.int64())}), d / "p.parquet"
+        )
+    old_max = psrc._SCHEMA_CACHE_MAX
+    psrc._SCHEMA_CACHE_MAX = 2
+    try:
+        psrc._SCHEMA_CACHE.clear()
+        for i in range(3):
+            psrc.load_table(spark, str(tmp_path), f"t{i}")
+        assert len(psrc._SCHEMA_CACHE) <= 2
+    finally:
+        psrc._SCHEMA_CACHE_MAX = old_max
+
+
+# --- langid -> sampling-weights composition audit (QUEUED r17) -------------
+
+
+def test_langid_mixture_audit_matches_oracle_and_composes(spark, duck):
+    """Full DuckDB differential for the queued text_langid_mixture_audit
+    at sf0.01, plus internal consistency against its two component
+    queries: the per-language predicted-doc counts must sum to
+    text_langid_ngram's row count, total agreement must equal the
+    pred==label row count, and weight_denom must be the exact integer
+    sum of the quantized numerators."""
+    import pandas as pd
+
+    from mysql2psql_spark.queries.text_q import (
+        _ORACLE_LANGID_MIXTURE,
+        text_langid_mixture_audit,
+        text_langid_ngram,
+    )
+
+    got = text_langid_mixture_audit(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_LANGID_MIXTURE).df()
+    key = ["lang"]
+    g = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    w = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+
+    pred = text_langid_ngram(spark, SF_DIR_ORACLE).toPandas()
+    assert g.n_docs_pred.sum() == len(pred)
+    assert g.n_agree.sum() == int((pred.lang_pred == pred.lang_label).sum())
+    assert (g.n_agree <= g.n_docs_pred).all()
+    assert (g.n_agree <= g.n_docs_label).all()
+    assert g.weight_denom.nunique() == 1
+    assert g.weight_denom.iloc[0] == g.sqrt_tokens_micro.sum()
+
+
+def test_langid_mixture_audit_planted_direction(spark, tmp_path):
+    """Composition direction on a planted corpus: two disjoint-alphabet
+    languages classify perfectly (per-language n_agree == n_docs_pred ==
+    n_docs_label), and a third language whose documents are all shorter
+    than one trigram receives ZERO predictions — its predicted token
+    mass and therefore its alpha=0.5 weight numerator are exactly 0,
+    the misclassification-visibility property the audit exists for."""
+    rows = []
+    for i in range(6):
+        rows.append((i, "aa", "abba cabd bacd adcb abcd"[i % 3 :] * 3))
+    for i in range(6, 12):
+        rows.append((i, "zz", "wxxy zwxy yxzw zyxw wxyz"[i % 3 :] * 3))
+    for i in range(12, 15):
+        rows.append((i, "mm", "qq"))  # < 3 chars: no grams, no prediction
+    spark.createDataFrame(
+        rows, "doc_id bigint, lang string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from mysql2psql_spark.queries.text_q import text_langid_mixture_audit
+
+    got = {
+        r["lang"]: r
+        for r in text_langid_mixture_audit(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {"aa", "zz", "mm"}
+    for lang in ("aa", "zz"):
+        r = got[lang]
+        assert r["n_docs_label"] == 6
+        assert r["n_docs_pred"] == 6 and r["n_agree"] == 6, lang
+        assert r["n_tokens_pred"] > 0 and r["sqrt_tokens_micro"] > 0
+    m = got["mm"]
+    assert m["n_docs_label"] == 3
+    assert m["n_docs_pred"] == 0 and m["n_agree"] == 0
+    assert m["n_tokens_pred"] == 0 and m["sqrt_tokens_micro"] == 0
+
+
+# --- BPE encoding with a pinned merge table (QUEUED r17) -------------------
+
+
+def _bpe_greedy_python(word, merges):
+    """Reference BPE apply: rank-order rules, greedy leftmost scan with
+    skip — the published merges.txt application semantics."""
+    toks = list(word)
+    for pa, pb in merges:
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == pa and toks[i + 1] == pb:
+                out.append(pa + pb)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+def test_bpe_encode_matches_oracle_and_conserves_chars(spark, duck):
+    """Full DuckDB differential for the queued text_bpe_encode at
+    sf0.01 (the recursive-CTE oracle vs the Catalyst fold chain — the
+    leftmost-merge lemma makes them bit-equal), plus the conservation
+    invariant: merged tokens partition the corpus's non-space
+    characters, so sum(n_occurrences * len(token)) must equal the total
+    non-space character count exactly."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mysql2psql_spark.queries.text_q import (
+        _ORACLE_BPE_ENCODE,
+        text_bpe_encode,
+    )
+    from mysql2psql_spark.sources import load_table
+
+    got = text_bpe_encode(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_BPE_ENCODE).df()
+    key = ["token"]
+    g = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    w = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+
+    d = load_table(spark, SF_DIR_ORACLE, "documents")
+    n_chars = d.agg(
+        F.sum(F.length(F.regexp_replace(F.col("text"), " ", "")))
+    ).collect()[0][0]
+    assert int((g.n_occurrences * g.token.str.len()).sum()) == int(n_chars)
+    # token ids are a dense frequency ranking
+    assert sorted(g.token_id) == list(range(1, len(g) + 1))
+
+
+def test_bpe_encode_greedy_semantics_pinned(spark):
+    """The fold chain must reproduce the published greedy-with-skip
+    application EXACTLY on words stressing every rule class: single
+    merges, compositional second-order merges (th+e, an+d, in+g), rule
+    chains sharing letters, and non-overlapping repeats."""
+    from pyspark.sql import functions as F
+
+    from mysql2psql_spark.queries.text_q import (
+        _BPE_MERGES,
+        _bpe_fold_expr,
+    )
+
+    words = [
+        "the", "then", "there", "thethe", "and", "sand", "ing", "thing",
+        "ananan", "atat", "orator", "entered", "international", "x", "qq",
+        "renderer", "thand", "inging",
+    ]
+    toks_expr = "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    for pa, pb in _BPE_MERGES:
+        toks_expr = _bpe_fold_expr(toks_expr, pa, pb)
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: r["toks"]
+        for r in df.select("word", F.expr(toks_expr).alias("toks")).collect()
+    }
+    for w in words:
+        assert got[w] == _bpe_greedy_python(w, _BPE_MERGES), w

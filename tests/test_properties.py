@@ -961,3 +961,37 @@ def test_schema_evolution_differ_matches_python_model(spark_prop, catalog):
                     f'ALTER TABLE "{t}" ADD COLUMN "{c}" {v2_type[c]};',
                 )
     assert got == want
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abtheing", min_size=1, max_size=10),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(max_examples=15, deadline=None)
+def test_bpe_fold_matches_python_greedy(spark_prop, words):
+    """The Catalyst BPE fold (queries/text_q.py::_bpe_fold_expr chain)
+    over ARBITRARY words must equal the published greedy-leftmost-with-
+    skip application — including a SELF-PAIR rule ('a','a'), the class
+    where overlapping occurrences make naive string replacement diverge
+    (runs like 'aaaaa' must yield floor(k/2) merged + k%2 singles), and
+    second-order rules consuming first-order outputs. This pins the
+    leftmost-merge lemma the DuckDB recursive-CTE oracle relies on."""
+    from pyspark.sql import functions as F
+
+    from mysql2psql_spark.queries.text_q import _bpe_fold_expr
+    from tests.test_operators import _bpe_greedy_python
+
+    merges = [("a", "a"), ("t", "h"), ("th", "e"), ("aa", "b"), ("i", "n"), ("in", "g")]
+    toks_expr = "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    for pa, pb in merges:
+        toks_expr = _bpe_fold_expr(toks_expr, pa, pb)
+    df = spark_prop.createDataFrame([(w,) for w in set(words)], "word string")
+    got = {
+        r["word"]: r["toks"]
+        for r in df.select("word", F.expr(toks_expr).alias("toks")).collect()
+    }
+    for w in set(words):
+        assert got[w] == _bpe_greedy_python(w, merges), w

@@ -280,7 +280,12 @@ def test_foreach_batch_cdc_sink_exactly_once(spark, tmp_path):
     as the oracled batch twin m4_cdc_apply after streaming the events in
     micro-batches, and (2) be idempotent under batch RETRY — re-running a
     batch with its original batch_id must not change the compacted
-    state. That pair of properties is the exactly-once contract."""
+    state. That pair of properties is the exactly-once contract. The
+    sink carries the shared lineage guard (r16, ADVICE), so the retry
+    presents the SAME lineage token (the marker protocol keeps
+    same-lineage replays legal) and a foreign lineage is refused."""
+    import pytest
+
     from mysql2psql_spark.streaming.events import (
         cdc_foreach_batch_sink,
         compact_cdc_log,
@@ -298,7 +303,9 @@ def test_foreach_batch_cdc_sink_exactly_once(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/p*")
     )
-    q = stream.writeStream.foreachBatch(cdc_foreach_batch_sink(out)).start()
+    q = stream.writeStream.foreachBatch(
+        cdc_foreach_batch_sink(out, lineage="ckpt-cdc")
+    ).start()
     try:
         q.processAllAvailable()
     finally:
@@ -320,8 +327,13 @@ def test_foreach_batch_cdc_sink_exactly_once(spark, tmp_path):
     # we'd otherwise be lazily reading from)
     b0 = spark.read.parquet(f"{out}/batch=0")
     retry_df = spark.createDataFrame(b0.collect(), b0.schema)
-    cdc_foreach_batch_sink(out)(retry_df, 0)
+    cdc_foreach_batch_sink(out, lineage="ckpt-cdc")(retry_df, 0)
     assert state() == want
+
+    # the shared guard: a FOREIGN lineage over the marked changelog is
+    # refused instead of silently shadowing batch=0
+    with pytest.raises(RuntimeError, match="belongs to lineage 'ckpt-cdc'"):
+        cdc_foreach_batch_sink(out, lineage="ckpt-other")(retry_df, 0)
 
 
 def test_jsonl_landing_zone_stream_matches_parquet_path(spark, tmp_path):
@@ -746,7 +758,7 @@ def test_ks_gate_stream_matches_batch_query(spark, tmp_path):
         .parquet(stream_dir)
     )
     q = stream.writeStream.foreachBatch(
-        ks_counts_foreach_batch(bounds, out_dir, lineage=out_dir)
+        ks_counts_foreach_batch(bounds, out_dir, lineage="ckpt-stream-ks")
     ).start()
     try:
         q.processAllAvailable()
@@ -810,3 +822,44 @@ def test_ks_gate_replay_idempotent_and_lineage_guarded(spark, tmp_path):
     foreign = ks_counts_foreach_batch(bounds, out_dir, lineage="ckpt-L")
     with pytest.raises(RuntimeError, match="belongs to lineage 'ckpt-K'"):
         foreign(b0, 0)
+
+
+def test_guard_marker_written_before_partial_allows_crash_replay(spark, tmp_path):
+    """Marker-BEFORE-partial ordering (r16, ADVICE): a crash between the
+    marker write and the partial write leaves {out_dir}/_LINEAGE naming
+    the lineage with zero partials. The legitimate same-lineage batch-0
+    replay must then be ALLOWED (the old marker-after-partial order left
+    batch 0 unmarked and refused the replay as 'unknown provenance'),
+    while a foreign lineage is still refused on the marker; a
+    marker-only dir fails LOUDLY at summary-read time, never silently."""
+    import pytest
+
+    from mysql2psql_spark.operators.drift import drift_bounds
+    from mysql2psql_spark.operators.timeutil import epoch_of
+    from mysql2psql_spark.sources import load_table
+    from mysql2psql_spark.streaming.events import (
+        drift_counts_foreach_batch,
+        read_drift_summary,
+    )
+
+    e = load_table(spark, SF_DIR, "events")
+    ep = epoch_of(e)
+    bounds = drift_bounds(e.select(ep("ts").alias("et"), "event_type", "value"))
+    b0 = e.filter(F.col("event_id") % 2 == 0)
+
+    # simulate the crashed first trigger: marker present, zero partials
+    out_dir = tmp_path / "drift_crashed"
+    out_dir.mkdir()
+    (out_dir / "_LINEAGE").write_text("ckpt-R")
+
+    # a marker with no partials fails loudly at read time
+    with pytest.raises(Exception):
+        read_drift_summary(spark, str(out_dir)).collect()
+
+    # foreign lineage: refused on the marker even with zero partials
+    with pytest.raises(RuntimeError, match="belongs to lineage 'ckpt-R'"):
+        drift_counts_foreach_batch(bounds, str(out_dir), lineage="ckpt-S")(b0, 0)
+
+    # same-lineage batch-0 replay: allowed, and the summary then reads
+    drift_counts_foreach_batch(bounds, str(out_dir), lineage="ckpt-R")(b0, 0)
+    assert read_drift_summary(spark, str(out_dir)).count() > 0
