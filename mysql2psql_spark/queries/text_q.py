@@ -2346,7 +2346,25 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks_expr = "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
     for pa, pb in _BPE_MERGES:
         toks_expr = _bpe_fold_expr(toks_expr, pa, pb)
-    enc = wc.select("word", "n_word_occ", F.expr(toks_expr).alias("toks"))
+    # The encoded frame is MATERIALIZED for three reasons, two standard
+    # and one measured this round: (1) it has two consumers (occurrence
+    # and doc-frequency roll-ups) — the shared multi-consumer rule,
+    # operators/materialize.py; (2) the fold chain is CPU-bound per row,
+    # not bytes-bound, so AQE's byte-based coalescing would pack the
+    # vocab into one task — the explicit repartition spreads it; (3) the
+    # persist is a PLAN barrier: feeding the 12-deep higher-order-
+    # function tree directly into a Generate sent the optimizer
+    # pathological (explode-over-folds measured 14.7 s of PLAN-time cost
+    # on a 31-row frame at sf0.1; 0.43 s against the cached column —
+    # the whole query dropped 19.8 -> ~3.7 s).
+    from mysql2psql_spark.operators.materialize import materialize
+
+    n_slots = spark.sparkContext.defaultParallelism
+    enc = materialize(
+        wc.repartition(n_slots, "word").select(
+            "word", "n_word_occ", F.expr(toks_expr).alias("toks")
+        )
+    )
     wtc = (
         enc.select("word", "n_word_occ", F.explode("toks").alias("token"))
         .groupBy("word", "n_word_occ", "token")

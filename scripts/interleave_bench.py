@@ -150,6 +150,13 @@ FLOORS = {
     "events_ks_drift": 0.898,
     "text_lang_sampling_weights": 0.327,
     "stream_ks_summary": 2.454,
+    # r16 session: first medians for the QUEUED r17 operators (loadavg
+    # 3.8, control text_unigram_surprisal 0.554 ~at floor in the same
+    # reps; text_langid_ngram 4.658 in the same reps, 1.3x its floor —
+    # loaded-session band); they join DEFAULT_QUERIES when their @query
+    # decorators flip.
+    "text_bpe_encode": 1.296,
+    "text_langid_mixture_audit": 0.719,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),
