@@ -2393,3 +2393,136 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words",
         "n_docs",
     )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r17 registration per the window budget): per-language
+# tokenizer FERTILITY — the standard multilingual tokenizer QA metric
+# (tokens per word; chars per token), computed by composing the pinned
+# BPE merge table application (text_bpe_encode's fold chain) with the
+# corpus's language partition. This is what decides whether a tokenizer
+# is fair across languages before mixture weighting: a language whose
+# fertility is 2x pays 2x the sequence-length budget per word, so
+# sampling weights computed on raw token counts (text_lang_sampling_
+# weights) silently encode tokenizer bias — this frame makes the bias
+# measurable. Everything ships as exact INTEGER sums (n_words, n_chars,
+# n_tokens per language); the consumer divides (fertility =
+# n_tokens/n_words, compression = n_chars/n_tokens), the engine never
+# does — the established numerator/denominator discipline.
+#
+# Scale shape: one word explode into a map-side-combined (lang, word)
+# count (the corpus-sized work; output = langs x vocab); the fold chain
+# runs ONCE on the distinct-word frame with NO Generate over it (size()
+# over the fused folds measured fine in the r16 bisection — only
+# explode paid the plan-time pathology, so unlike text_bpe_encode no
+# materialize barrier is needed), spread across cores by an explicit
+# repartition (CPU-bound, not bytes-bound — AQE would pack one task);
+# the fertility roll-up is a vocab-sized broadcast-joinable aggregate.
+# ---------------------------------------------------------------------------
+_ORACLE_BPE_FERTILITY = f"""
+    WITH RECURSIVE
+    rules(rule_idx, pa, pb) AS (VALUES {_BPE_RULE_VALUES}),
+    words AS (
+      SELECT doc_id, lang, w AS word
+      FROM (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS w
+            FROM documents)
+      WHERE LEN(w) > 0
+    ),
+    lw AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM words GROUP BY lang, word
+    ),
+    vocab AS (SELECT DISTINCT word FROM lw),
+    base AS (
+      SELECT word, 1 AS rule_idx,
+             list_transform(range(1, LEN(word) + 1), i -> word[i]) AS toks
+      FROM vocab
+    ),
+    enc AS (
+      SELECT word, rule_idx, toks FROM base
+      UNION ALL
+      SELECT word,
+             CASE WHEN p IS NULL THEN rule_idx + 1 ELSE rule_idx END,
+             CASE WHEN p IS NULL THEN toks
+                  ELSE toks[1:p-1] || [toks[p] || toks[p+1]] || toks[p+2:]
+             END
+      FROM (
+        SELECT e.word, e.rule_idx, e.toks,
+               list_filter(range(1, len(e.toks)),
+                           i -> e.toks[i] = r.pa AND e.toks[i+1] = r.pb)[1] AS p
+        FROM enc e JOIN rules r ON r.rule_idx = e.rule_idx
+      )
+    ),
+    wtoks AS (
+      SELECT word,
+             CAST(len(toks) AS BIGINT) AS n_toks,
+             CAST(LEN(word) AS BIGINT) AS n_chars
+      FROM enc WHERE rule_idx = {len(_BPE_MERGES) + 1}
+    ),
+    ld AS (
+      SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM words GROUP BY lang
+    )
+    SELECT lw.lang,
+           ld.n_docs,
+           CAST(SUM(lw.n_occ) AS BIGINT) AS n_words,
+           CAST(SUM(lw.n_occ * wt.n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(lw.n_occ * wt.n_toks) AS BIGINT) AS n_tokens
+    FROM lw JOIN wtoks wt USING (word) JOIN ld ON ld.lang = lw.lang
+    GROUP BY lw.lang, ld.n_docs
+"""
+
+
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility under the pinned BPE merge
+    table — see the block above. Integer sums only; fertility =
+    n_tokens/n_words and compression = n_chars/n_tokens are the
+    consumer's division."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.col("text"), " ")).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+    )
+    lw = words.groupBy("lang", "word").agg(
+        F.count("*").cast("bigint").alias("n_occ")
+    )
+    toks_expr = "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    for pa, pb in _BPE_MERGES:
+        toks_expr = _bpe_fold_expr(toks_expr, pa, pb)
+    n_slots = spark.sparkContext.defaultParallelism
+    # single consumer and NO Generate over the fold tree (size() over
+    # the fused folds measured fine in the r16 bisection — only explode
+    # paid the plan-time pathology), so no materialize barrier needed;
+    # the repartition spreads the CPU-bound folds across cores
+    wtoks = (
+        lw.select("word")
+        .distinct()
+        .repartition(n_slots, "word")
+        .select(
+            "word",
+            F.size(F.expr(toks_expr)).cast("bigint").alias("n_toks"),
+            F.length("word").cast("bigint").alias("n_chars"),
+        )
+    )
+    ld = words.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    return (
+        lw.join(wtoks, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_occ").cast("bigint").alias("n_words"),
+            F.sum(F.col("n_occ") * F.col("n_chars"))
+            .cast("bigint")
+            .alias("n_chars"),
+            F.sum(F.col("n_occ") * F.col("n_toks"))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .join(ld, "lang")
+        .select("lang", "n_docs", "n_words", "n_chars", "n_tokens")
+    )

@@ -157,6 +157,7 @@ FLOORS = {
     # decorators flip.
     "text_bpe_encode": 1.296,
     "text_langid_mixture_audit": 0.719,
+    "text_bpe_fertility": 0.588,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),

@@ -3558,3 +3558,46 @@ def test_bpe_encode_greedy_semantics_pinned(spark):
     }
     for w in words:
         assert got[w] == _bpe_greedy_python(w, _BPE_MERGES), w
+
+
+def test_bpe_fertility_matches_oracle_and_components(spark, duck):
+    """Full DuckDB differential for the queued text_bpe_fertility at
+    sf0.01, plus composition consistency: the per-language integer sums
+    must reconcile with text_bpe_encode's corpus totals (sum of
+    per-language n_tokens == sum over tokens of n_occurrences; same for
+    chars) and with the raw corpus (n_words == non-empty
+    whitespace-split word count; fertility can never be below 1 token
+    per word nor above chars per word)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mysql2psql_spark.queries.text_q import (
+        _ORACLE_BPE_FERTILITY,
+        text_bpe_encode,
+        text_bpe_fertility,
+    )
+    from mysql2psql_spark.sources import load_table
+
+    got = text_bpe_fertility(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_BPE_FERTILITY).df()
+    key = ["lang"]
+    g = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    w = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+
+    enc = text_bpe_encode(spark, SF_DIR_ORACLE).toPandas()
+    assert g.n_tokens.sum() == enc.n_occurrences.sum()
+    assert g.n_chars.sum() == int(
+        (enc.n_occurrences * enc.token.str.len()).sum()
+    )
+    d = load_table(spark, SF_DIR_ORACLE, "documents")
+    n_words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .count()
+    )
+    assert g.n_words.sum() == n_words
+    assert (g.n_tokens >= g.n_words).all()  # >= 1 token per word
+    assert (g.n_chars >= g.n_tokens).all()  # >= 1 char per token
