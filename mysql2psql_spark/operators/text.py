@@ -554,3 +554,47 @@ def langid_classify(
             "oop_distance",
         )
     )
+
+
+def bpe_apply_rule(toks_col, pa: str, pb: str):
+    """One BPE merge rule applied to a token-array column as a single
+    Catalyst fold (the text_bpe_encode semantics: greedy leftmost scan
+    with skip — the accumulator carries (emitted, pending); a
+    (pending, current) pair matching the rule emits the merged token,
+    which by the leftmost-merge lemma can never re-match its own rule).
+    Column-API construction so ``pa``/``pb`` pass through ``F.lit`` —
+    safe for ARBITRARY learned symbols (quotes, backslashes), unlike an
+    expression-string build; used by the merge LEARNER, whose rules
+    come from the corpus rather than a pinned table."""
+    from pyspark.sql import functions as F
+
+    empty = F.array().cast("array<string>")
+    init = F.struct(empty.alias("out"), F.lit(None).cast("string").alias("pend"))
+
+    def merge(acc, x):
+        return (
+            F.when(
+                acc["pend"].isNull(),
+                F.struct(acc["out"].alias("out"), x.alias("pend")),
+            )
+            .when(
+                (acc["pend"] == F.lit(pa)) & (x == F.lit(pb)),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(pa + pb))).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
+                    x.alias("pend"),
+                )
+            )
+        )
+
+    def finish(acc):
+        return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        )
+
+    return F.aggregate(toks_col, init, merge, finish)

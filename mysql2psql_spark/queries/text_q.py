@@ -2526,3 +2526,152 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ld, "lang")
         .select("lang", "n_docs", "n_words", "n_chars", "n_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r17 registration per the window budget): BPE merge-table
+# LEARNING end to end — the K-step induction that produces the artifact
+# text_bpe_encode applies. text_bpe_merge_step showed the FIRST merge's
+# candidate table; this runs the actual training loop: at step k, count
+# adjacent token pairs over the corpus AS TOKENIZED BY merges 1..k-1
+# (frequency-weighted), pick the argmax under the pinned total order
+# (count DESC, left ASC, right ASC), apply it, repeat. Output is the
+# learned merge table itself — (merge_rank, left_sym, right_sym,
+# pair_count) — so the driver hash pins every learned rule AND its
+# support count. Step 2+ merges are COMPOSITIONAL (built from step-1
+# outputs), which is what makes this learning rather than counting.
+#
+# Iterative by nature (each step's counts depend on the previous
+# step's applied merge — the sim_kmeans_train class): the Spark side is
+# a K-step driver loop over a PERSISTED vocab-sized tokenization,
+# collecting ONE row per step (the argmax rule — the bounded-collect
+# class, k rows total) and applying it with operators/text.py::
+# bpe_apply_rule (Column-API fold, injection-safe for arbitrary corpus
+# symbols). The DuckDB oracle unrolls K blocks, each one pair-count +
+# argmax + a recursive leftmost-merge CTE — the pagerank unrolled-CTE
+# precedent, generated programmatically below from the same K.
+#
+# Scale shape: the ONLY corpus-sized work is the up-front word-count
+# agg (map-side combined); every iteration touches the DISTINCT-WORD
+# frame only (vocab-sized — the freq weights make it equivalent to
+# scanning the corpus), with one pair-count agg (map-side combined,
+# key space = adjacent token pairs) and one fold pass per step. K
+# bounded 1-row collects. A 100 TB corpus with a 10M-word vocab
+# iterates over ~10M rows per step regardless of corpus size.
+# ---------------------------------------------------------------------------
+_BPE_LEARN_K = 6
+
+
+def _bpe_learn_oracle(k_steps: int) -> str:
+    """The K-block unrolled learning oracle (see the block above)."""
+    blocks = [
+        """
+    wc AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+      WHERE LEN(w) > 0 GROUP BY w
+    ),
+    f0 AS (
+      SELECT word, freq,
+             list_transform(range(1, LEN(word)+1), i -> word[i]) AS toks
+      FROM wc
+    )"""
+    ]
+    for k in range(1, k_steps + 1):
+        prev = f"f{k-1}"
+        blocks.append(
+            f"""
+    p{k} AS (
+      SELECT toks[i] AS pa, toks[i+1] AS pb, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, toks, UNNEST(range(1, len(toks))) AS i FROM {prev})
+      GROUP BY pa, pb
+      QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, pa, pb) = 1
+    ),
+    e{k} AS (
+      SELECT word, freq, toks, 0 AS done FROM {prev}
+      UNION ALL
+      SELECT word, freq,
+             CASE WHEN p IS NULL THEN toks
+                  ELSE toks[1:p-1] || [toks[p] || toks[p+1]] || toks[p+2:]
+             END,
+             CASE WHEN p IS NULL THEN 1 ELSE 0 END
+      FROM (
+        SELECT e.word, e.freq, e.toks,
+               list_filter(range(1, len(e.toks)),
+                           i -> e.toks[i] = r.pa AND e.toks[i+1] = r.pb)[1] AS p
+        FROM e{k} e LEFT JOIN p{k} r ON TRUE
+        WHERE e.done = 0
+      )
+    ),
+    f{k} AS (SELECT word, freq, toks FROM e{k} WHERE done = 1)"""
+        )
+    union = "\n    UNION ALL\n".join(
+        f"    SELECT CAST({k} AS BIGINT) AS merge_rank, pa AS left_sym,"
+        f" pb AS right_sym, cnt AS pair_count FROM p{k}"
+        for k in range(1, k_steps + 1)
+    )
+    return "WITH RECURSIVE" + ",".join(blocks) + "\n" + union
+
+
+_ORACLE_BPE_LEARN = _bpe_learn_oracle(_BPE_LEARN_K)
+
+_BPE_PAIRS_EXPR = (
+    "transform(sequence(1, size(toks)-1),"
+    " i -> struct(element_at(toks, i) as pa, element_at(toks, i+1) as pb))"
+)
+
+
+def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-step BPE merge-table learning — see the block above. Returns
+    the learned table (merge_rank, left_sym, right_sym, pair_count);
+    fewer than K rows when the corpus exhausts its pairs first."""
+    from pyspark.storagelevel import StorageLevel
+
+    from mysql2psql_spark.operators.text import bpe_apply_rule
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    n_slots = spark.sparkContext.defaultParallelism
+    toks = wc.repartition(n_slots, "word").select(
+        "word",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("toks"),
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    persisted = []
+    for k in range(1, _BPE_LEARN_K + 1):
+        # persist: iteration barrier (each step's plan would otherwise
+        # nest k folds deep) AND the r16 Generate-over-folds plan
+        # pathology barrier for the pair explode below
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(toks)
+        rows = (
+            toks.filter(F.size("toks") >= 2)  # sequence(1,0) counts DOWN
+            .select("freq", F.explode(F.expr(_BPE_PAIRS_EXPR)).alias("p"))
+            .select("freq", "p.pa", "p.pb")
+            .groupBy("pa", "pb")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pa", "pb")
+            .limit(1)
+            .collect()  # bounded: exactly one argmax row per step
+        )
+        if not rows:
+            break
+        pa, pb, cnt = rows[0]["pa"], rows[0]["pb"], int(rows[0]["cnt"])
+        merges.append((k, pa, pb, cnt))
+        toks = toks.select(
+            "word", "freq", bpe_apply_rule(F.col("toks"), pa, pb).alias("toks")
+        )
+    for p in persisted:
+        p.unpersist(False)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank bigint, left_sym string, right_sym string, pair_count bigint",
+    )

@@ -158,6 +158,7 @@ FLOORS = {
     "text_bpe_encode": 1.296,
     "text_langid_mixture_audit": 0.719,
     "text_bpe_fertility": 0.588,
+    "text_bpe_learn": 2.242,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),

@@ -3601,3 +3601,90 @@ def test_bpe_fertility_matches_oracle_and_components(spark, duck):
     assert g.n_words.sum() == n_words
     assert (g.n_tokens >= g.n_words).all()  # >= 1 token per word
     assert (g.n_chars >= g.n_tokens).all()  # >= 1 char per token
+
+
+def test_bpe_learn_matches_oracle_and_encode_composes(spark, duck):
+    """Full DuckDB differential for the queued text_bpe_learn at sf0.01
+    (the K-block unrolled learning oracle vs the driver-loop learner),
+    plus structural pins: ranks are dense 1..n, support counts are
+    non-increasing ONLY where the total order says so (count DESC is
+    the primary key of the argmax, so each step's count is <= every
+    earlier step's count over the SAME tokenization only — counts may
+    legitimately rise after a merge frees new pairs, so the pin is
+    rank-density and positivity, not monotonicity)."""
+    import pandas as pd
+
+    from mysql2psql_spark.queries.text_q import (
+        _ORACLE_BPE_LEARN,
+        text_bpe_learn,
+    )
+
+    got = text_bpe_learn(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_BPE_LEARN).df()
+    key = ["merge_rank"]
+    g = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    w = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+    assert sorted(g.merge_rank) == list(range(1, len(g) + 1))
+    assert (g.pair_count > 0).all()
+
+
+def test_bpe_learn_exhaustion_and_compositional(spark, tmp_path):
+    """Two planted corpora: (1) single-char words only — NO pairs exist,
+    the learner must return an EMPTY table (not K rows, not an error);
+    (2) a skewed corpus whose best merges chain compositionally — the
+    learned table must equal the pure-python learner INCLUDING the
+    second-order rules built from first-order outputs."""
+    from mysql2psql_spark.queries.text_q import text_bpe_learn
+
+    spark.createDataFrame(
+        [(1, "xx", "a b c"), (2, "xx", "d e a")],
+        "doc_id bigint, lang string, text string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    assert text_bpe_learn(spark, str(tmp_path)).count() == 0
+
+    corpus = [(1, "xx", "the the the then that banana ana ana x")]
+    spark.createDataFrame(
+        corpus, "doc_id bigint, lang string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in text_bpe_learn(spark, str(tmp_path))
+        .orderBy("merge_rank")
+        .collect()
+    ]
+
+    # pure-python learner over the same word frequencies
+    from collections import Counter
+
+    wf = Counter(w for _, _, t in corpus for w in t.split(" ") if w)
+    toks = {w: list(w) for w in wf}
+    want = []
+    for k in range(1, 7):
+        cnt = Counter()
+        for w, f in wf.items():
+            t = toks[w]
+            for i in range(len(t) - 1):
+                cnt[(t[i], t[i + 1])] += f
+        if not cnt:
+            break
+        (pa, pb), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((k, pa, pb, c))
+        for w in toks:
+            t, out, i = toks[w], [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == pa and t[i + 1] == pb:
+                    out.append(pa + pb)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            toks[w] = out
+    assert got == want
+    # the chain must contain a COMPOSITIONAL rule (a learned symbol of
+    # length > 1 on the left side) — learning, not first-order counting
+    assert any(len(pa) > 1 for _, pa, _, _ in got)

@@ -995,3 +995,63 @@ def test_bpe_fold_matches_python_greedy(spark_prop, words):
     }
     for w in set(words):
         assert got[w] == _bpe_greedy_python(w, merges), w
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="abth ", min_size=0, max_size=20),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_bpe_learn_matches_python_learner(spark_prop, docs, tmp_path_factory):
+    """The K-step driver-loop BPE learner over ARBITRARY tiny corpora
+    must equal a pure-python replay: frequency-weighted pair counts over
+    the evolving tokenization, argmax under (count DESC, left ASC,
+    right ASC), greedy-with-skip application, stop on exhaustion. The
+    4-char alphabet forces heavy pair-count ties and self-pair runs
+    ('aa' chains), the classes where tie-breaks and the leftmost-merge
+    lemma earn their keep."""
+    from collections import Counter
+
+    from mysql2psql_spark.queries.text_q import _BPE_LEARN_K, text_bpe_learn
+
+    tmp = tmp_path_factory.mktemp("bpe_learn_prop")
+    rows = [(i, "xx", t) for i, t in enumerate(docs)]
+    spark_prop.createDataFrame(
+        rows, "doc_id bigint, lang string, text string"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in text_bpe_learn(spark_prop, str(tmp))
+        .orderBy("merge_rank")
+        .collect()
+    ]
+
+    wf = Counter(w for _, _, t in rows for w in t.split(" ") if w)
+    toks = {w: list(w) for w in wf}
+    want = []
+    for k in range(1, _BPE_LEARN_K + 1):
+        cnt = Counter()
+        for w, f in wf.items():
+            t = toks[w]
+            for i in range(len(t) - 1):
+                cnt[(t[i], t[i + 1])] += f
+        if not cnt:
+            break
+        (pa, pb), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((k, pa, pb, c))
+        for w in toks:
+            t, out, i = toks[w], [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == pa and t[i + 1] == pb:
+                    out.append(pa + pb)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            toks[w] = out
+    assert got == want
