@@ -667,9 +667,12 @@ _ORACLE_SCHEMA_EVOLUTION = f"""
     v2 AS (
       SELECT * FROM keep2
       UNION ALL
-      SELECT table_name, table_name || '_etl_ts',
-             CAST(MAX(pos) + 1 AS INT), 'timestamp'
-      FROM keep2 GROUP BY table_name
+      SELECT t.table_name, t.table_name || '_etl_ts',
+             CAST(COALESCE(m.mp, 0) + 1 AS INT), 'timestamp'
+      FROM (SELECT DISTINCT table_name FROM v1) t
+      LEFT JOIN (SELECT table_name, MAX(pos) AS mp
+                 FROM keep2 GROUP BY table_name) m
+        ON m.table_name = t.table_name
     ),
     d AS (
       SELECT COALESCE(a.table_name, b.table_name) AS table_name,
@@ -763,13 +766,27 @@ def schema_evolution_plan_from(v1: DataFrame) -> DataFrame:
         .alias("pos"),
         "pg_type",
     )
-    added = keep2.groupBy("table_name").agg(
-        (F.max("pos") + 1).cast("int").alias("pos")
-    ).select(
-        "table_name",
-        F.concat(F.col("table_name"), F.lit("_etl_ts")).alias("column_name"),
-        "pos",
-        F.lit("timestamp").alias("pg_type"),
+    # the audit column lands on EVERY v1 table — derived from the
+    # distinct table list, not from keep2: a table whose every column
+    # the drop rule removes still gets its etl_ts at pos 1 (r16,
+    # hypothesis counterexample {'t1': ['___']} — the keep2 groupBy
+    # produced no row for an emptied table and the audit column
+    # silently vanished from its v2)
+    maxpos = keep2.groupBy("table_name").agg(
+        F.max("pos").cast("int").alias("mp")
+    )
+    added = (
+        v1.select("table_name")
+        .distinct()
+        .join(maxpos, "table_name", "left")
+        .select(
+            "table_name",
+            F.concat(F.col("table_name"), F.lit("_etl_ts")).alias(
+                "column_name"
+            ),
+            (F.coalesce(F.col("mp"), F.lit(0)) + 1).cast("int").alias("pos"),
+            F.lit("timestamp").alias("pg_type"),
+        )
     )
     v2 = keep2.unionByName(added)
     a = v1.alias("a")

@@ -2675,3 +2675,67 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         "merge_rank bigint, left_sym string, right_sym string, pair_count bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r17 registration per the window budget): the language-ID
+# CONFUSION MATRIX — the per-(label, predicted) refinement of
+# text_langid_mixture_audit's per-language agreement scalar. The audit
+# says HOW MUCH of each language's predicted partition is right; this
+# says WHERE the mass goes when it is wrong (which pairs of languages
+# the classifier conflates), the diagnostic that decides whether a
+# misclassification is benign (mass swaps between two typologically
+# close languages with similar token statistics) or poisons the
+# mixture (a low-resource language's mass leaking into the dominant
+# one). Sparse output: only observed (lang_label, lang_pred) cells,
+# with doc and token mass per cell — both exact integers.
+#
+# Scale shape: the langid pipeline verbatim plus ONE map-side-combined
+# (label, pred) agg over the per-doc predictions joined to token
+# counts (doc_id-keyed hash join); output is at most n_langs^2 rows.
+# ---------------------------------------------------------------------------
+_ORACLE_LANGID_CONFUSION = f"""
+    WITH pred_full AS ({_ORACLE_LANGID}),
+    tok AS (
+      SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT p.lang_label, p.lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens
+    FROM pred_full p JOIN tok t USING (doc_id)
+    GROUP BY p.lang_label, p.lang_pred
+"""
+
+
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse language-ID confusion matrix with doc and token mass per
+    cell — see the block above."""
+    from mysql2psql_spark.operators.text import (
+        char_ngram_table,
+        langid_classify,
+        langid_profiles,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = char_ngram_table(d, extra_cols=("lang",))
+    profiles = langid_profiles(grams, k=_LANGID_K)
+    pred = langid_classify(
+        grams.select("doc_id", "gram"),
+        profiles,
+        k=_LANGID_K,
+        langs=d.select("lang").distinct(),
+    )
+    tok = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        pred.join(tok, "doc_id")
+        .groupBy("lang_label", "lang_pred")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )

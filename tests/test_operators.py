@@ -3688,3 +3688,37 @@ def test_bpe_learn_exhaustion_and_compositional(spark, tmp_path):
     # the chain must contain a COMPOSITIONAL rule (a learned symbol of
     # length > 1 on the left side) — learning, not first-order counting
     assert any(len(pa) > 1 for _, pa, _, _ in got)
+
+
+def test_langid_confusion_matches_oracle_and_marginals(spark, duck):
+    """Full DuckDB differential for the queued text_langid_confusion at
+    sf0.01, plus marginal consistency against text_langid_mixture_audit:
+    per-predicted-language sums over the matrix must equal the audit's
+    n_docs_pred / n_tokens_pred, the diagonal must equal n_agree, and
+    per-label sums must equal n_docs_label."""
+    import pandas as pd
+
+    from mysql2psql_spark.queries.text_q import (
+        _ORACLE_LANGID_CONFUSION,
+        text_langid_confusion,
+        text_langid_mixture_audit,
+    )
+
+    got = text_langid_confusion(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_LANGID_CONFUSION).df()
+    key = ["lang_label", "lang_pred"]
+    g = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    w = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+
+    audit = text_langid_mixture_audit(spark, SF_DIR_ORACLE).toPandas()
+    by_pred = g.groupby("lang_pred")[["n_docs", "n_tokens"]].sum()
+    by_label = g.groupby("lang_label")["n_docs"].sum()
+    diag = g[g.lang_label == g.lang_pred].set_index("lang_pred")["n_docs"]
+    for _, r in audit.iterrows():
+        assert by_pred["n_docs"].get(r["lang"], 0) == r["n_docs_pred"]
+        assert by_pred["n_tokens"].get(r["lang"], 0) == r["n_tokens_pred"]
+        assert by_label.get(r["lang"], 0) == r["n_docs_label"]
+        assert diag.get(r["lang"], 0) == r["n_agree"]
