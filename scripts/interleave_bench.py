@@ -159,6 +159,14 @@ FLOORS = {
     "text_langid_mixture_audit": 0.719,
     "text_bpe_fertility": 0.588,
     "text_bpe_learn": 2.242,
+    # from the same-session 5-rep langid-family A/B (loadavg ~4-7.5;
+    # ngram read 4.206 = 1.18x its floor in the same reps): the
+    # confusion matrix costs the full langid-pipeline class. NOTE: the
+    # mixture-audit floor above (0.719) is a COUNT-PROTOCOL artifact —
+    # its spine-left-join row count is provable without the predicted
+    # side, so Catalyst prunes the pipeline from the count plan (SURVEY
+    # §16 rule 15b / §20.1); its true collected cost is this class.
+    "text_langid_confusion": 5.781,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),
