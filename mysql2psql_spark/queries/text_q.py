@@ -2562,32 +2562,36 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_LEARN_K = 6
 
 
-def _bpe_learn_oracle(k_steps: int) -> str:
-    """The K-block unrolled learning oracle (see the block above)."""
+def _bpe_learn_blocks(k_steps: int, sfx: str = "", where: str = "") -> tuple[str, str]:
+    """The K-block unrolled learning chain as (CTE blocks, rule-table
+    select): CTE names carry ``sfx`` so two chains (e.g. the vocab-drift
+    corpus halves) can live in ONE WITH RECURSIVE clause; ``where``
+    filters the documents feeding the chain."""
+    w = f"WHERE {where}" if where else ""
     blocks = [
-        """
-    wc AS (
+        f"""
+    wc{sfx} AS (
       SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
-      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents {w})
       WHERE LEN(w) > 0 GROUP BY w
     ),
-    f0 AS (
+    f0{sfx} AS (
       SELECT word, freq,
              list_transform(range(1, LEN(word)+1), i -> word[i]) AS toks
-      FROM wc
+      FROM wc{sfx}
     )"""
     ]
     for k in range(1, k_steps + 1):
-        prev = f"f{k-1}"
+        prev = f"f{k-1}{sfx}"
         blocks.append(
             f"""
-    p{k} AS (
+    p{k}{sfx} AS (
       SELECT toks[i] AS pa, toks[i+1] AS pb, CAST(SUM(freq) AS BIGINT) AS cnt
       FROM (SELECT freq, toks, UNNEST(range(1, len(toks))) AS i FROM {prev})
       GROUP BY pa, pb
       QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, pa, pb) = 1
     ),
-    e{k} AS (
+    e{k}{sfx} AS (
       SELECT word, freq, toks, 0 AS done FROM {prev}
       UNION ALL
       SELECT word, freq,
@@ -2599,18 +2603,24 @@ def _bpe_learn_oracle(k_steps: int) -> str:
         SELECT e.word, e.freq, e.toks,
                list_filter(range(1, len(e.toks)),
                            i -> e.toks[i] = r.pa AND e.toks[i+1] = r.pb)[1] AS p
-        FROM e{k} e LEFT JOIN p{k} r ON TRUE
+        FROM e{k}{sfx} e LEFT JOIN p{k}{sfx} r ON TRUE
         WHERE e.done = 0
       )
     ),
-    f{k} AS (SELECT word, freq, toks FROM e{k} WHERE done = 1)"""
-        )
+    f{k}{sfx} AS (SELECT word, freq, toks FROM e{k}{sfx} WHERE done = 1)"""
+    )
     union = "\n    UNION ALL\n".join(
         f"    SELECT CAST({k} AS BIGINT) AS merge_rank, pa AS left_sym,"
-        f" pb AS right_sym, cnt AS pair_count FROM p{k}"
+        f" pb AS right_sym, cnt AS pair_count FROM p{k}{sfx}"
         for k in range(1, k_steps + 1)
     )
-    return "WITH RECURSIVE" + ",".join(blocks) + "\n" + union
+    return ",".join(blocks), union
+
+
+def _bpe_learn_oracle(k_steps: int) -> str:
+    """The K-block unrolled learning oracle (see the block above)."""
+    blocks, union = _bpe_learn_blocks(k_steps)
+    return "WITH RECURSIVE" + blocks + "\n" + union
 
 
 _ORACLE_BPE_LEARN = _bpe_learn_oracle(_BPE_LEARN_K)
@@ -2621,21 +2631,15 @@ _BPE_PAIRS_EXPR = (
 )
 
 
-def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-step BPE merge-table learning — see the block above. Returns
-    the learned table (merge_rank, left_sym, right_sym, pair_count);
-    fewer than K rows when the corpus exhausts its pairs first."""
+def _bpe_learn_merges(
+    spark: SparkSession, wc: DataFrame, k_steps: int = _BPE_LEARN_K
+) -> list[tuple[int, str, str, int]]:
+    """The K-step learning loop over a (word, freq) frame — see the
+    block above. One bounded 1-row collect per step."""
     from pyspark.storagelevel import StorageLevel
 
     from mysql2psql_spark.operators.text import bpe_apply_rule
 
-    d = load_table(spark, sf_dir, "documents")
-    wc = (
-        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
-        .filter(F.length("word") > 0)
-        .groupBy("word")
-        .agg(F.count("*").cast("bigint").alias("freq"))
-    )
     n_slots = spark.sparkContext.defaultParallelism
     toks = wc.repartition(n_slots, "word").select(
         "word",
@@ -2646,7 +2650,7 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges: list[tuple[int, str, str, int]] = []
     persisted = []
-    for k in range(1, _BPE_LEARN_K + 1):
+    for k in range(1, k_steps + 1):
         # persist: iteration barrier (each step's plan would otherwise
         # nest k folds deep) AND the r16 Generate-over-folds plan
         # pathology barrier for the pair explode below
@@ -2671,6 +2675,24 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     for p in persisted:
         p.unpersist(False)
+    return merges
+
+
+def _word_counts(d: DataFrame) -> DataFrame:
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+
+
+def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-step BPE merge-table learning — see the block above. Returns
+    the learned table (merge_rank, left_sym, right_sym, pair_count);
+    fewer than K rows when the corpus exhausts its pairs first."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = _bpe_learn_merges(spark, _word_counts(d))
     return spark.createDataFrame(
         merges,
         "merge_rank bigint, left_sym string, right_sym string, pair_count bigint",
@@ -2738,4 +2760,90 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r17 registration per the window budget): BPE VOCABULARY DRIFT
+# — the tokenizer-retraining QA: learn the K-step merge table
+# INDEPENDENTLY on two deterministic corpus halves (doc_id parity, the
+# established split idiom) and diff the learned tables. When the data
+# mix shifts, the first divergence shows up exactly here — a merge that
+# one half learns and the other does not (status only_a/only_b), or the
+# same merge at a different rank/support. A production pipeline runs
+# this between the standing tokenizer's training corpus and a candidate
+# refresh before deciding to retrain; rankagreement on the fixture's
+# homogeneous halves and forced divergence on a planted skewed corpus
+# are both pinned in tests.
+#
+# Output: one row per merge in EITHER table — left_sym, right_sym,
+# rank_a, rank_b, pair_count_a, pair_count_b (NULL where absent),
+# status in {'both','only_a','only_b'}. Join key (left_sym, right_sym)
+# is unique per table: applying rule (a,b) eliminates every a·b
+# adjacency, and later merges only concatenate neighbors (they absorb a
+# token INTO one of its neighbors, changing its symbol), so the same
+# pair can never be re-learned.
+#
+# Scale shape: two independent learning loops (each the text_bpe_learn
+# shape: corpus-sized word-count agg up front, vocab-sized per-step
+# work, K bounded 1-row collects); the diff is a <=2K-row python join.
+# Oracle: TWO unrolled K-block chains (suffixed CTE names) in one
+# WITH RECURSIVE, full-outer-joined on the pair.
+# ---------------------------------------------------------------------------
+def _bpe_drift_oracle(k_steps: int) -> str:
+    blocks_a, union_a = _bpe_learn_blocks(k_steps, "_a", "doc_id % 2 = 0")
+    blocks_b, union_b = _bpe_learn_blocks(k_steps, "_b", "doc_id % 2 = 1")
+    return (
+        "WITH RECURSIVE"
+        + blocks_a
+        + ","
+        + blocks_b
+        + f""",
+    ta AS (
+{union_a}
+    ),
+    tb AS (
+{union_b}
+    )
+    SELECT COALESCE(a.left_sym, b.left_sym) AS left_sym,
+           COALESCE(a.right_sym, b.right_sym) AS right_sym,
+           a.merge_rank AS rank_a, b.merge_rank AS rank_b,
+           a.pair_count AS pair_count_a, b.pair_count AS pair_count_b,
+           CASE WHEN a.left_sym IS NULL THEN 'only_b'
+                WHEN b.left_sym IS NULL THEN 'only_a'
+                ELSE 'both' END AS status
+    FROM ta a FULL OUTER JOIN tb b
+      ON a.left_sym = b.left_sym AND a.right_sym = b.right_sym"""
+    )
+
+
+_ORACLE_BPE_DRIFT = _bpe_drift_oracle(_BPE_LEARN_K)
+
+
+def text_bpe_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-table diff between the doc_id-parity corpus halves — see
+    the block above."""
+    d = load_table(spark, sf_dir, "documents")
+    ma = _bpe_learn_merges(spark, _word_counts(d.filter(F.col("doc_id") % 2 == 0)))
+    mb = _bpe_learn_merges(spark, _word_counts(d.filter(F.col("doc_id") % 2 == 1)))
+    a = {(pa, pb): (k, c) for k, pa, pb, c in ma}
+    b = {(pa, pb): (k, c) for k, pa, pb, c in mb}
+    rows = []
+    for pair in sorted(set(a) | set(b)):
+        ra, rb = a.get(pair), b.get(pair)
+        rows.append(
+            (
+                pair[0],
+                pair[1],
+                ra[0] if ra else None,
+                rb[0] if rb else None,
+                ra[1] if ra else None,
+                rb[1] if rb else None,
+                "both" if ra and rb else ("only_a" if ra else "only_b"),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "left_sym string, right_sym string, rank_a bigint, rank_b bigint,"
+        " pair_count_a bigint, pair_count_b bigint, status string",
     )

@@ -167,6 +167,9 @@ FLOORS = {
     # side, so Catalyst prunes the pipeline from the count plan (SURVEY
     # §16 rule 15b / §20.1); its true collected cost is this class.
     "text_langid_confusion": 5.781,
+    # two K-step learning loops (12 bounded collects) — the iterative
+    # maintenance class; control at floor in the same reps
+    "text_bpe_vocab_drift": 4.699,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),

@@ -3722,3 +3722,48 @@ def test_langid_confusion_matches_oracle_and_marginals(spark, duck):
         assert by_pred["n_tokens"].get(r["lang"], 0) == r["n_tokens_pred"]
         assert by_label.get(r["lang"], 0) == r["n_docs_label"]
         assert diag.get(r["lang"], 0) == r["n_agree"]
+
+
+def test_bpe_vocab_drift_matches_oracle_and_directions(spark, duck, tmp_path):
+    """Full DuckDB differential for the queued text_bpe_vocab_drift at
+    sf0.01 (two unrolled learning chains full-outer-joined), plus both
+    planted directions: IDENTICAL halves must produce an all-'both'
+    table with equal ranks and counts, and a corpus whose halves have
+    disjoint dominant pairs must produce only_a/only_b rows for them."""
+    import pandas as pd
+
+    from mysql2psql_spark.queries.text_q import (
+        _ORACLE_BPE_DRIFT,
+        text_bpe_vocab_drift,
+    )
+
+    got = text_bpe_vocab_drift(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_BPE_DRIFT).df()
+    key = ["left_sym", "right_sym"]
+    g = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    w = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+
+    # identical halves -> pure 'both', ranks and supports equal
+    rows = [(i, "xx", "the theme then and sand banana") for i in range(6)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, lang string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    same = text_bpe_vocab_drift(spark, str(tmp_path)).toPandas()
+    assert (same.status == "both").all() and len(same) > 0
+    assert (same.rank_a == same.rank_b).all()
+    assert (same.pair_count_a == same.pair_count_b).all()
+
+    # skewed halves: even docs dominated by 'th', odd docs by 'in' ->
+    # each half's table must contain a rule the other's lacks
+    rows = [(i, "xx", "ththth thth th" if i % 2 == 0 else "ininin inin in")
+            for i in range(8)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, lang string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    skew = text_bpe_vocab_drift(spark, str(tmp_path)).toPandas()
+    assert (skew.status == "only_a").any() and (skew.status == "only_b").any()
+    only_a = skew[skew.status == "only_a"]
+    assert only_a.rank_b.isna().all() and only_a.pair_count_b.isna().all()
