@@ -390,6 +390,15 @@ def main() -> None:
     # interference). Pass-interleaving puts minutes between one query's
     # samples, so no single event can cover a median. Same total work,
     # same metric semantics.
+    # SPARK_GRAFT_BENCH_NOOP=1 measures via a noop write (full
+    # computation, no output) instead of count(). The default stays
+    # count() for cross-round floor continuity, but count plans can be
+    # JOIN-PRUNED (SURVEY §16 rule 15b: a spine-left-join query's row
+    # count is provable without its expensive side — seven registered
+    # queries under-measure by ~3.5 s total, table in §20.2); the noop
+    # mode exists so protocol A/Bs and true-cost audits are one env var
+    # away rather than ad-hoc scripts.
+    noop = bool(os.environ.get("SPARK_GRAFT_BENCH_NOOP"))
     samples: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
     for p in range(repeat):
@@ -400,7 +409,11 @@ def main() -> None:
             _release_persisted_rdds()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            rows[name] = df.count()
+            if noop:
+                df.write.format("noop").mode("overwrite").save()
+                rows[name] = -1  # noop mode computes but does not count
+            else:
+                rows[name] = df.count()
             samples.setdefault(name, []).append(time.perf_counter() - t0)
         print(f"# pass {p + 1}/{repeat} done", file=sys.stderr)
     times: dict[str, float] = {}
@@ -431,6 +444,7 @@ def main() -> None:
         "queries": times,
         "sf": float(sf),
         "repeat": repeat,
+        "protocol": "noop" if noop else "count",
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     try:
@@ -452,6 +466,7 @@ def main() -> None:
                 "n_queries": len(times),
                 "sf": float(sf),
                 "repeat": repeat,
+                "protocol": "noop" if noop else "count",
                 "queries_file": "BENCH_FULL.json",
             }
         )
