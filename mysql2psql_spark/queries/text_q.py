@@ -2847,3 +2847,131 @@ def text_bpe_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_sym string, right_sym string, rank_a bigint, rank_b bigint,"
         " pair_count_a bigint, pair_count_b bigint, status string",
     )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r17 registration per the window budget): the langid gate as
+# driver-visible evidence — extending the every-foreachBatch-gate-has-
+# an-oracled-audit-row invariant (stream_near_dup_gate /
+# stream_drift_summary / stream_ks_summary / stream_cdc_apply_summary)
+# to the new streaming language-ID gate (streaming/docs.py::
+# langid_counts_foreach_batch): profiles TRAINED on the corpus (frozen,
+# broadcast), the same corpus streamed through classification in two
+# doc_id-parity micro-batches, the compacted (lang_pred, n_docs)
+# summary audited against the one-shot batch classification as ONE
+# row. Classification is per-document pure given frozen profiles, so
+# streamed == batch bit-for-bit for ANY micro-batch partitioning — the
+# premise tests pin through a real two-trigger readStream plus replay
+# idempotence and foreign-lineage refusal on the shared guard.
+#
+# Scale shape: per-trigger cost is one batch-sized gram pipeline
+# against the broadcast profile table (langs x 40 rows, persisted at
+# gate construction — re-training per trigger would both waste the
+# corpus-sized profile build and violate the frozen contract the
+# associativity rests on); partials are n_langs rows; the audit join is
+# n_langs x n_langs. Streaming state zero.
+# ---------------------------------------------------------------------------
+_ORACLE_STREAM_LANGID = f"""
+    WITH pred AS ({_ORACLE_LANGID}),
+    b AS (
+      SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM pred GROUP BY lang_pred
+    )
+    SELECT CAST(2 AS BIGINT) AS n_triggers,
+           CAST(COUNT(*) AS BIGINT) AS stream_rows,
+           CAST(COUNT(*) AS BIGINT) AS batch_rows,
+           CAST(0 AS BIGINT) AS only_stream,
+           CAST(0 AS BIGINT) AS only_batch,
+           CAST(0 AS BIGINT) AS value_mismatches
+    FROM b
+"""
+
+
+def stream_langid_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed-equals-batch audit for the foreachBatch language-ID
+    gate — see the block above. Two doc_id-parity micro-batches;
+    partial writes are idempotent (mode=overwrite per batch dir) and
+    the lineage token is a per-invocation uuid, rotated with the
+    partial dir."""
+    import os
+    import shutil
+    import uuid
+
+    from mysql2psql_spark.operators.layout import session_scratch
+    from mysql2psql_spark.operators.materialize import CacheHandle
+    from mysql2psql_spark.operators.text import (
+        char_ngram_table,
+        langid_classify,
+        langid_profiles,
+    )
+    from mysql2psql_spark.streaming.docs import (
+        langid_counts_foreach_batch,
+        read_langid_summary,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    grams_full = char_ngram_table(d, extra_cols=("lang",))
+    profiles = langid_profiles(grams_full, k=_LANGID_K)
+    langs = d.select("lang").distinct()
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    out_dir = os.path.join(session_scratch(spark), f"stream_langid_{sf_tag}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    with CacheHandle() as caches:
+        gate = langid_counts_foreach_batch(
+            profiles,
+            langs,
+            out_dir,
+            lineage=f"stream_langid_summary:{uuid.uuid4()}",
+            k=_LANGID_K,
+            caches=caches,
+        )
+        gate(d.filter(F.col("doc_id") % 2 == 0), 0)
+        gate(d.filter(F.col("doc_id") % 2 == 1), 1)
+        batch = (
+            langid_classify(
+                grams_full.select("doc_id", "gram"),
+                profiles,
+                k=_LANGID_K,
+                langs=langs,
+            )
+            .groupBy("lang_pred")
+            .agg(F.count("*").cast("bigint").alias("n_docs"))
+        )
+        streamed = read_langid_summary(spark, out_dir)
+        s = streamed.select("lang_pred", F.col("n_docs").alias("s_n_docs"))
+        b = batch.select("lang_pred", F.col("n_docs").alias("b_n_docs"))
+        j = s.join(b, ["lang_pred"], "full_outer")
+        out = j.agg(
+            F.count(F.col("s_n_docs")).cast("bigint").alias("stream_rows"),
+            F.count(F.col("b_n_docs")).cast("bigint").alias("batch_rows"),
+            F.sum(F.when(F.col("b_n_docs").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("only_stream"),
+            F.sum(F.when(F.col("s_n_docs").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("only_batch"),
+            F.sum(
+                F.when(
+                    F.col("s_n_docs").isNotNull()
+                    & F.col("b_n_docs").isNotNull()
+                    & ~F.col("s_n_docs").eqNullSafe(F.col("b_n_docs")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("value_mismatches"),
+        ).select(
+            F.lit(2).cast("bigint").alias("n_triggers"),
+            "stream_rows",
+            "batch_rows",
+            "only_stream",
+            "only_batch",
+            "value_mismatches",
+        )
+        # the audit row must materialize while the gate caches are live
+        rows = out.collect()
+    return spark.createDataFrame(
+        rows,
+        "n_triggers bigint, stream_rows bigint, batch_rows bigint,"
+        " only_stream bigint, only_batch bigint, value_mismatches bigint",
+    )

@@ -139,3 +139,70 @@ def near_dup_gate_foreach_batch(
             pairs.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
     return apply
+
+
+# ---------------------------------------------------------------------------
+# Streaming language-ID gate: the production deployment shape of
+# text_langid_ngram — profiles are TRAINED OFFLINE (frozen, broadcast,
+# languages x k rows) and arriving documents are classified per
+# micro-batch; each trigger writes its (lang_pred, n_docs) COUNT
+# partial batch_id-versioned under the shared lineage guard (the
+# drift/KS/CDC discipline). Classification is PER-DOCUMENT PURE given
+# frozen profiles (the doc-profile window partitions by doc_id; the
+# scoring join reads only broadcast state), so per-batch counts are
+# associative and the compacted summary equals the one-shot batch
+# classification for ANY micro-batch partitioning of the same docs.
+# Per-trigger cost: one batch-sized gram pipeline against broadcast
+# profiles; streaming state ZERO.
+# ---------------------------------------------------------------------------
+def langid_counts_foreach_batch(
+    profiles: DataFrame,
+    langs: DataFrame,
+    out_dir: str,
+    lineage: str | None = None,
+    k: int = 40,
+    caches=None,
+):
+    """Return a foreachBatch function classifying each micro-batch of
+    documents (doc_id, text) against the FROZEN ``profiles`` table and
+    writing the per-batch (lang_pred, n_docs) partial to
+    ``{out_dir}/batch=<id>``. ``profiles``/``langs`` are materialized at
+    gate construction (register release on ``caches`` — the CacheHandle
+    convention): without the persist each trigger would re-run the
+    whole profile TRAINING pipeline, and a training re-run mid-stream
+    would also violate the frozen-profiles contract the associativity
+    argument rests on."""
+    from mysql2psql_spark.operators.materialize import materialize
+    from mysql2psql_spark.operators.text import char_ngram_table, langid_classify
+    from mysql2psql_spark.streaming.events import _guard_versioned_out_dir
+
+    profiles = materialize(profiles)
+    langs = materialize(langs)
+    if caches is not None:
+        caches.append(profiles)
+        caches.append(langs)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        _guard_versioned_out_dir(
+            batch_df.sparkSession, out_dir, lineage, batch_id, gate="langid gate"
+        )
+        grams = char_ngram_table(batch_df)
+        pred = langid_classify(grams, profiles, k=k, langs=langs)
+        part = pred.groupBy("lang_pred").agg(
+            F.count("*").cast("bigint").alias("n_docs")
+        )
+        part.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    return apply
+
+
+def read_langid_summary(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Predicted-language document counts over everything the gate has
+    seen: sum the per-batch partials (associative) — identical to the
+    one-shot batch classification aggregated by lang_pred. The same
+    roll-up-compaction contract as the drift/KS gates applies."""
+    schema = "lang_pred string, n_docs bigint"
+    parts = spark.read.schema(schema).parquet(f"{out_dir}/batch=*")
+    return parts.groupBy("lang_pred").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs")
+    )

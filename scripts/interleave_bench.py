@@ -170,6 +170,11 @@ FLOORS = {
     # two K-step learning loops (12 bounded collects) — the iterative
     # maintenance class; control at floor in the same reps
     "text_bpe_vocab_drift": 4.699,
+    # profile training + two trigger classifications + the independent
+    # batch twin (3 full langid pipelines by the audit contract — the
+    # gate-audit class over the family's most expensive operator);
+    # control text_unigram_surprisal 0.299 AT floor in the same reps
+    "stream_langid_summary": 8.238,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),

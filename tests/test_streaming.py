@@ -863,3 +863,90 @@ def test_guard_marker_written_before_partial_allows_crash_replay(spark, tmp_path
     # same-lineage batch-0 replay: allowed, and the summary then reads
     drift_counts_foreach_batch(bounds, str(out_dir), lineage="ckpt-R")(b0, 0)
     assert read_drift_summary(spark, str(out_dir)).count() > 0
+
+
+def test_langid_gate_stream_matches_batch_and_guarded(spark, tmp_path):
+    """The streaming language-ID gate (streaming/docs.py::
+    langid_counts_foreach_batch) must produce, compacted across a real
+    two-trigger readStream, EXACTLY the one-shot batch classification
+    aggregated by lang_pred: classification is per-document pure given
+    the FROZEN broadcast profile table, so per-batch counts are
+    associative over any micro-batch partitioning. Also pins replayed-
+    trigger idempotence and foreign-lineage refusal via the shared
+    versioned-partial guard."""
+    import pandas as pd
+
+    from mysql2psql_spark.operators.materialize import CacheHandle
+    from mysql2psql_spark.operators.text import (
+        char_ngram_table,
+        langid_classify,
+        langid_profiles,
+    )
+    from mysql2psql_spark.sources import load_table
+    from mysql2psql_spark.streaming.docs import (
+        langid_counts_foreach_batch,
+        read_langid_summary,
+    )
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    grams_full = char_ngram_table(d, extra_cols=("lang",))
+    profiles = langid_profiles(grams_full, k=10)
+    langs = d.select("lang").distinct()
+
+    # two parquet files -> two triggers
+    src = str(tmp_path / "docs_src")
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    out_dir = str(tmp_path / "langid_out")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with CacheHandle() as caches:
+        gate = langid_counts_foreach_batch(
+            profiles, langs, out_dir, lineage="ckpt-langid", k=10, caches=caches
+        )
+        q = stream.writeStream.foreachBatch(gate).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        import glob
+
+        assert len(glob.glob(f"{out_dir}/batch=*")) == 2
+        got = read_langid_summary(spark, out_dir).toPandas()
+        want = (
+            langid_classify(
+                grams_full.select("doc_id", "gram"), profiles, k=10, langs=langs
+            )
+            .groupBy("lang_pred")
+            .agg(F.count("*").cast("bigint").alias("n_docs"))
+            .toPandas()
+        )
+        key = ["lang_pred"]
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True),
+            want.sort_values(key).reset_index(drop=True),
+            check_dtype=False,
+            check_exact=True,
+        )
+        assert got.n_docs.sum() == d.count()
+
+        # replayed trigger: same-lineage batch-0 re-delivery keeps the
+        # summary unchanged (idempotent overwrite under the marker)
+        b0 = d.filter(F.col("doc_id") % 2 == 0)
+        gate(b0, 0)
+        again = read_langid_summary(spark, out_dir).toPandas()
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True),
+            again.sort_values(key).reset_index(drop=True),
+            check_exact=True,
+        )
+
+        # foreign lineage: refused on the marker
+        foreign = langid_counts_foreach_batch(
+            profiles, langs, out_dir, lineage="ckpt-other", k=10
+        )
+        with pytest.raises(RuntimeError, match="belongs to lineage 'ckpt-langid'"):
+            foreign(b0, 0)
