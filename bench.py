@@ -285,6 +285,20 @@ HEADLINE = [
     "events_ks_drift",
     "stream_ks_summary",
     "stream_cdc_apply_summary",
+    # round-17: the seven r16-queued registrations (VERDICT r16 #1) —
+    # langid mixture audit, BPE encode/fertility/learn/vocab-drift,
+    # langid confusion, streaming langid gate. NOTE (VERDICT r16 #2):
+    # text_langid_mixture_audit's count() plan keeps 2/12 scans
+    # (outer-join elimination prunes the predicted-side pipeline), so
+    # its counted number measures the 5-row spine; its honest floor is
+    # recorded from a noop-write measurement (SURVEY §20.2).
+    "text_langid_mixture_audit",
+    "text_bpe_encode",
+    "text_bpe_fertility",
+    "text_bpe_learn",
+    "text_langid_confusion",
+    "text_bpe_vocab_drift",
+    "stream_langid_summary",
 ]
 
 

@@ -2128,6 +2128,7 @@ _ORACLE_LANGID_MIXTURE = f"""
 """
 
 
+@query("text_langid_mixture_audit", oracle=_ORACLE_LANGID_MIXTURE)
 def text_langid_mixture_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """langid -> alpha=0.5 sampling weights over PREDICTED labels, with
     per-language label agreement — see the block above."""
@@ -2331,6 +2332,7 @@ def _bpe_fold_expr(src: str, pa: str, pb: str) -> str:
     ).format(src=src, pa=pa, pb=pb)
 
 
+@query("text_bpe_encode", oracle=_ORACLE_BPE_ENCODE)
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus tokenization with a pinned learned BPE merge table — see
     the block above. Per-token output: id (frequency rank), occurrence,
@@ -2473,6 +2475,7 @@ _ORACLE_BPE_FERTILITY = f"""
 """
 
 
+@query("text_bpe_fertility", oracle=_ORACLE_BPE_FERTILITY)
 def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer fertility under the pinned BPE merge
     table — see the block above. Integer sums only; fertility =
@@ -2687,6 +2690,7 @@ def _word_counts(d: DataFrame) -> DataFrame:
     )
 
 
+@query("text_bpe_learn", oracle=_ORACLE_BPE_LEARN)
 def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-step BPE merge-table learning — see the block above. Returns
     the learned table (merge_rank, left_sym, right_sym, pair_count);
@@ -2730,6 +2734,7 @@ _ORACLE_LANGID_CONFUSION = f"""
 """
 
 
+@query("text_langid_confusion", oracle=_ORACLE_LANGID_CONFUSION)
 def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse language-ID confusion matrix with doc and token mass per
     cell — see the block above."""
@@ -2820,6 +2825,7 @@ def _bpe_drift_oracle(k_steps: int) -> str:
 _ORACLE_BPE_DRIFT = _bpe_drift_oracle(_BPE_LEARN_K)
 
 
+@query("text_bpe_vocab_drift", oracle=_ORACLE_BPE_DRIFT)
 def text_bpe_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-table diff between the doc_id-parity corpus halves — see
     the block above."""
@@ -2887,6 +2893,7 @@ _ORACLE_STREAM_LANGID = f"""
 """
 
 
+@query("stream_langid_summary", oracle=_ORACLE_STREAM_LANGID)
 def stream_langid_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed-equals-batch audit for the foreachBatch language-ID
     gate — see the block above. Two doc_id-parity micro-batches;
@@ -2944,19 +2951,29 @@ def stream_langid_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = j.agg(
             F.count(F.col("s_n_docs")).cast("bigint").alias("stream_rows"),
             F.count(F.col("b_n_docs")).cast("bigint").alias("batch_rows"),
-            F.sum(F.when(F.col("b_n_docs").isNull(), 1).otherwise(0))
+            # coalesce(sum, 0): an empty documents table yields zero
+            # joined rows, where SUM is NULL but the oracle's literal
+            # constants are 0 (r17, ADVICE)
+            F.coalesce(
+                F.sum(F.when(F.col("b_n_docs").isNull(), 1).otherwise(0)), F.lit(0)
+            )
             .cast("bigint")
             .alias("only_stream"),
-            F.sum(F.when(F.col("s_n_docs").isNull(), 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("s_n_docs").isNull(), 1).otherwise(0)), F.lit(0)
+            )
             .cast("bigint")
             .alias("only_batch"),
-            F.sum(
-                F.when(
-                    F.col("s_n_docs").isNotNull()
-                    & F.col("b_n_docs").isNotNull()
-                    & ~F.col("s_n_docs").eqNullSafe(F.col("b_n_docs")),
-                    1,
-                ).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("s_n_docs").isNotNull()
+                        & F.col("b_n_docs").isNotNull()
+                        & ~F.col("s_n_docs").eqNullSafe(F.col("b_n_docs")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             )
             .cast("bigint")
             .alias("value_mismatches"),

@@ -36,10 +36,11 @@ TABLES = (
 # (applicationId, path, mtime): a new session re-infers, a rewritten
 # local path (the probe/test overwrite pattern) re-infers via mtime;
 # non-local paths (no statable mtime) skip the cache entirely.
-# mtime is the MAX over the path and its direct entries (r16, ADVICE):
-# POSIX directory mtime only moves on entry add/remove, so an in-place
-# rewrite of a part file inside a parquet DIRECTORY would otherwise
-# serve a stale schema. Bounded LRU so a long session scanning many
+# mtime is the MAX over the path, its entries, and one level of
+# subdirectory entries (r16/r17, ADVICE): POSIX directory mtime only
+# moves on entry add/remove, so an in-place rewrite of a part file
+# inside a parquet directory (flat or single-key hive-partitioned)
+# would otherwise serve a stale schema; deeper nesting skips the cache. Bounded LRU so a long session scanning many
 # paths cannot grow the dict without limit.
 from collections import OrderedDict as _OrderedDict
 
@@ -48,19 +49,32 @@ _SCHEMA_CACHE_MAX = 256
 
 
 def _path_mtime(path: str) -> float:
-    """Newest mtime among ``path`` and (for a directory) its direct
-    entries — the footer files whose in-place rewrite must invalidate."""
+    """Newest mtime among ``path`` and (for a directory) its entries,
+    recursing one level into subdirectories — the footer files whose
+    in-place rewrite must invalidate. Hive-partitioned layouts put part
+    files one level down (``key=value/`` subdirs); deeper nesting
+    (multi-key partitioning) raises OSError so the caller skips the
+    cache rather than ever serving a stale schema (r17, ADVICE)."""
     import os
 
     st = os.stat(path)
     mt = st.st_mtime
     if os.path.isdir(path):
+        # Any OSError here (vanishing entry mid-rewrite, nested dirs)
+        # propagates: the caller treats it as "skip the cache", which
+        # can never serve a stale schema.
         with os.scandir(path) as it:
             for e in it:
-                try:
-                    mt = max(mt, e.stat().st_mtime)
-                except OSError:
-                    continue
+                mt = max(mt, e.stat().st_mtime)
+                if e.is_dir(follow_symlinks=False):
+                    with os.scandir(e.path) as sub:
+                        for f in sub:
+                            if f.is_dir(follow_symlinks=False):
+                                raise OSError(
+                                    f"nested partition dirs under {path}:"
+                                    " schema cache skipped"
+                                )
+                            mt = max(mt, f.stat().st_mtime)
     return mt
 
 

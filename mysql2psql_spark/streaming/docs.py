@@ -167,20 +167,26 @@ def langid_counts_foreach_batch(
     documents (doc_id, text) against the FROZEN ``profiles`` table and
     writing the per-batch (lang_pred, n_docs) partial to
     ``{out_dir}/batch=<id>``. ``profiles``/``langs`` are materialized at
-    gate construction (register release on ``caches`` — the CacheHandle
-    convention): without the persist each trigger would re-run the
-    whole profile TRAINING pipeline, and a training re-run mid-stream
-    would also violate the frozen-profiles contract the associativity
-    argument rests on."""
+    gate construction and their release registered on ``caches`` (the
+    CacheHandle convention — REQUIRED, r17 ADVICE: a handle-less gate
+    would leak executor cache for the session): without the persist
+    each trigger would re-run the whole profile TRAINING pipeline, and
+    a training re-run mid-stream would also violate the frozen-profiles
+    contract the associativity argument rests on."""
     from mysql2psql_spark.operators.materialize import materialize
     from mysql2psql_spark.operators.text import char_ngram_table, langid_classify
     from mysql2psql_spark.streaming.events import _guard_versioned_out_dir
 
+    if caches is None:
+        raise ValueError(
+            "langid_counts_foreach_batch requires a CacheHandle (caches=): "
+            "the gate persists the frozen profile tables at construction "
+            "and the caller must own their release"
+        )
     profiles = materialize(profiles)
     langs = materialize(langs)
-    if caches is not None:
-        caches.append(profiles)
-        caches.append(langs)
+    caches.append(profiles)
+    caches.append(langs)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         _guard_versioned_out_dir(

@@ -257,6 +257,15 @@ DEFAULT_QUERIES = [
     "events_ks_drift",
     "text_lang_sampling_weights",
     "stream_ks_summary",
+    # r17: the seven r16-queued registrations join as tracked rows
+    # (floors above, recorded at queue time in the r16 session).
+    "text_langid_mixture_audit",
+    "text_bpe_encode",
+    "text_bpe_fertility",
+    "text_bpe_learn",
+    "text_langid_confusion",
+    "text_bpe_vocab_drift",
+    "stream_langid_summary",
 ]
 
 

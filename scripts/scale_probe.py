@@ -172,6 +172,21 @@ PROBED = [
     # text_lang_sampling_weights deliberately NOT probed: output is
     # n_langs rows at any SF (one map-side-combined agg + a 1-row
     # window); replica probing measures nothing beyond the scan.
+    # r17 registrations (first probed at queue time, r16 — numbers in
+    # each query's verification record):
+    "text_langid_mixture_audit",  # rides the langid class; spine join
+    # adds an n_langs-row left join only
+    "text_bpe_encode",        # chained folds over the distinct-word
+    # frame; 5x docs grows the word scan linearly, vocab work flat
+    "text_bpe_fertility",     # flat at 5x docs (1.224 -> 0.819);
+    # per-language integer sums over the encoded frame
+    "text_bpe_learn",         # FLAT at 5x docs (2.919 -> 2.634);
+    # per-iteration work is vocab-sized regardless of corpus size
+    "text_langid_confusion",  # x1.65 wall at 5x docs — sublinear,
+    # gram-scan-bound, the langid class
+    "text_bpe_vocab_drift",   # x1.4 at 5x docs; two linear word-count
+    # scans, vocab work flat
+    "stream_langid_summary",  # x1.2 at 5x docs; trigger/pipeline-bound
 ]
 
 

@@ -3380,6 +3380,53 @@ def test_parquet_schema_cache_sees_in_place_rewrite(spark, tmp_path):
     assert df2.columns == ["a", "b"], "stale cached schema served"
 
 
+def test_parquet_schema_cache_sees_partitioned_rewrite(spark, tmp_path):
+    """One level down too (r17, ADVICE): hive-partitioned layouts put
+    part files in key= subdirectories; an in-place rewrite there must
+    also invalidate. Deeper nesting skips the cache entirely (OSError
+    path) rather than ever serving a stale schema."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from mysql2psql_spark.sources import parquet as psrc
+
+    d = tmp_path / "parttbl.parquet"
+    sub = d / "k=1"
+    sub.mkdir(parents=True)
+    part = sub / "part-00000.parquet"
+    pq.write_table(pa.table({"a": pa.array([1, 2], pa.int64())}), part)
+
+    df1 = psrc.load_table(spark, str(tmp_path), "parttbl")
+    assert set(df1.columns) == {"a", "k"}
+    # rewrite in place inside the subdirectory; pin BOTH directory
+    # mtimes so only the one-level-recursed key can see the change
+    d_stat, sub_stat = os.stat(d), os.stat(sub)
+    pq.write_table(
+        pa.table({"a": pa.array([1], pa.int64()), "b": pa.array(["x"])}), part
+    )
+    os.utime(part, (sub_stat.st_atime + 10, sub_stat.st_mtime + 10))
+    os.utime(sub, (sub_stat.st_atime, sub_stat.st_mtime))
+    os.utime(d, (d_stat.st_atime, d_stat.st_mtime))
+    df2 = psrc.load_table(spark, str(tmp_path), "parttbl")
+    assert set(df2.columns) == {"a", "b", "k"}, "stale cached schema served"
+
+    # two-level nesting: _path_mtime refuses (caller skips the cache)
+    deep = tmp_path / "deeptbl.parquet" / "k=1" / "j=2"
+    deep.mkdir(parents=True)
+    pq.write_table(pa.table({"a": pa.array([1], pa.int64())}), deep / "p.parquet")
+    with pytest.raises(OSError, match="nested partition dirs"):
+        psrc._path_mtime(str(tmp_path / "deeptbl.parquet"))
+    # ... and load_table still answers, uncached
+    assert set(psrc.load_table(spark, str(tmp_path), "deeptbl").columns) == {
+        "a",
+        "k",
+        "j",
+    }
+
+
 def test_parquet_schema_cache_bounded(spark, tmp_path):
     """The cache is LRU-bounded so a long session scanning many paths
     cannot grow it without limit."""

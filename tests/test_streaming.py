@@ -944,9 +944,16 @@ def test_langid_gate_stream_matches_batch_and_guarded(spark, tmp_path):
             check_exact=True,
         )
 
-        # foreign lineage: refused on the marker
+        # foreign lineage: refused on the marker (its persisted profile
+        # frames are registered on the same handle — a handle-less gate
+        # is itself refused, pinned below)
         foreign = langid_counts_foreach_batch(
-            profiles, langs, out_dir, lineage="ckpt-other", k=10
+            profiles, langs, out_dir, lineage="ckpt-other", k=10, caches=caches
         )
         with pytest.raises(RuntimeError, match="belongs to lineage 'ckpt-langid'"):
             foreign(b0, 0)
+
+    # r17 ADVICE: constructing the gate without a CacheHandle would leak
+    # session-lifetime executor cache — refused loudly at construction.
+    with pytest.raises(ValueError, match="requires a CacheHandle"):
+        langid_counts_foreach_batch(profiles, langs, out_dir, lineage="x", k=10)
