@@ -413,6 +413,17 @@ def main() -> None:
     # mode exists so protocol A/Bs and true-cost audits are one env var
     # away rather than ad-hoc scripts.
     noop = bool(os.environ.get("SPARK_GRAFT_BENCH_NOOP"))
+    # Per-query protocol override (r17, VERDICT r16 #2): queries whose
+    # COUNT plan is almost entirely join-pruned measure a spine, not a
+    # pipeline — text_langid_mixture_audit's count plan keeps 1 of its
+    # 6 scans (outer-join elimination proves the row count from the
+    # 5-row language spine alone; measured 0.35 s counted vs 3.21 s
+    # noop at sf0.1). Such rows ALWAYS measure via noop-write so every
+    # bench number is a pipeline cost; rows= is reported -1 for them.
+    # The seven legacy partially-prunable rows (§20.2) keep count() for
+    # floor continuity — their counted numbers still track >40% of the
+    # pipeline, and the §20.2 table is the standing correction.
+    noop_always = {"text_langid_mixture_audit"}
     samples: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
     for p in range(repeat):
@@ -423,7 +434,7 @@ def main() -> None:
             _release_persisted_rdds()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            if noop:
+            if noop or name in noop_always:
                 df.write.format("noop").mode("overwrite").save()
                 rows[name] = -1  # noop mode computes but does not count
             else:
@@ -459,6 +470,7 @@ def main() -> None:
         "sf": float(sf),
         "repeat": repeat,
         "protocol": "noop" if noop else "count",
+        "noop_always": sorted(noop_always),
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     try:
@@ -481,6 +493,7 @@ def main() -> None:
                 "sf": float(sf),
                 "repeat": repeat,
                 "protocol": "noop" if noop else "count",
+                "noop_always": sorted(noop_always),
                 "queries_file": "BENCH_FULL.json",
             }
         )

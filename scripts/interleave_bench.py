@@ -156,7 +156,14 @@ FLOORS = {
     # loaded-session band); they join DEFAULT_QUERIES when their @query
     # decorators flip.
     "text_bpe_encode": 1.296,
-    "text_langid_mixture_audit": 0.719,
+    # noop-write floor (r17, VERDICT r16 #2): the audit's COUNT plan is
+    # 94% join-pruned (1 of 6 scans survives — the 5-row spine proves
+    # the row count), so the 0.719 queue-time counted number measured a
+    # spine, not the pipeline. Re-floored at registration from a 5-rep
+    # warm noop median (3.213; reps 4.01/3.33/3.21/3.21/3.10, control
+    # text_unigram_surprisal 0.268 BELOW floor in the same session,
+    # loadavg ~3). Measured via noop-write here too (NOOP_QUERIES).
+    "text_langid_mixture_audit": 3.213,
     "text_bpe_fertility": 0.588,
     "text_bpe_learn": 2.242,
     # from the same-session 5-rep langid-family A/B (loadavg ~4-7.5;
@@ -181,6 +188,11 @@ FLOORS = {
 # their family neighbors, the O(n^2) anchor, and two untouched controls
 # whose floors bracket the time scale (one ~0.15 s scan, one ~1.5 s
 # shuffle pipeline).
+# Queries measured via noop-write instead of count(): their COUNT plans
+# are join-pruned to a spine (SURVEY §16 rule 15b), so a counted sample
+# would track the wrong plan. Keep in sync with bench.py noop_always.
+NOOP_QUERIES = {"text_langid_mixture_audit"}
+
 DEFAULT_QUERIES = [
     "dedup_clusters",
     "text_unigram_surprisal",
@@ -335,7 +347,11 @@ def main() -> None:
         for n in names:
             _release()
             t0 = time.perf_counter()
-            QUERIES[n](spark, args.sf_dir).count()
+            df = QUERIES[n](spark, args.sf_dir)
+            if n in NOOP_QUERIES:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.count()
             dt = time.perf_counter() - t0
             samples[n].append(round(dt, 3))
             print(f"# rep {rep + 1}/{args.reps} {n}: {dt:.3f}s", file=sys.stderr)
