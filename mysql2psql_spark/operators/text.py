@@ -179,12 +179,34 @@ def pack_sequences(
     any corpus size. Assignment remains a pure function of
     (doc_id, n_tokens, n_buckets) — reproducible across engines,
     cluster layouts, and reruns."""
-    from pyspark.sql.window import Window as W
-
     sized = docs.select(
         F.col(id_col),
         token_count(F.col(text_col)).alias("n_tokens"),
     )
+    return pack_sized(
+        sized,
+        id_col=id_col,
+        capacity=capacity,
+        tokens_per_bucket=tokens_per_bucket,
+        min_buckets=min_buckets,
+    )
+
+
+def pack_sized(
+    sized,
+    id_col: str = "doc_id",
+    capacity: int = 2048,
+    tokens_per_bucket: int = 1_048_576,
+    min_buckets: int = 8,
+):
+    """Pack-assignment core over a pre-sized ``(id, n_tokens)`` frame —
+    extracted (r17) so packing composes with ANY tokenizer: whitespace
+    proxy counts (``pack_sequences``) or real learned-BPE encoded
+    lengths (``queries/text_q.py::text_pack_bpe_sequences``). Same
+    bucket-sharded window shape and determinism contract as the
+    docstring above."""
+    from pyspark.sql.window import Window as W
+
     total = sized.agg(F.sum("n_tokens")).first()[0] or 0
     n_buckets = max(min_buckets, (int(total) + tokens_per_bucket - 1) // tokens_per_bucket)
     bucket = (

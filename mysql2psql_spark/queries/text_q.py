@@ -2992,3 +2992,385 @@ def stream_langid_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_triggers bigint, stream_rows bigint, batch_rows bigint,"
         " only_stream bigint, only_batch bigint, value_mismatches bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r18 registration per the window budget): BPE-AWARE SEQUENCE
+# PACKING (VERDICT r16 #3) — the corpus -> training-batches closure.
+# text_pack_sequences packs on whitespace-proxy token counts; this packs
+# on REAL encoded lengths under the pinned learned merge table
+# (_BPE_MERGES — the merges.txt artifact text_bpe_encode applies), the
+# exact shard-assignment step a pretraining pipeline runs after
+# tokenizer training: per-doc encoded length -> deterministic
+# bucket/pack assignment. The staged analogue of the reference's
+# IR-checkpoint pipeline (/root/reference/main.py:54-69): tokenize
+# (stage artifact) then assemble batches (consumer), here fused into
+# one declarative plan.
+#
+# Scale shape: the corpus-sized work is one word explode + a map-side-
+# combined (doc_id, word) count; the 12-rule fold chain runs on the
+# DISTINCT-WORD frame only (the per-word encode cache as a vocab-sized
+# frame — the text_bpe_fertility idiom, size() over fused folds, no
+# Generate, no barrier); per-doc lengths come from a word-keyed join of
+# the (doc, word) counts against that vocab-sized length table; pack
+# assignment reuses operators/text.py::pack_sized (bucket-sharded
+# windows, bucket count scaling with TOTAL ENCODED tokens, no global
+# sort). Docs whose every split token is empty keep n_tokens=0 via the
+# left join (parity with the proxy pack, which sizes every doc).
+# ---------------------------------------------------------------------------
+_ORACLE_PACK_BPE = f"""
+    WITH RECURSIVE
+    rules(rule_idx, pa, pb) AS (VALUES {_BPE_RULE_VALUES}),
+    words AS (
+      SELECT doc_id, w AS word
+      FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+      WHERE LEN(w) > 0
+    ),
+    dwc AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM words GROUP BY doc_id, word
+    ),
+    base AS (
+      SELECT word, 1 AS rule_idx,
+             list_transform(range(1, LEN(word) + 1), i -> word[i]) AS toks
+      FROM (SELECT DISTINCT word FROM words)
+    ),
+    enc AS (
+      SELECT word, rule_idx, toks FROM base
+      UNION ALL
+      SELECT word,
+             CASE WHEN p IS NULL THEN rule_idx + 1 ELSE rule_idx END,
+             CASE WHEN p IS NULL THEN toks
+                  ELSE toks[1:p-1] || [toks[p] || toks[p+1]] || toks[p+2:]
+             END
+      FROM (
+        SELECT e.word, e.rule_idx, e.toks,
+               list_filter(range(1, len(e.toks)),
+                           i -> e.toks[i] = r.pa AND e.toks[i+1] = r.pb)[1] AS p
+        FROM enc e JOIN rules r ON r.rule_idx = e.rule_idx
+      )
+    ),
+    wl AS (
+      SELECT word, CAST(LEN(toks) AS BIGINT) AS tok_len
+      FROM enc WHERE rule_idx = {len(_BPE_MERGES) + 1}
+    ),
+    sized AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(SUM(dwc.n_occ * wl.tok_len), 0) AS BIGINT) AS n_tokens
+      FROM documents d
+      LEFT JOIN dwc ON dwc.doc_id = d.doc_id
+      LEFT JOIN wl ON wl.word = dwc.word
+      GROUP BY d.doc_id
+    ),
+    nb AS (
+      SELECT CAST(GREATEST(8, (SUM(n_tokens) + 1048575) // 1048576) AS BIGINT) AS n
+      FROM sized
+    ),
+    bucketed AS (
+      SELECT doc_id, n_tokens,
+             CAST(CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % (SELECT n FROM nb) AS BIGINT) AS bucket
+      FROM sized
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens, bucket,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY n_tokens DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+      FROM bucketed
+    )
+    SELECT doc_id, bucket,
+           CAST(tokens_before // 2048 AS BIGINT) AS pack_in_bucket,
+           n_tokens
+    FROM packed
+"""
+
+
+def text_pack_bpe_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing on real learned-BPE encoded lengths — see the
+    block above. Same output shape as text_pack_sequences
+    (doc_id, bucket, pack_in_bucket, n_tokens), n_tokens now the
+    merge-table encoding's length."""
+    from mysql2psql_spark.operators.text import pack_sized
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    dwc = words.groupBy("doc_id", "word").agg(
+        F.count("*").cast("bigint").alias("n_occ")
+    )
+    toks_expr = "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    for pa, pb in _BPE_MERGES:
+        toks_expr = _bpe_fold_expr(toks_expr, pa, pb)
+    n_slots = spark.sparkContext.defaultParallelism
+    # vocab-sized encode-length table; size() over the fused folds (no
+    # Generate — the fertility idiom), repartition spreads the
+    # CPU-bound folds across cores
+    wl = (
+        words.select("word")
+        .distinct()
+        .repartition(n_slots, "word")
+        .select("word", F.size(F.expr(toks_expr)).cast("bigint").alias("tok_len"))
+    )
+    doc_tokens = (
+        dwc.join(wl, "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n_occ") * F.col("tok_len")).cast("bigint").alias("n_tokens"))
+    )
+    sized = (
+        d.select("doc_id")
+        .join(doc_tokens, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        )
+    )
+    return pack_sized(
+        sized, capacity=2048, tokens_per_bucket=1_048_576, min_buckets=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r18 registration per the window budget): EMBEDDING-FREE
+# QUALITY SCORING end-to-end (VERDICT r16 #4) — the CCNet/DCLM-style
+# per-document quality pipeline as ONE registered query. The surface
+# had every signal (length gate, stopword ratio, lexical diversity,
+# duplicate-span repetition, unigram-LM surprisal) as separate queries;
+# this combines them into a per-document score with a bucket
+# assignment, and the sibling below composes the buckets into the
+# budget-capped sampler — closing the last corpus-prep stage of a
+# production pretraining pipeline (score -> bucket -> sample).
+#
+# Every signal is micro-quantized (ROUND(ratio * 1e6) AS BIGINT — the
+# sqrt_tokens_micro discipline) and the combination uses DETERMINISTIC
+# integer weights, so the score is integer-exact across engines:
+#   score_micro = 250000 * length_gate        (len>=50 AND tokens>=10)
+#               + div_micro div 2             (lexical diversity)
+#               + stop_micro * 2              (stopwordy = natural text)
+#               - dup_micro div 2             (repetition penalty)
+#               - |nll_micro - 3500000| div 4 (mid-surprisal preference:
+#                 gibberish scores high-NLL, boilerplate low-NLL; the
+#                 3.5 reference is a fixed constant, NOT a corpus stat,
+#                 so the score of a document never depends on other
+#                 documents except through the corpus tf table)
+# Buckets: high >= 450000, mid >= 250000, else low (all three
+# non-degenerate at sf0.001/0.01/0.1: 43/220/237, 48/231/221,
+# 64/496/4440).
+#
+# Scale shape: three corpus scans (base signals; shingle repetition;
+# token surprisal) — the documented text-composition class; the join
+# spine is doc_id-keyed aggregates only, the tf/shingle-df side tables
+# are vocabulary-sized, and there is no window over the corpus.
+# ---------------------------------------------------------------------------
+_QSCORE_CTES = f"""
+    toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+    tf AS (SELECT w, COUNT(*) AS tf FROM toks GROUP BY w),
+    tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS t FROM tf),
+    srp AS (
+      SELECT doc_id,
+             CAST(ROUND((COUNT(*) * LN((SELECT t FROM tot))
+                         - SUM(LN(CAST(tf AS DOUBLE)))) / COUNT(*) * 1000000)
+               AS BIGINT) AS nll_micro
+      FROM toks JOIN tf USING (w) GROUP BY doc_id
+    ),
+    shq AS ({_SHINGLE_SQL}),
+    shex AS (SELECT doc_id, UNNEST(sg) AS s FROM shq),
+    dfreq AS (SELECT s, COUNT(*) AS df FROM shex GROUP BY s),
+    dup AS (
+      SELECT shex.doc_id,
+             CAST(ROUND(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000000.0
+                        / COUNT(*)) AS BIGINT) AS dup_micro
+      FROM shex JOIN dfreq USING (s) GROUP BY shex.doc_id
+    ),
+    qbase AS (
+      SELECT doc_id, lang,
+        CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                        w -> w IN ({_STOP_SQL}))) AS DOUBLE)
+                   / LEN(STRING_SPLIT(text, ' ')) * 1000000) AS BIGINT) AS stop_micro,
+        CAST(ROUND(CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                   / LEN(STRING_SPLIT(text, ' ')) * 1000000) AS BIGINT) AS div_micro,
+        (LENGTH(text) >= 50 AND LEN(STRING_SPLIT(text, ' ')) >= 10) AS length_gate
+      FROM documents
+    ),
+    scored AS (
+      SELECT b.doc_id, b.lang, b.n_tokens, b.stop_micro, b.div_micro,
+             CAST(COALESCE(d.dup_micro, 0) AS BIGINT) AS dup_micro,
+             s.nll_micro,
+             CAST((CASE WHEN b.length_gate THEN 250000 ELSE 0 END)
+                  + b.div_micro // 2
+                  + b.stop_micro * 2
+                  - COALESCE(d.dup_micro, 0) // 2
+                  - ABS(s.nll_micro - 3500000) // 4 AS BIGINT) AS score_micro
+      FROM qbase b
+      LEFT JOIN dup d USING (doc_id)
+      JOIN srp s USING (doc_id)
+    )
+"""
+
+_ORACLE_QUALITY_SCORE = f"""
+    WITH {_QSCORE_CTES}
+    SELECT doc_id, lang, n_tokens, stop_micro, div_micro, dup_micro,
+           nll_micro, score_micro,
+           CASE WHEN score_micro >= 450000 THEN 'high'
+                WHEN score_micro >= 250000 THEN 'mid'
+                ELSE 'low' END AS bucket
+    FROM scored
+"""
+
+
+def _quality_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals + combined score — the shared core
+    of text_quality_score and text_quality_budget_sample (block above)."""
+    from mysql2psql_spark.operators.text import (
+        en_stopword_ratio,
+        quality_score,
+        shingle_hash_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    micro = lambda c: F.round(c * 1000000).cast("bigint")  # noqa: E731
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        micro(en_stopword_ratio(F.col("text"))).alias("stop_micro"),
+        micro(quality_score(F.col("text"))).alias("div_micro"),
+        ((F.length("text") >= 50) & (F.size(F.split(F.col("text"), " ")) >= 10)).alias(
+            "length_gate"
+        ),
+    )
+    shex = shingle_hash_table(d)
+    dfreq = shex.groupBy("sh").agg(F.count("*").alias("df"))
+    dup = (
+        shex.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)) * F.lit(1000000.0)
+                / F.count("*")
+            )
+            .cast("bigint")
+            .alias("dup_micro")
+        )
+    )
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    tf = toks.groupBy("w").agg(F.count("*").alias("tf"))
+    tot = tf.agg(F.sum("tf").cast("double").alias("t"))
+    srp = (
+        toks.join(tf, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.log(F.col("tf").cast("double"))).alias("sum_ln_tf"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                (F.col("n") * F.log(F.col("t")) - F.col("sum_ln_tf"))
+                / F.col("n")
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+    )
+    signals = (
+        base.join(dup, "doc_id", "left")
+        .join(srp, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "stop_micro",
+            "div_micro",
+            F.coalesce(F.col("dup_micro"), F.lit(0)).cast("bigint").alias("dup_micro"),
+            "nll_micro",
+            "length_gate",
+        )
+    )
+    # integer-exact combination: every term is a bigint (div = integer
+    # floor division on non-negative operands, matching the oracle's //)
+    score = (
+        F.when(F.col("length_gate"), 250000).otherwise(0)
+        + F.expr("div_micro div 2")
+        + F.col("stop_micro") * 2
+        - F.expr("dup_micro div 2")
+        - F.expr("abs(nll_micro - 3500000) div 4")
+    ).cast("bigint")
+    return signals.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "stop_micro",
+        "div_micro",
+        "dup_micro",
+        "nll_micro",
+        score.alias("score_micro"),
+        F.when(score >= 450000, "high")
+        .when(score >= 250000, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document combined quality score + bucket — see the block
+    above. Every component signal rides along so the driver hash pins
+    the whole decomposition, not just the verdict."""
+    return _quality_scored(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r18 registration per the window budget): the quality scorer
+# COMPOSED into the budget draw (VERDICT r16 #4, second half) — the
+# sampler consumes the bucket assignment: per-language budget-capped
+# deterministic draw (md5(doc_id) order, exact running token sum —
+# text_budget_sample's discipline via operators/text.py::
+# budget_capped_sample's two-phase hex-prefix shape) restricted to
+# bucket='high' documents. This is the score -> bucket -> sample chain
+# every production corpus-prep pipeline ends with; the draw is a pure
+# function of (doc_id, score thresholds, budget), reproducible across
+# engines and layouts, and output stays budget-bounded per language at
+# any corpus size. The budget is 150 tokens — sized so the cap BINDS on
+# the fixtures (high-bucket pools run 46-631 tokens/lang across the
+# three SFs: several languages are cut mid-pool at every SF, exercising
+# the <=-inclusive running-sum edge, while the smallest pools pass
+# uncut — both branches of the draw live in the driver hash).
+# ---------------------------------------------------------------------------
+_QUALITY_BUDGET_TOKENS = 150
+
+_ORACLE_QUALITY_BUDGET = f"""
+    WITH {_QSCORE_CTES},
+    hi AS (
+      SELECT doc_id, lang, n_tokens, score_micro,
+             MD5(CAST(doc_id AS VARCHAR)) AS dk
+      FROM scored WHERE score_micro >= 450000
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens, score_micro,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY dk, doc_id) AS cum
+      FROM hi
+    )
+    SELECT doc_id, lang, n_tokens, score_micro,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum <= {_QUALITY_BUDGET_TOKENS}
+"""
+
+
+def text_quality_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language budget-capped draw over bucket='high' documents —
+    see the block above."""
+    from mysql2psql_spark.operators.text import budget_capped_sample
+
+    hi = (
+        _quality_scored(spark, sf_dir)
+        .filter(F.col("bucket") == "high")
+        .select("doc_id", "lang", "n_tokens", "score_micro")
+    )
+    out = budget_capped_sample(
+        hi, "lang", "n_tokens", "doc_id", _QUALITY_BUDGET_TOKENS, out_col="cum_tokens"
+    )
+    return out.select("doc_id", "lang", "n_tokens", "score_micro", "cum_tokens")

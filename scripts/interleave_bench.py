@@ -182,6 +182,18 @@ FLOORS = {
     # gate-audit class over the family's most expensive operator);
     # control text_unigram_surprisal 0.299 AT floor in the same reps
     "stream_langid_summary": 8.238,
+    # r17 session: first medians for the QUEUED r18 operators (5-rep
+    # same-session interleave, loadavg 3-5.6, control
+    # text_unigram_surprisal 0.509 = 1.57x its floor — loaded-session
+    # band; reps in each query's verification record). pack_bpe and
+    # quality_score floors are NOOP-WRITE medians (rule 15b at queue
+    # time: their count plans prune to 1/3 and 4/6 scans via left-join
+    # elimination — doc-length arm resp. shingle arm); they join
+    # NOOP_QUERIES + bench noop_always when their decorators flip.
+    # budget_sample's count plan is clean (12/12 scans), counted floor.
+    "text_pack_bpe_sequences": 1.459,
+    "text_quality_score": 1.849,
+    "text_quality_budget_sample": 2.670,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),

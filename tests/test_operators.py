@@ -3814,3 +3814,207 @@ def test_bpe_vocab_drift_matches_oracle_and_directions(spark, duck, tmp_path):
     assert (skew.status == "only_a").any() and (skew.status == "only_b").any()
     only_a = skew[skew.status == "only_a"]
     assert only_a.rank_b.isna().all() and only_a.pair_count_b.isna().all()
+
+
+# --- BPE-aware sequence packing (QUEUED r18) --------------------------------
+
+
+def test_pack_bpe_sequences_matches_oracle_and_reconciles(spark, duck):
+    """Full DuckDB differential for the queued text_pack_bpe_sequences
+    at sf0.01, plus the chain reconciliation: the packed corpus's total
+    token count must equal text_bpe_encode's total occurrence count
+    (same merge table, same corpus — the tokenizer and the packer must
+    agree on what a token is), every document packs exactly once, and
+    pack_in_bucket is the capacity-2048 floor of the within-bucket
+    running sum."""
+    import pandas as pd
+
+    from mysql2psql_spark.queries.text_q import (
+        _ORACLE_PACK_BPE,
+        text_bpe_encode,
+        text_pack_bpe_sequences,
+    )
+
+    got = text_pack_bpe_sequences(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_PACK_BPE).df()
+    key = ["doc_id"]
+    g = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    w = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+
+    n_docs = duck.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert len(g) == n_docs and g.doc_id.is_unique
+
+    enc = text_bpe_encode(spark, SF_DIR_ORACLE).toPandas()
+    assert int(g.n_tokens.sum()) == int(enc.n_occurrences.sum())
+
+    # pack arithmetic: within each bucket, the running sum in
+    # (n_tokens DESC, doc_id) order reproduces pack_in_bucket
+    for _, grp in g.sort_values(
+        ["n_tokens", "doc_id"], ascending=[False, True]
+    ).groupby("bucket"):
+        before = grp.n_tokens.cumsum() - grp.n_tokens
+        assert (grp.pack_in_bucket == before // 2048).all()
+
+
+def test_pack_bpe_sequences_planted_direction(spark, tmp_path):
+    """Packing direction on a planted corpus: merge-covered words pack
+    at their ENCODED lengths (\"the\" is 1 token under the pinned table,
+    not 3 whitespace-proxy chars), unmergeable words at their character
+    counts, and a document whose split yields only empty strings packs
+    with n_tokens=0 (parity with the proxy pack, which sizes every
+    doc)."""
+    rows = [
+        (1, "en", "the the the"),   # 'the' encodes to 1 token -> 3
+        (2, "en", "qq"),            # no rule matches 'qq' -> 2 chars
+        (3, "en", ""),              # split -> [''] filtered -> 0 tokens
+        (4, "en", "ing and"),       # 'ing' -> 1, 'and' -> 1 -> 2
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, lang string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from mysql2psql_spark.queries.text_q import text_pack_bpe_sequences
+
+    got = {
+        r["doc_id"]: r for r in text_pack_bpe_sequences(spark, str(tmp_path)).collect()
+    }
+    assert got[1]["n_tokens"] == 3
+    assert got[2]["n_tokens"] == 2
+    assert got[3]["n_tokens"] == 0
+    assert got[4]["n_tokens"] == 2
+    # tiny corpus: bucket count floors at min_buckets=8; every doc is
+    # pack 0 of its bucket (nothing exceeds capacity 2048)
+    assert all(r["pack_in_bucket"] == 0 for r in got.values())
+
+
+# --- embedding-free quality scoring (QUEUED r18) ----------------------------
+
+
+def test_quality_score_matches_oracle_and_marginals(spark, duck):
+    """Full DuckDB differential for the queued text_quality_score at
+    sf0.01, plus marginal consistency against the component queries it
+    composes: stop/div micro-signals equal text_quality's 6dp ratios,
+    nll_micro equals text_unigram_surprisal's 6dp mean_nll, dup_micro
+    equals text_duplicate_spans' 6dp dup_frac (0 where that query has
+    no row), and the bucket thresholds partition exactly."""
+    import pandas as pd
+
+    from mysql2psql_spark.queries.text_q import (
+        _ORACLE_QUALITY_SCORE,
+        text_duplicate_spans,
+        text_quality,
+        text_quality_score,
+        text_unigram_surprisal,
+    )
+
+    got = text_quality_score(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_QUALITY_SCORE).df()
+    key = ["doc_id"]
+    g = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    w = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+
+    q = text_quality(spark, SF_DIR_ORACLE).toPandas().set_index("doc_id")
+    gi = g.set_index("doc_id")
+    stop_want = (q.stopword_ratio * 1_000_000).round().astype("int64").reindex(gi.index)
+    div_want = (
+        (q.lexical_diversity * 1_000_000).round().astype("int64").reindex(gi.index)
+    )
+    assert (gi.stop_micro == stop_want).all()
+    assert (gi.div_micro == div_want).all()
+
+    srp = text_unigram_surprisal(spark, SF_DIR_ORACLE).toPandas().set_index("doc_id")
+    nll_want = (srp.mean_nll * 1_000_000).round().astype("int64").reindex(gi.index)
+    assert (gi.nll_micro == nll_want).all()
+
+    spans = text_duplicate_spans(spark, SF_DIR_ORACLE).toPandas().set_index("doc_id")
+    dup_want = (
+        (spans.dup_frac * 1_000_000).round().astype("int64").reindex(gi.index).fillna(0)
+    )
+    assert (gi.dup_micro == dup_want).all()
+
+    assert ((gi.bucket == "high") == (gi.score_micro >= 450_000)).all()
+    assert (
+        (gi.bucket == "mid")
+        == ((gi.score_micro >= 250_000) & (gi.score_micro < 450_000))
+    ).all()
+    assert set(gi.bucket.unique()) == {"high", "mid", "low"}
+
+
+def test_quality_score_planted_direction(spark, tmp_path):
+    """Scoring direction on a planted corpus: a stopword-rich diverse
+    document outscores a gibberish one (zero stopwords, extreme
+    surprisal) and a fully-repetitive one (dup penalty + diversity
+    collapse) — the separation the filter exists for."""
+    natural = "the quick brown fox and the lazy dog walk in a park of green trees"
+    gibberish = "zxqv wqpt lkjh mnbv qwer asdf poiu ytre vcxz hgfd"
+    # 20 copies of one trigram: every shingle duplicates ACROSS the two
+    # copy-docs, diversity collapses to 3/60
+    repeat = " ".join(["aa bb cc"] * 20)
+    rows = [
+        (1, "en", natural),
+        (2, "xx", gibberish),
+        (3, "en", repeat),
+        (4, "en", repeat),  # twin so the shingle df>=2 penalty fires
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, lang string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from mysql2psql_spark.queries.text_q import text_quality_score
+
+    got = {r["doc_id"]: r for r in text_quality_score(spark, str(tmp_path)).collect()}
+    assert got[1]["score_micro"] > got[2]["score_micro"]
+    assert got[1]["score_micro"] > got[3]["score_micro"]
+    assert got[3]["dup_micro"] == 1_000_000 and got[4]["dup_micro"] == 1_000_000
+    assert got[2]["dup_micro"] == 0 and got[2]["stop_micro"] == 0
+
+
+def test_quality_budget_sample_matches_oracle_and_bounds(spark, duck):
+    """Full DuckDB differential for the queued text_quality_budget_sample
+    at sf0.01, plus the composition invariants: drawn rows are exactly
+    a prefix (in md5 draw order) of the scorer's high bucket, every
+    language's running sum respects the 150-token budget inclusively,
+    and the cap BINDS for at least one language (the draw is a real
+    subset, not the whole pool)."""
+    import hashlib
+
+    import pandas as pd
+
+    from mysql2psql_spark.queries.text_q import (
+        _ORACLE_QUALITY_BUDGET,
+        _QUALITY_BUDGET_TOKENS,
+        text_quality_budget_sample,
+        text_quality_score,
+    )
+
+    got = text_quality_budget_sample(spark, SF_DIR_ORACLE).toPandas()
+    schema = SF_DIR_ORACLE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    duck.execute(f"USE {schema}")
+    want = duck.execute(_ORACLE_QUALITY_BUDGET).df()
+    key = ["doc_id"]
+    g = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    w = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+
+    scored = text_quality_score(spark, SF_DIR_ORACLE).toPandas()
+    hi = scored[scored.bucket == "high"]
+    assert set(g.doc_id).issubset(set(hi.doc_id))
+    assert (g.groupby("lang").cum_tokens.max() <= _QUALITY_BUDGET_TOKENS).all()
+    assert len(g) < len(hi), "budget cap never bound — weak fixture"
+
+    # prefix property: per lang, the drawn set is exactly the maximal
+    # md5-ordered prefix whose running sum fits the budget
+    hi = hi.assign(
+        dk=hi.doc_id.map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    )
+    for lang, pool in hi.groupby("lang"):
+        pool = pool.sort_values(["dk", "doc_id"])
+        cum = pool.n_tokens.cumsum()
+        want_ids = set(pool.doc_id[cum <= _QUALITY_BUDGET_TOKENS])
+        assert set(g[g.lang == lang].doc_id) == want_ids, lang
