@@ -496,6 +496,63 @@ def langid_profiles(
     )
 
 
+# (applicationId, documents path, mtime, k) -> artifact dir. The mtime
+# key is the schema-cache discipline (sources/parquet.py): a rewritten
+# fixture (probe/test overwrite pattern) re-trains; a non-statable path
+# skips the registry and re-trains every call.
+_PROFILE_ARTIFACTS: dict[tuple, str] = {}
+
+
+def langid_profile_artifact(
+    spark, sf_dir: str, k: int = 40
+) -> tuple[DataFrame, DataFrame]:
+    """Write-once-per-session FROZEN language-ID profile artifact:
+    (profiles, langs) as tiny parquet files under session_scratch,
+    trained on first touch and re-read (languages x k rows) by every
+    later consumer in the session — the ensure_bucketed_table
+    discipline applied to a trained model artifact. At 100 TB this IS
+    the deployment shape: profiles are an offline training product
+    maintained beside the corpus, not a per-query derivation; the
+    streaming gate's frozen-profiles contract says exactly this.
+
+    Adopted for the STREAMING GATE only (r17 A/B, sf0.1 interleaved
+    5-rep medians): the gate re-trained + persisted profiles per
+    invocation — artifact 7.543 vs inline 7.790-8.449 s. The batch
+    langid queries KEEP their recompute layout: for them the training
+    subtree fuses into the classification plan and the artifact read
+    measured neutral-to-slower (ngram 3.20 artifact vs 3.11 inline —
+    the r15/r16 persist-vs-recompute adjudications, reconfirmed)."""
+    import os
+
+    from mysql2psql_spark.operators.layout import session_scratch
+    from mysql2psql_spark.sources.parquet import _path_mtime, load_table
+
+    doc_path = os.path.realpath(f"{sf_dir}/documents.parquet")
+    try:
+        mtime = _path_mtime(doc_path)
+    except OSError:
+        mtime = None
+    key = (spark.sparkContext.applicationId, doc_path, mtime, k)
+    art = _PROFILE_ARTIFACTS.get(key) if mtime is not None else None
+    if art is None:
+        d = load_table(spark, sf_dir, "documents")
+        grams = char_ngram_table(d, extra_cols=("lang",))
+        import hashlib
+
+        tag = hashlib.md5(repr(key).encode()).hexdigest()[:12]
+        art = os.path.join(session_scratch(spark), f"langid_profiles_{tag}")
+        langid_profiles(grams, k=k).write.mode("overwrite").parquet(
+            f"{art}/profiles"
+        )
+        d.select("lang").distinct().write.mode("overwrite").parquet(f"{art}/langs")
+        if mtime is not None:
+            _PROFILE_ARTIFACTS[key] = art
+    return (
+        spark.read.parquet(f"{art}/profiles"),
+        spark.read.parquet(f"{art}/langs"),
+    )
+
+
 def langid_classify(
     doc_grams: DataFrame,
     profiles: DataFrame,

@@ -2909,7 +2909,7 @@ def stream_langid_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql2psql_spark.operators.text import (
         char_ngram_table,
         langid_classify,
-        langid_profiles,
+        langid_profile_artifact,
     )
     from mysql2psql_spark.streaming.docs import (
         langid_counts_foreach_batch,
@@ -2917,9 +2917,12 @@ def stream_langid_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    grams_full = char_ngram_table(d, extra_cols=("lang",))
-    profiles = langid_profiles(grams_full, k=_LANGID_K)
-    langs = d.select("lang").distinct()
+    # frozen profiles from the write-once session artifact (r17 A/B:
+    # 7.543 vs 8.449 s — the gate paid a per-invocation re-train +
+    # persist of what the contract itself calls an OFFLINE artifact;
+    # see operators/text.py::langid_profile_artifact). The batch
+    # queries keep their recompute layout (negative A/B, same record).
+    profiles, langs = langid_profile_artifact(spark, sf_dir, k=_LANGID_K)
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     out_dir = os.path.join(session_scratch(spark), f"stream_langid_{sf_tag}")
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -2936,7 +2939,7 @@ def stream_langid_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         gate(d.filter(F.col("doc_id") % 2 == 1), 1)
         batch = (
             langid_classify(
-                grams_full.select("doc_id", "gram"),
+                char_ngram_table(d).select("doc_id", "gram"),
                 profiles,
                 k=_LANGID_K,
                 langs=langs,

