@@ -139,6 +139,14 @@ AUDITED = [
     "events_ks_drift",
     "stream_ks_summary",
     "stream_cdc_apply_summary",
+    # round-17 registrations (the seven r16-queued flips)
+    "text_langid_mixture_audit",
+    "text_bpe_encode",
+    "text_bpe_fertility",
+    "text_bpe_learn",
+    "text_langid_confusion",
+    "text_bpe_vocab_drift",
+    "stream_langid_summary",
 ]
 
 
