@@ -1302,3 +1302,73 @@ def ivf_scored_candidates(
     return cosine_pairs_df(pairs, extra_cols=("probe_rank",)).select(
         F.col("id_a").alias(id_col), "probe_rank", "cos_sim"
     )
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate mutual-kNN graph over IVF coarse clusters — the
+    neighborhood-graph construction step that SemDeDup-style cluster
+    pruning, graph-based ANN serving, and density-aware sampling all
+    start from. For each vector: its top-``k`` within-cluster
+    neighbors by rounded cosine (ties: neighbor id ascending), with a
+    ``mutual`` flag marking edges whose reverse edge also survived the
+    top-k cut (mutual-kNN is the symmetric backbone most downstream
+    clustering keeps). Returns (src, dst, cos_sim, rank, mutual).
+
+    Scale shape: the compare runs per CLUSTER, never across the corpus
+    (the `semantic_dedup` candidate discipline — one cluster-keyed
+    exchange both self-join sides reuse via the shared materialize);
+    the per-source top-k window partitions by src inside a cluster, so
+    no global ordering exists anywhere; the mutuality check is a
+    self-join of two n*k-sized edge frames on the (src, dst) key.
+    At 100 TB, n_centroids grows ~sqrt(N) to bound cluster sizes, and
+    the edge frame stays linear in the corpus (n*k rows)."""
+    from pyspark.sql import Window
+
+    from mysql2psql_spark.operators.materialize import materialize as _materialize
+
+    seeds = collect_seeds(emb, n_centroids, id_col, vec_col)
+    clustered = _materialize(
+        ivf_assign(emb, seeds, id_col, vec_col).join(
+            emb.select(id_col, vec_col), id_col
+        )
+    )
+    a, b = clustered.alias("a"), clustered.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col(f"a.{vec_col}").alias("v_a"),
+        F.col(f"b.{vec_col}").alias("v_b"),
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), F.asc("id_b"))
+    ranked = (
+        cosine_pairs_df(pairs)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id_a").alias("src"),
+            F.col("id_b").alias("dst"),
+            "cos_sim",
+            "rank",
+        )
+    )
+    edges = _materialize(ranked)
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(True).alias("rev")
+    )
+    return edges.join(rev, ["src", "dst"], "left").select(
+        "src",
+        "dst",
+        "cos_sim",
+        "rank",
+        F.coalesce(F.col("rev"), F.lit(False)).alias("mutual"),
+    )

@@ -1079,3 +1079,67 @@ def sim_ivf_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_new.alias("mean_cos_new"),
         F.round(mean_corpus - mean_new, 6).alias("freshness_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r18 registration per the window budget): approximate
+# mutual-kNN graph construction (operators/embedding.py::knn_graph) —
+# the neighborhood-graph step between the IVF family (which serves
+# per-probe top-k) and the graph family (which analyzes a given edge
+# table): every vector's top-k within-cluster neighbors, with the
+# mutual flag downstream clustering keeps. SemDeDup prunes it,
+# graph-ANN serves from it, density-aware samplers weight by its
+# degree. The oracle restates the identical IVF assignment (the
+# dedup_semantic CTE), the per-cluster candidate self-join, the
+# (cos DESC, dst ASC) row_number cut, and the reverse-edge existence
+# join — approximate-by-construction but DETERMINISTIC, so exactness
+# is a full-value pin, not a recall bound (the recall-vs-exact story
+# is sim_recall_at_k's job).
+#
+# Scale shape: candidate pairs bounded per cluster (never corpus-
+# quadratic), per-src window is cluster-local, mutuality is an
+# edge-keyed join of two n*k frames. The one exchange both self-join
+# sides share is the materialized cluster-keyed assignment (the
+# semantic_dedup discipline).
+# ---------------------------------------------------------------------------
+_KNN_GRAPH_K = 4
+
+_ORACLE_KNN_GRAPH = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 16),
+    assign AS (
+      SELECT e.vec_id, e.v, s.sid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(LIST_COSINE_SIMILARITY(e.v, s.sv), 6) DESC, s.sid
+             ) AS rn
+      FROM e CROSS JOIN seeds s
+    ),
+    clus AS (SELECT vec_id, v, sid FROM assign WHERE rn = 1),
+    cand AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 6) AS cos_sim
+      FROM clus a JOIN clus b ON a.sid = b.sid AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst, cos_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY src ORDER BY cos_sim DESC, dst
+             ) AS BIGINT) AS rank
+      FROM cand
+    ),
+    topk AS (SELECT * FROM ranked WHERE rank <= {_KNN_GRAPH_K})
+    SELECT t.src, t.dst, t.cos_sim, t.rank,
+           (r.src IS NOT NULL) AS mutual
+    FROM topk t
+    LEFT JOIN topk r ON r.src = t.dst AND r.dst = t.src
+"""
+
+
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed mutual-kNN graph over the embedding corpus — see
+    the block above."""
+    from mysql2psql_spark.operators.embedding import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_graph(emb, k=_KNN_GRAPH_K, n_centroids=16)

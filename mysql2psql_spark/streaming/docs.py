@@ -212,3 +212,80 @@ def read_langid_summary(spark: SparkSession, out_dir: str) -> DataFrame:
     return parts.groupBy("lang_pred").agg(
         F.sum("n_docs").cast("bigint").alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming quality gate: the production deployment shape of
+# text_quality_score — the corpus side tables (unigram tf + total,
+# shingle document frequencies) are TRAINED OFFLINE (frozen,
+# vocabulary-sized) and arriving documents are scored and bucketed per
+# micro-batch; each trigger writes its (bucket, n_docs,
+# sum_score_micro) partial batch_id-versioned under the shared lineage
+# guard (the drift/KS/CDC/langid discipline). Scoring is PER-DOCUMENT
+# PURE given the frozen tables (quality_signals_frozen: every join
+# reads only the frozen side state; out-of-corpus tokens fall back to
+# tf=1, shingles to df=1 — deterministic, no corpus feedback), so
+# per-batch count/sum partials are associative and the compacted
+# summary equals the one-shot batch scoring for ANY micro-batch
+# partitioning. Per-trigger cost: one batch-sized signal pipeline
+# against the frozen tables; streaming state ZERO.
+# ---------------------------------------------------------------------------
+def quality_counts_foreach_batch(
+    tf: DataFrame,
+    tot: DataFrame,
+    dfreq: DataFrame,
+    out_dir: str,
+    lineage: str | None = None,
+    caches=None,
+):
+    """Return a foreachBatch function scoring each micro-batch of
+    documents against the FROZEN (tf, tot, dfreq) quality tables and
+    writing the per-batch (bucket, n_docs, sum_score_micro) partial to
+    ``{out_dir}/batch=<id>``. The tables are materialized at gate
+    construction and their release registered on ``caches`` (the
+    CacheHandle convention — REQUIRED, the langid-gate rule): without
+    the persist each trigger would re-run the corpus-sized tf/df
+    TRAINING pipelines, and a training re-run mid-stream would violate
+    the frozen contract the associativity argument rests on."""
+    from mysql2psql_spark.operators.materialize import materialize
+    from mysql2psql_spark.operators.text import quality_signals_frozen
+    from mysql2psql_spark.streaming.events import _guard_versioned_out_dir
+
+    if caches is None:
+        raise ValueError(
+            "quality_counts_foreach_batch requires a CacheHandle (caches=): "
+            "the gate persists the frozen quality tables at construction "
+            "and the caller must own their release"
+        )
+    tf = materialize(tf)
+    tot = materialize(tot)
+    dfreq = materialize(dfreq)
+    caches.append(tf)
+    caches.append(tot)
+    caches.append(dfreq)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        _guard_versioned_out_dir(
+            batch_df.sparkSession, out_dir, lineage, batch_id, gate="quality gate"
+        )
+        scored = quality_signals_frozen(batch_df, tf, tot, dfreq)
+        part = scored.groupBy("bucket").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("score_micro").cast("bigint").alias("sum_score_micro"),
+        )
+        part.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    return apply
+
+
+def read_quality_summary(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-bucket document counts + score mass over everything the gate
+    has seen: sum the per-batch partials (associative — count and sum
+    both) — identical to the one-shot batch scoring aggregated by
+    bucket. The same roll-up-compaction contract as the other gates."""
+    schema = "bucket string, n_docs bigint, sum_score_micro bigint"
+    parts = spark.read.schema(schema).parquet(f"{out_dir}/batch=*")
+    return parts.groupBy("bucket").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("sum_score_micro").cast("bigint").alias("sum_score_micro"),
+    )

@@ -199,6 +199,8 @@ FLOORS = {
     "text_pack_bpe_sequences": 1.459,
     "text_quality_score": 1.849,
     "text_quality_budget_sample": 2.670,
+    "sim_knn_graph": 2.581,
+    "stream_quality_summary": 3.091,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),

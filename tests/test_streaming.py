@@ -957,3 +957,124 @@ def test_langid_gate_stream_matches_batch_and_guarded(spark, tmp_path):
     # session-lifetime executor cache — refused loudly at construction.
     with pytest.raises(ValueError, match="requires a CacheHandle"):
         langid_counts_foreach_batch(profiles, langs, out_dir, lineage="x", k=10)
+
+
+def test_quality_gate_stream_matches_batch_and_guarded(spark, tmp_path):
+    """The streaming quality gate (streaming/docs.py::
+    quality_counts_foreach_batch) must produce, compacted across a real
+    two-trigger readStream, EXACTLY the one-shot batch scoring
+    aggregated by bucket — count AND score mass: scoring is
+    per-document pure given the FROZEN (tf, tot, dfreq) tables, so
+    per-batch (count, sum) partials are associative over any
+    micro-batch partitioning. Also pins replayed-trigger idempotence,
+    foreign-lineage refusal, and the handle-required rule."""
+    import glob
+
+    import pandas as pd
+
+    from mysql2psql_spark.operators.materialize import CacheHandle
+    from mysql2psql_spark.operators.text import (
+        quality_signals_frozen,
+        quality_stats_tables,
+    )
+    from mysql2psql_spark.streaming.docs import (
+        quality_counts_foreach_batch,
+        read_quality_summary,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    tf, tot, dfreq = quality_stats_tables(d)
+
+    # two parquet files -> two triggers
+    src = str(tmp_path / "docs_src")
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    out_dir = str(tmp_path / "quality_out")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with CacheHandle() as caches:
+        gate = quality_counts_foreach_batch(
+            tf, tot, dfreq, out_dir, lineage="ckpt-quality", caches=caches
+        )
+        q = stream.writeStream.foreachBatch(gate).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert len(glob.glob(f"{out_dir}/batch=*")) == 2
+        got = read_quality_summary(spark, out_dir).toPandas()
+        f_tf, f_tot, f_dfreq = caches.frames[:3]
+        want = (
+            quality_signals_frozen(d, f_tf, f_tot, f_dfreq)
+            .groupBy("bucket")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("score_micro").cast("bigint").alias("sum_score_micro"),
+            )
+            .toPandas()
+        )
+        key = ["bucket"]
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True),
+            want.sort_values(key).reset_index(drop=True),
+            check_dtype=False,
+            check_exact=True,
+        )
+        assert got.n_docs.sum() == d.count()
+
+        # replayed trigger: same-lineage batch-0 re-delivery keeps the
+        # summary unchanged (idempotent overwrite under the marker)
+        b0 = d.filter(F.col("doc_id") % 2 == 0)
+        gate(b0, 0)
+        again = read_quality_summary(spark, out_dir).toPandas()
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True),
+            again.sort_values(key).reset_index(drop=True),
+            check_exact=True,
+        )
+
+        # foreign lineage: refused on the marker
+        foreign = quality_counts_foreach_batch(
+            tf, tot, dfreq, out_dir, lineage="ckpt-other", caches=caches
+        )
+        with pytest.raises(RuntimeError, match="belongs to lineage 'ckpt-quality'"):
+            foreign(b0, 0)
+
+    # handle-less construction would leak session-lifetime executor
+    # cache — refused loudly at construction (the langid-gate rule).
+    with pytest.raises(ValueError, match="requires a CacheHandle"):
+        quality_counts_foreach_batch(tf, tot, dfreq, out_dir, lineage="x")
+
+
+def test_quality_gate_out_of_corpus_fallbacks(spark, tmp_path):
+    """Documents arriving with tokens/shingles the frozen tables have
+    never seen must score deterministically under the documented
+    fallbacks (tf=1 -> maximal surprisal, df=1 -> not duplicated), not
+    error or skew: the gate classifies them; nothing is dropped."""
+    from mysql2psql_spark.operators.materialize import CacheHandle
+    from mysql2psql_spark.operators.text import quality_stats_tables
+    from mysql2psql_spark.streaming.docs import (
+        quality_counts_foreach_batch,
+        read_quality_summary,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    tf, tot, dfreq = quality_stats_tables(d)
+    alien = spark.createDataFrame(
+        [
+            (900001, "zzqx glorp wibble frumious bandersnatch " * 5, "xx", "probe", 1),
+            (900002, "zzqx zzqx zzqx zzqx zzqx zzqx zzqx zzqx zzqx zzqx", "xx", "probe", 1),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out_dir = str(tmp_path / "quality_alien")
+    with CacheHandle() as caches:
+        gate = quality_counts_foreach_batch(
+            tf, tot, dfreq, out_dir, lineage="ckpt-alien", caches=caches
+        )
+        gate(alien, 0)
+        got = read_quality_summary(spark, out_dir).toPandas()
+        assert got.n_docs.sum() == 2  # both alien docs classified
