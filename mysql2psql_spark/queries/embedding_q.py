@@ -1143,3 +1143,100 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_graph(emb, k=_KNN_GRAPH_K, n_centroids=16)
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r18 registration per the window budget): SEMANTIC CLUSTER
+# ASSIGNMENT over the mutual-kNN graph — the composition that turns
+# the two building blocks into the SemDeDup-style corpus clustering a
+# curation pipeline actually ships: knn_graph's mutual edges at a
+# cosine floor (tau=0.35 on the near-isotropic fixture; production
+# corpora use ~0.9+) fed through the SAME distributed
+# connected-components operator the dedup family uses
+# (operators/dedup.py::connected_components — driver union-find below
+# the counted 1M-edge gate, min-label propagation above it), cluster
+# id = smallest reachable vec_id, plus the member count downstream
+# budget allocation keys on. Deterministic end-to-end, so the oracle
+# (knn CTEs -> mutual+threshold pairs -> recursive-CTE reachability ->
+# min label, the dedup_clusters idiom) is a full-value pin. Vectors
+# with no qualifying mutual edge are singletons and are OMITTED, like
+# dedup_clusters omits unpaired docs (the downstream contract: absent
+# = keep, clustered = dedup within cluster).
+#
+# Scale shape: edge generation is knn_graph's (cluster-bounded); CC is
+# the documented two-path operator (the mutual+threshold edge count is
+# corpus-RARE like the near-dup graph); the member count is one
+# cluster-keyed agg over the (vec_id, cluster_id) frame. Components of
+# a thresholded mutual-kNN graph have tiny diameter (they are
+# near-cliques), so the distributed path's round count stays bounded.
+# ---------------------------------------------------------------------------
+_SEMCLUSTER_TAU = 0.35
+
+_ORACLE_SEMANTIC_CLUSTERS = f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 16),
+    assign AS (
+      SELECT e.vec_id, e.v, s.sid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(LIST_COSINE_SIMILARITY(e.v, s.sv), 6) DESC, s.sid
+             ) AS rn
+      FROM e CROSS JOIN seeds s
+    ),
+    clus AS (SELECT vec_id, v, sid FROM assign WHERE rn = 1),
+    cand AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 6) AS cos_sim
+      FROM clus a JOIN clus b ON a.sid = b.sid AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst) AS rank
+      FROM cand
+    ),
+    topk AS (SELECT * FROM ranked WHERE rank <= {_KNN_GRAPH_K}),
+    mut AS (
+      SELECT t.src, t.dst FROM topk t
+      JOIN topk r ON r.src = t.dst AND r.dst = t.src
+      WHERE t.src < t.dst AND t.cos_sim >= {_SEMCLUSTER_TAU}
+    ),
+    edges AS (SELECT src, dst FROM mut UNION SELECT dst, src FROM mut),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+      WHERE e2.dst != r.src
+    ),
+    labeled AS (
+      SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    )
+    SELECT l.vec_id, l.cluster_id, n.n_members
+    FROM labeled l
+    JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM labeled GROUP BY cluster_id) n USING (cluster_id)
+"""
+
+
+def sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN connected-component cluster assignment + member
+    counts — see the block above."""
+    from mysql2psql_spark.operators.dedup import connected_components
+    from mysql2psql_spark.operators.embedding import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn_graph(emb, k=_KNN_GRAPH_K, n_centroids=16).filter(
+        F.col("mutual") & (F.col("cos_sim") >= _SEMCLUSTER_TAU) & (F.col("src") < F.col("dst"))
+    )
+    pairs = edges.select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
+    labeled = connected_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    return labeled.join(sizes, "cluster_id").select(
+        "vec_id", "cluster_id", "n_members"
+    )

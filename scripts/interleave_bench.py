@@ -201,6 +201,7 @@ FLOORS = {
     "text_quality_budget_sample": 2.670,
     "sim_knn_graph": 2.581,
     "stream_quality_summary": 3.091,
+    "sim_semantic_clusters": 3.502,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),

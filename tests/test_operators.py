@@ -4191,3 +4191,38 @@ def test_quality_stats_artifact_reuse_invalidation_and_equality(spark, tmp_path)
     os.utime(src)
     tf3, _, _ = T.quality_stats_artifact(spark, str(tmp_path))
     assert "the" not in {r["w"] for r in tf3.collect()}
+
+
+def test_semantic_clusters_planted_components_and_threshold(spark):
+    """sim_semantic_clusters' composition on a planted corpus: two
+    tight triangles (pairwise cos above tau) and one below-threshold
+    pair must yield exactly two 3-member clusters labeled by their min
+    vec_id, with the weak pair and the isolates absent (singleton =
+    keep contract)."""
+    from mysql2psql_spark.operators.dedup import connected_components
+    from mysql2psql_spark.operators.embedding import knn_graph
+    from pyspark.sql import functions as F
+
+    def vec(axis, eps, dim=8):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        v[(axis + 4) % dim] = eps
+        return v
+
+    # seeds 0,1 (cluster A axis 0, cluster B axis 1); triangle A =
+    # {0,2,3}, triangle B = {1,4,5} (eps close -> cos ~0.99); 6 shares
+    # B's IVF cell but sits far away (eps 8 -> cos ~0.12, below tau)
+    rows = [
+        (0, vec(0, 0.00)), (2, vec(0, 0.05)), (3, vec(0, 0.06)),
+        (1, vec(1, 0.00)), (4, vec(1, 0.05)), (5, vec(1, 0.06)),
+        (6, vec(1, 8.00)),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    edges = knn_graph(emb, k=2, n_centroids=2).filter(
+        F.col("mutual") & (F.col("cos_sim") >= 0.35) & (F.col("src") < F.col("dst"))
+    )
+    pairs = edges.select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
+    got = {
+        (r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()
+    }
+    assert got == {(0, 0), (2, 0), (3, 0), (1, 1), (4, 1), (5, 1)}
