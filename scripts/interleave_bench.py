@@ -202,6 +202,9 @@ FLOORS = {
     "sim_knn_graph": 2.581,
     "stream_quality_summary": 3.091,
     "sim_semantic_clusters": 3.502,
+    # noop floor (rule 15b: count plan prunes 26/51 scans) — joins
+    # NOOP_QUERIES at flip
+    "text_corpus_build": 3.477,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),

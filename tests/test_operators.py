@@ -4226,3 +4226,35 @@ def test_semantic_clusters_planted_components_and_threshold(spark):
         (r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()
     }
     assert got == {(0, 0), (2, 0), (3, 0), (1, 1), (4, 1), (5, 1)}
+
+
+def test_corpus_build_handoffs_reconcile(spark):
+    """text_corpus_build must agree stage-by-stage with its member
+    queries: its (doc_id, lang, score_micro, cum_tokens) is EXACTLY
+    text_quality_budget_sample's draw, and each document's
+    n_bpe_tokens equals the standalone BPE length of that document —
+    the composition pins the handoffs, not new semantics."""
+    from mysql2psql_spark.queries.text_q import (
+        _bpe_doc_lengths,
+        text_corpus_build,
+        text_quality_budget_sample,
+    )
+    from mysql2psql_spark.sources import load_table
+
+    built = {r.doc_id: r for r in text_corpus_build(spark, SF_DIR_ORACLE).collect()}
+    drawn = {
+        r.doc_id: r for r in text_quality_budget_sample(spark, SF_DIR_ORACLE).collect()
+    }
+    assert set(built) == set(drawn)
+    for doc_id, b in built.items():
+        d = drawn[doc_id]
+        assert (b.lang, b.score_micro, b.cum_tokens) == (
+            d.lang,
+            d.score_micro,
+            d.cum_tokens,
+        )
+    docs = load_table(spark, SF_DIR_ORACLE, "documents").filter(
+        F.col("doc_id").isin(list(built))
+    )
+    lengths = {r.doc_id: r.n_tokens for r in _bpe_doc_lengths(spark, docs).collect()}
+    assert {k: v.n_bpe_tokens for k, v in built.items()} == lengths
