@@ -1310,6 +1310,7 @@ def knn_graph(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    caches=None,
 ) -> DataFrame:
     """Approximate mutual-kNN graph over IVF coarse clusters — the
     neighborhood-graph construction step that SemDeDup-style cluster
@@ -1327,7 +1328,10 @@ def knn_graph(
     no global ordering exists anywhere; the mutuality check is a
     self-join of two n*k-sized edge frames on the (src, dst) key.
     At 100 TB, n_centroids grows ~sqrt(N) to bound cluster sizes, and
-    the edge frame stays linear in the corpus (n*k rows)."""
+    the edge frame stays linear in the corpus (n*k rows). ``caches``
+    (CacheHandle convention) registers the two persisted frames for
+    caller-controlled release in long-lived sessions; the per-call
+    bench/driver sessions may omit it."""
     from pyspark.sql import Window
 
     from mysql2psql_spark.operators.materialize import materialize as _materialize
@@ -1338,6 +1342,8 @@ def knn_graph(
             emb.select(id_col, vec_col), id_col
         )
     )
+    if caches is not None:
+        caches.append(clustered)
     a, b = clustered.alias("a"), clustered.alias("b")
     pairs = a.join(
         b,
@@ -1362,6 +1368,8 @@ def knn_graph(
         )
     )
     edges = _materialize(ranked)
+    if caches is not None:
+        caches.append(edges)
     rev = edges.select(
         F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(True).alias("rev")
     )

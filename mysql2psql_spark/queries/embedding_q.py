@@ -1136,13 +1136,13 @@ _ORACLE_KNN_GRAPH = f"""
 """
 
 
-def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_knn_graph(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
     """IVF-bucketed mutual-kNN graph over the embedding corpus — see
     the block above."""
     from mysql2psql_spark.operators.embedding import knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_graph(emb, k=_KNN_GRAPH_K, n_centroids=16)
+    return knn_graph(emb, k=_KNN_GRAPH_K, n_centroids=16, caches=caches)
 
 
 # ---------------------------------------------------------------------------
@@ -1220,14 +1220,16 @@ _ORACLE_SEMANTIC_CLUSTERS = f"""
 """
 
 
-def sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_semantic_clusters(
+    spark: SparkSession, sf_dir: str, caches=None
+) -> DataFrame:
     """Mutual-kNN connected-component cluster assignment + member
     counts — see the block above."""
     from mysql2psql_spark.operators.dedup import connected_components
     from mysql2psql_spark.operators.embedding import knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = knn_graph(emb, k=_KNN_GRAPH_K, n_centroids=16).filter(
+    edges = knn_graph(emb, k=_KNN_GRAPH_K, n_centroids=16, caches=caches).filter(
         F.col("mutual") & (F.col("cos_sim") >= _SEMCLUSTER_TAU) & (F.col("src") < F.col("dst"))
     )
     pairs = edges.select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))

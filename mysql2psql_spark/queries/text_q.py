@@ -3574,9 +3574,11 @@ _ORACLE_CORPUS_BUILD = f"""
 """
 
 
-def text_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_corpus_build(spark: SparkSession, sf_dir: str, caches=None) -> DataFrame:
     """The end-to-end corpus build plan (score -> gate -> budget draw
-    -> BPE encode -> pack) — see the block above."""
+    -> BPE encode -> pack) — see the block above. ``caches``
+    (CacheHandle convention) releases the persisted drawn frame in
+    long-lived sessions."""
     from mysql2psql_spark.operators.materialize import materialize
     from mysql2psql_spark.operators.text import budget_capped_sample, pack_sized
 
@@ -3600,6 +3602,8 @@ def text_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             out_col="cum_tokens",
         ).select("doc_id", "lang", "score_micro", "cum_tokens")
     )
+    if caches is not None:
+        caches.append(drawn)
     d = load_table(spark, sf_dir, "documents").join(
         drawn.select("doc_id"), "doc_id"
     )

@@ -4258,3 +4258,25 @@ def test_corpus_build_handoffs_reconcile(spark):
     )
     lengths = {r.doc_id: r.n_tokens for r in _bpe_doc_lengths(spark, docs).collect()}
     assert {k: v.n_bpe_tokens for k, v in built.items()} == lengths
+
+
+def test_new_queued_operators_register_caches_for_release(spark):
+    """The r18-queued operators that persist frames must register them
+    on a provided CacheHandle so long-lived sessions can release them
+    (the r16-ADVICE gate-leak class, preempted for the batch ops):
+    knn_graph registers its two frames, sim_semantic_clusters forwards,
+    text_corpus_build registers the drawn frame — and releasing the
+    handle empties it."""
+    from mysql2psql_spark.operators.materialize import CacheHandle
+    from mysql2psql_spark.queries.embedding_q import sim_knn_graph
+    from mysql2psql_spark.queries.text_q import text_corpus_build
+
+    with CacheHandle() as caches:
+        sim_knn_graph(spark, SF_DIR_ORACLE, caches=caches).count()
+        assert len(caches.frames) == 2
+    assert caches.frames == []
+
+    with CacheHandle() as caches:
+        text_corpus_build(spark, SF_DIR_ORACLE, caches=caches).count()
+        assert len(caches.frames) == 1
+    assert caches.frames == []
