@@ -1380,3 +1380,89 @@ def knn_graph(
         "rank",
         F.coalesce(F.col("rev"), F.lit(False)).alias("mutual"),
     )
+
+
+def knn_graph_delta(
+    corpus: DataFrame,
+    new: DataFrame,
+    k: int = 4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    caches=None,
+) -> DataFrame:
+    """Incremental maintenance of the mutual-kNN graph under a new
+    vector batch — the `dedup_minhash_incremental` discipline applied
+    to `knn_graph`: the coarse quantizer stays FROZEN (seeds = the
+    first ``n_centroids`` corpus vectors by id — retraining it would
+    silently re-bucket the standing graph), arriving vectors are
+    assigned to their clusters, and ONLY the touched clusters'
+    neighborhoods are recomputed — every top-k list outside them is
+    provably unchanged (neighbor candidacy is cluster-local, so a new
+    arrival can only displace edges inside its own cluster). Returns
+    the replacement edge rows (src, dst, cos_sim, rank, mutual,
+    src_is_new) for sources in touched clusters; the caller unions
+    them over the standing graph's untouched rows.
+
+    Scale shape: work is O(members of touched clusters), never
+    O(corpus) — with n_centroids ~ sqrt(N) a batch of B vectors
+    touches at most B clusters of ~sqrt(N) members. The fixture's
+    batch scatters into every cluster (the worst case, probed); the
+    mutuality self-join stays inside the touched edge frame."""
+    from pyspark.sql import Window
+
+    from mysql2psql_spark.operators.materialize import materialize as _materialize
+
+    seed_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    seeds = [(r[0], [float(x) for x in r[1]]) for r in seed_rows]
+    both = corpus.select(id_col, vec_col).withColumn(
+        "is_new", F.lit(False)
+    ).unionByName(new.select(id_col, vec_col).withColumn("is_new", F.lit(True)))
+    assigned = _materialize(
+        ivf_assign(both, seeds, id_col, vec_col).join(both, id_col)
+    )
+    if caches is not None:
+        caches.append(assigned)
+    touched = assigned.filter(F.col("is_new")).select("cluster").distinct()
+    members = assigned.join(F.broadcast(touched), "cluster")
+    a, b = members.alias("a"), members.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col(f"a.{vec_col}").alias("v_a"),
+        F.col(f"b.{vec_col}").alias("v_b"),
+        F.col("a.is_new").alias("src_is_new"),
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), F.asc("id_b"))
+    ranked = (
+        cosine_pairs_df(pairs, extra_cols=("src_is_new",))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id_a").alias("src"),
+            F.col("id_b").alias("dst"),
+            "cos_sim",
+            "rank",
+            "src_is_new",
+        )
+    )
+    edges = _materialize(ranked)
+    if caches is not None:
+        caches.append(edges)
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(True).alias("rev")
+    )
+    return edges.join(rev, ["src", "dst"], "left").select(
+        "src",
+        "dst",
+        "cos_sim",
+        "rank",
+        F.coalesce(F.col("rev"), F.lit(False)).alias("mutual"),
+        "src_is_new",
+    )

@@ -1242,3 +1242,78 @@ def sim_semantic_clusters(
     return labeled.join(sizes, "cluster_id").select(
         "vec_id", "cluster_id", "n_members"
     )
+
+
+# ---------------------------------------------------------------------------
+# QUEUED (r18 registration per the window budget): INCREMENTAL kNN
+# GRAPH MAINTENANCE (operators/embedding.py::knn_graph_delta) — the
+# serving-freshness step between sim_ivf_freshness (which MEASURES the
+# drift of a standing index under arrivals) and sim_knn_graph (which
+# builds from scratch): the 20% newest vectors (vec_id % 10 >= 8, the
+# profile_embedding_drift / ivf_freshness arrival convention) merged
+# into the standing graph by recomputing ONLY the touched clusters'
+# neighborhoods under the FROZEN corpus quantizer (seeds = first 16
+# CORPUS vectors — retraining would re-bucket the standing graph).
+# Every top-k list outside a touched cluster is provably unchanged
+# (candidacy is cluster-local), which the equivalence test pins
+# directly against the from-scratch build. Deterministic, so the
+# oracle (corpus-seeded assignment -> touched-cluster restriction ->
+# row_number cut -> reverse-edge join) is a full-value pin.
+#
+# Scale shape: O(members of touched clusters), never O(corpus); the
+# fixture's scattered batch touches every cluster (worst case,
+# probed) — at scale with n_centroids ~ sqrt(N) a B-vector batch
+# touches <= B clusters of ~sqrt(N) members.
+# ---------------------------------------------------------------------------
+_ORACLE_KNN_DELTA = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (
+      SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id % 10 < 8
+      ORDER BY vec_id LIMIT 16
+    ),
+    allv AS (SELECT vec_id, v, (vec_id % 10 >= 8) AS is_new FROM e),
+    assign AS (
+      SELECT b.vec_id, b.v, b.is_new, s.sid,
+             ROW_NUMBER() OVER (
+               PARTITION BY b.vec_id
+               ORDER BY ROUND(LIST_COSINE_SIMILARITY(b.v, s.sv), 6) DESC, s.sid
+             ) AS rn
+      FROM allv b CROSS JOIN seeds s
+    ),
+    clus AS (SELECT vec_id, v, is_new, sid FROM assign WHERE rn = 1),
+    touched AS (SELECT DISTINCT sid FROM clus WHERE is_new),
+    mem AS (SELECT c.* FROM clus c JOIN touched USING (sid)),
+    cand AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst, a.is_new AS src_is_new,
+             ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 6) AS cos_sim
+      FROM mem a JOIN mem b ON a.sid = b.sid AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst, cos_sim, src_is_new,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY src ORDER BY cos_sim DESC, dst
+             ) AS BIGINT) AS rank
+      FROM cand
+    ),
+    topk AS (SELECT * FROM ranked WHERE rank <= {_KNN_GRAPH_K})
+    SELECT t.src, t.dst, t.cos_sim, t.rank,
+           (r.src IS NOT NULL) AS mutual,
+           t.src_is_new
+    FROM topk t
+    LEFT JOIN topk r ON r.src = t.dst AND r.dst = t.src
+"""
+
+
+def sim_knn_graph_delta(
+    spark: SparkSession, sf_dir: str, caches=None
+) -> DataFrame:
+    """Touched-cluster kNN-graph replacement rows under the newest
+    vector batch — see the block above."""
+    from mysql2psql_spark.operators.embedding import knn_graph_delta
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 < 8)
+    new = emb.filter(F.col("vec_id") % 10 >= 8)
+    return knn_graph_delta(
+        corpus, new, k=_KNN_GRAPH_K, n_centroids=16, caches=caches
+    )

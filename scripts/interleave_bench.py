@@ -205,6 +205,7 @@ FLOORS = {
     # noop floor (rule 15b: count plan prunes 26/51 scans) — joins
     # NOOP_QUERIES at flip
     "text_corpus_build": 3.477,
+    "sim_knn_graph_delta": 2.595,
 }
 
 # The r8-flagged set (weak: clusters + surprisal; watch: pagerank),

@@ -4280,3 +4280,52 @@ def test_new_queued_operators_register_caches_for_release(spark):
         text_corpus_build(spark, SF_DIR_ORACLE, caches=caches).count()
         assert len(caches.frames) == 1
     assert caches.frames == []
+
+
+def test_knn_graph_delta_equivalence_and_untouched_invariance(spark):
+    """knn_graph_delta's contract on a planted corpus whose seed ids
+    are all old (so the frozen quantizer equals the full build's):
+    new vectors land ONLY in cluster A, so (1) the delta equals the
+    from-scratch union build restricted to A's members, (2) cluster
+    B's standing rows are bit-identical between the corpus-only and
+    union builds (the provably-unchanged claim), and (3) the delta
+    contains no cluster-B source."""
+    from mysql2psql_spark.operators.embedding import knn_graph, knn_graph_delta
+    from pyspark.sql import functions as F
+
+    def vec(axis, eps, dim=8):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        v[(axis + 4) % dim] = eps
+        return v
+
+    # seeds = ids 0,1 (both old). Cluster A along axis 0: {0,2,3};
+    # cluster B along axis 1: {1,4,5}. New arrivals 100,101 sit on
+    # axis 0 -> only A is touched.
+    corpus_rows = [
+        (0, vec(0, 0.00)), (2, vec(0, 0.10)), (3, vec(0, 0.11)),
+        (1, vec(1, 0.00)), (4, vec(1, 0.30)), (5, vec(1, 0.31)),
+    ]
+    new_rows = [(100, vec(0, 0.20)), (101, vec(0, 0.21))]
+    schema = "vec_id bigint, embedding array<double>"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    union = spark.createDataFrame(corpus_rows + new_rows, schema)
+
+    delta = knn_graph_delta(corpus, new, k=2, n_centroids=2).collect()
+    full = knn_graph(union, k=2, n_centroids=2).collect()
+    standing = knn_graph(corpus, k=2, n_centroids=2).collect()
+
+    a_members = {0, 2, 3, 100, 101}
+    # (3) no cluster-B source in the delta
+    assert {r.src for r in delta} <= a_members
+    # (1) delta == full build restricted to touched members
+    strip = lambda rows, keep: sorted(
+        (r.src, r.dst, r.cos_sim, r.rank, r.mutual) for r in rows if r.src in keep
+    )
+    assert strip(delta, a_members) == strip(full, a_members)
+    # (2) untouched cluster rows identical corpus-only vs union
+    b_members = {1, 4, 5}
+    assert strip(standing, b_members) == strip(full, b_members)
+    # src_is_new marks exactly the arrivals
+    assert {r.src for r in delta if r.src_is_new} == {100, 101}
