@@ -462,17 +462,29 @@ def char_ngram_table(
     1) — the feature stream of profile-based language identification
     (Cavnar & Trenkle 1994). Documents shorter than ``n`` characters
     contribute no rows (guarded explicitly: Spark's ``sequence(1, 0)``
-    would otherwise count DOWN). Pure JVM builtins (sequence/transform/
-    substring), no Python in the hot path; fan-out is bounded by text
-    length and stays partition-local."""
-    grams = F.when(
+    would otherwise count DOWN). Pure JVM builtins, no Python in the
+    hot path; fan-out is bounded by text length and stays
+    partition-local.
+
+    Shape (r17): explode the OFFSET sequence and slice per generated
+    row, instead of ``transform(sequence(...), i -> substring(...))``.
+    Higher-order-function lambdas evaluate INTERPRETED per element
+    (playbook rule 13), so the transform paid ~1 interpreted substring
+    call per corpus character; the offset-explode keeps the substring
+    inside whole-stage codegen (gram-stream noop at sf0.1: 2.19 ->
+    1.74 s median, 5-rep interleaved; identical rows in identical
+    order)."""
+    idx = F.when(
         F.length(text_col) >= n,
-        F.expr(
-            f"transform(sequence(1, length({text_col}) - {n - 1}),"
-            f" i -> substring({text_col}, i, {n}))"
-        ),
-    ).otherwise(F.array())
-    return df.select(id_col, *extra_cols, F.explode(grams).alias("gram"))
+        F.sequence(F.lit(1), F.length(text_col) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select(
+        id_col, *extra_cols, F.col(text_col), F.explode(idx).alias("_gpos")
+    ).select(
+        id_col,
+        *extra_cols,
+        F.expr(f"substring({text_col}, _gpos, {n})").alias("gram"),
+    )
 
 
 def langid_profiles(
@@ -535,7 +547,7 @@ def langid_profile_artifact(
     key = (spark.sparkContext.applicationId, doc_path, mtime, k)
     art = _PROFILE_ARTIFACTS.get(key) if mtime is not None else None
     if art is None:
-        d = load_table(spark, sf_dir, "documents")
+        d = load_table(spark, sf_dir, "documents", fanout=True)
         grams = char_ngram_table(d, extra_cols=("lang",))
         import hashlib
 
@@ -573,65 +585,74 @@ def langid_classify(
     label ASC). Every term is an integer, so Spark and any SQL oracle
     agree bit-for-bit.
 
-    Scale shape: the doc-profile window partitions by document (state =
-    one doc's distinct grams); the scoring join is doc-profile rows x a
-    BROADCAST languages-x-k profile table; the (doc x language) grid is
-    a broadcast crossJoin against the distinct-label frame (rows =
-    n_docs x n_langs, linear); the argmin window partitions by document
-    over n_langs rows. The doc-profile subtree has TWO consumers (the
-    grid's n_prof and the scoring join) and is deliberately NOT
-    materialized: the ndoc branch prunes to (id) and both re-executions
-    ride the WindowGroupLimit-pruned pipeline, which measures FASTER
-    than paying a full persist encode of the profile frame (r15 A/B at
-    sf0.1: 3.7 s recompute vs 6.0 s persisted under the bench count
-    protocol). Pass ``langs`` (the distinct label frame) when the
-    caller has it cheaply; deriving it from ``profiles`` re-executes
-    the whole profile pipeline as a third gram scan."""
+    Scale shape (r17 restructure): the doc-profile window partitions by
+    document (state = one doc's distinct grams) and computes ``n_prof``
+    as a SECOND window function over the same sort (a whole-partition
+    count), so the subtree executes ONCE — the previous layout derived
+    ``n_prof`` from a separate ``groupBy(id)`` consumer, which
+    re-executed the entire gram-scan/aggregate/window pipeline (the
+    dominant corpus-sized cost) a second time. The scoring join is
+    doc-profile rows x a BROADCAST languages-x-k profile table, kept
+    LEFT so docs whose profile matches nothing survive; the former
+    (doc x language) distance grid (n_docs x n_langs rows + a window
+    over it) is replaced by an argmax over the matched gains, which is
+    equivalent because
+
+        oop_distance = n_prof*k - gain(lang),
+        gain(lang)   = sum over matched grams of (k - |r_doc - rank|)
+
+    with every matched term >= 1 (|r_doc - rank| <= k-1) and every
+    unmatched language's gain exactly 0 — so argmin(distance) =
+    argmax(gain) with the same label-ASC tie order, and a doc with no
+    matches at all falls through to the lexicographically-first
+    language at distance n_prof*k, exactly the grid's output.
+    A/B (sf0.1, 5-rep interleaved, count protocol): full langid query
+    4.18 -> 3.58 s before the scan fan-out, identical rows. Pass
+    ``langs`` (the distinct label frame) when the caller has it
+    cheaply; it only feeds the 1-row min-label broadcast."""
     from pyspark.sql.window import Window as W
 
     counts = doc_grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
     w = W.partitionBy(id_col).orderBy(F.col("cnt").desc(), "gram")
+    wfull = W.partitionBy(id_col)
     dprof = (
         counts.select(
-            id_col, "gram", F.row_number().over(w).cast("int").alias("r_doc")
+            id_col,
+            "gram",
+            F.row_number().over(w).cast("int").alias("r_doc"),
+            F.least(F.count("*").over(wfull), F.lit(k)).cast("int").alias("n_prof"),
         )
         .filter(F.col("r_doc") <= k)
     )
-    ndoc = dprof.groupBy(id_col).agg(F.count("*").cast("int").alias("n_prof"))
     if langs is None:
         langs = profiles.select(label_col).distinct()
-    matched = (
-        dprof.join(F.broadcast(profiles), "gram")
+    gains = (
+        dprof.join(F.broadcast(profiles), "gram", "left")
         .groupBy(id_col, label_col)
         .agg(
-            F.sum(F.abs(F.col("r_doc") - F.col("rank"))).alias("msum"),
-            F.count("*").alias("mcnt"),
+            F.sum(
+                F.when(
+                    F.col("rank").isNotNull(),
+                    F.lit(k) - F.abs(F.col("r_doc") - F.col("rank")),
+                ).otherwise(0)
+            ).alias("gain"),
+            F.first("n_prof").alias("n_prof"),
         )
     )
-    dist = (
-        ndoc.crossJoin(F.broadcast(langs))
-        .join(matched, [id_col, label_col], "left")
-        .select(
-            id_col,
-            label_col,
-            (
-                F.coalesce(F.col("msum"), F.lit(0))
-                + (F.col("n_prof") - F.coalesce(F.col("mcnt"), F.lit(0)))
-                * F.lit(k)
-            )
-            .cast("bigint")
-            .alias("oop_distance"),
-        )
+    w2 = W.partitionBy(id_col).orderBy(
+        F.col("gain").desc(), F.col(label_col).asc_nulls_last()
     )
-    w2 = W.partitionBy(id_col).orderBy("oop_distance", label_col)
-    return (
-        dist.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") == 1)
-        .select(
-            id_col,
-            F.col(label_col).alias("lang_pred"),
-            "oop_distance",
+    top = gains.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") == 1)
+    min_lang = langs.agg(F.min(label_col).alias("_min_lang"))
+    return top.crossJoin(F.broadcast(min_lang)).select(
+        id_col,
+        F.coalesce(F.col(label_col), F.col("_min_lang")).alias("lang_pred"),
+        (
+            F.col("n_prof") * F.lit(k)
+            - F.when(F.col(label_col).isNull(), 0).otherwise(F.col("gain"))
         )
+        .cast("bigint")
+        .alias("oop_distance"),
     )
 
 

@@ -1950,7 +1950,11 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    grams = char_ngram_table(d, extra_cols=("lang",))
+    # gram stream rides the fanned-out scan (r17: the explode fan-out is
+    # the corpus-sized CPU; the light consumers below keep the plain scan)
+    grams = char_ngram_table(
+        load_table(spark, sf_dir, "documents", fanout=True), extra_cols=("lang",)
+    )
     profiles = langid_profiles(grams, k=_LANGID_K)
     pred = langid_classify(
         grams.select("doc_id", "gram"),
@@ -2141,7 +2145,9 @@ def text_langid_mixture_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    grams = char_ngram_table(d, extra_cols=("lang",))
+    grams = char_ngram_table(
+        load_table(spark, sf_dir, "documents", fanout=True), extra_cols=("lang",)
+    )
     profiles = langid_profiles(grams, k=_LANGID_K)
     pred = langid_classify(
         grams.select("doc_id", "gram"),
@@ -2745,7 +2751,9 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    grams = char_ngram_table(d, extra_cols=("lang",))
+    grams = char_ngram_table(
+        load_table(spark, sf_dir, "documents", fanout=True), extra_cols=("lang",)
+    )
     profiles = langid_profiles(grams, k=_LANGID_K)
     pred = langid_classify(
         grams.select("doc_id", "gram"),
@@ -2916,7 +2924,9 @@ def stream_langid_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_langid_summary,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    # every consumer of d here is a gram-classification pipeline, so the
+    # whole query rides the fanned-out scan (r17)
+    d = load_table(spark, sf_dir, "documents", fanout=True)
     # frozen profiles from the write-once session artifact (r17 A/B:
     # 7.543 vs 8.449 s — the gate paid a per-invocation re-train +
     # persist of what the contract itself calls an OFFLINE artifact;

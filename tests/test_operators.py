@@ -3097,6 +3097,36 @@ def test_adamic_adar_matches_oracle_and_bruteforce(spark, duck):
 # --- char-n-gram language identification (QUEUED r16 registration) --------
 
 
+def test_char_ngram_table_codegen_shape_edges(spark):
+    """r17: char_ngram_table switched from a transform(sequence) HOF
+    (interpreted lambda per corpus character) to an offset-explode +
+    substring shape that stays in whole-stage codegen. Pin the gram
+    stream on the edge inputs against a Python sliding window: empty
+    text, below/at/above the window size, CJK multibyte (substring is
+    character-indexed), and quote/backslash characters."""
+    from mysql2psql_spark.operators.text import char_ngram_table
+
+    rows = [
+        (1, ""),
+        (2, "ab"),
+        (3, "abc"),
+        (4, "abcd"),
+        (5, "宇宙飛行士"),
+        (6, "a'b\"c\\d"),
+        (7, "  x  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        (r.doc_id, r.gram) for r in char_ngram_table(df).collect()
+    )
+    want = sorted(
+        (i, t[j : j + 3])
+        for i, t in rows
+        for j in range(max(0, len(t) - 2))
+    )
+    assert got == want
+
+
 def test_langid_ngram_matches_oracle_and_separates_planted_langs(spark, duck):
     """Full DuckDB differential for the queued text_langid_ngram at
     sf0.01 (the fixture shares one vocabulary across lang labels, so
