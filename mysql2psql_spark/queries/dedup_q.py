@@ -274,7 +274,7 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mysql2psql_spark.operators.multimodal import encode_wav_pcm16, wav_features
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = load_table(spark, sf_dir, "documents", fanout=True).select("doc_id")
 
     def synth(batches):
         for pdf in batches:
@@ -321,7 +321,7 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mysql2psql_spark.operators.multimodal import audio_frame_energies, encode_wav_pcm16
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = load_table(spark, sf_dir, "documents", fanout=True).select("doc_id")
 
     def synth(batches):
         for pdf in batches:
@@ -413,7 +413,7 @@ def multimodal_vad_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mysql2psql_spark.operators.multimodal import encode_wav_pcm16, vad_spans
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = load_table(spark, sf_dir, "documents", fanout=True).select("doc_id")
 
     def synth(batches):
         for pdf in batches:

@@ -2640,16 +2640,42 @@ _BPE_PAIRS_EXPR = (
 )
 
 
+def _bpe_vocab_parts(spark: SparkSession, sf_dir: str) -> int:
+    """Partition count for the learner's vocabulary-sized frames,
+    derived from the corpus bytes (playbook rule 3 applied to BPE: the
+    per-step work is DISTINCT-WORD-sized, sublinear in the corpus, so
+    corpus-width partitioning makes every one of the K steps a
+    scheduling exercise — at sf0.1 the toks frame is 31 rows spread
+    over 32 partitions x 6 steps x several stages). 4 MB of corpus per
+    slot keeps a small corpus's steps near-single-task while any real
+    corpus still saturates the cluster; width caps at
+    defaultParallelism either way."""
+    import os
+
+    from mysql2psql_spark.sources.parquet import _path_stat
+
+    width = spark.sparkContext.defaultParallelism
+    try:
+        _, nbytes = _path_stat(os.path.realpath(f"{sf_dir}/documents.parquet"))
+    except OSError:
+        return width
+    return max(1, min(width, (nbytes + (4 << 20) - 1) // (4 << 20)))
+
+
 def _bpe_learn_merges(
-    spark: SparkSession, wc: DataFrame, k_steps: int = _BPE_LEARN_K
+    spark: SparkSession,
+    wc: DataFrame,
+    k_steps: int = _BPE_LEARN_K,
+    parts: int | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """The K-step learning loop over a (word, freq) frame — see the
-    block above. One bounded 1-row collect per step."""
+    block above. One bounded 1-row collect per step. ``parts`` sizes
+    the vocab frame's partitioning (see _bpe_vocab_parts)."""
     from pyspark.storagelevel import StorageLevel
 
     from mysql2psql_spark.operators.text import bpe_apply_rule
 
-    n_slots = spark.sparkContext.defaultParallelism
+    n_slots = parts or spark.sparkContext.defaultParallelism
     toks = wc.repartition(n_slots, "word").select(
         "word",
         "freq",
@@ -2702,7 +2728,9 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the learned table (merge_rank, left_sym, right_sym, pair_count);
     fewer than K rows when the corpus exhausts its pairs first."""
     d = load_table(spark, sf_dir, "documents")
-    merges = _bpe_learn_merges(spark, _word_counts(d))
+    merges = _bpe_learn_merges(
+        spark, _word_counts(d), parts=_bpe_vocab_parts(spark, sf_dir)
+    )
     return spark.createDataFrame(
         merges,
         "merge_rank bigint, left_sym string, right_sym string, pair_count bigint",
@@ -2838,8 +2866,27 @@ def text_bpe_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-table diff between the doc_id-parity corpus halves — see
     the block above."""
     d = load_table(spark, sf_dir, "documents")
-    ma = _bpe_learn_merges(spark, _word_counts(d.filter(F.col("doc_id") % 2 == 0)))
-    mb = _bpe_learn_merges(spark, _word_counts(d.filter(F.col("doc_id") % 2 == 1)))
+    parts = _bpe_vocab_parts(spark, sf_dir)
+    # The two half-corpus learners are INDEPENDENT job chains whose
+    # per-step cost is driver-latency-bound (K bounded argmax collects
+    # each); overlap them from a 2-thread pool (guide §2.6) so one
+    # learner's step jobs back-fill the other's idle gaps. Results are
+    # deterministic either way — each learner's lineage is its own.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    @inheritable_thread_target
+    def _learn(parity: int) -> list:
+        return _bpe_learn_merges(
+            spark,
+            _word_counts(d.filter(F.col("doc_id") % 2 == parity)),
+            parts=parts,
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa, fb = pool.submit(_learn, 0), pool.submit(_learn, 1)
+        ma, mb = fa.result(), fb.result()
     a = {(pa, pb): (k, c) for k, pa, pb, c in ma}
     b = {(pa, pb): (k, c) for k, pa, pb, c in mb}
     rows = []
