@@ -820,10 +820,27 @@ def dedup_recall_gate(
     from mysql2psql_spark.operators.materialize import materialize
 
     sh = materialize(shingle_hash_table(load_table(spark, sf_dir, "documents")))
+    # seat the shared frame, then overlap the two independent consumers
+    # (exact-truth prefix-filter join vs minhash banding) from a 2-thread
+    # pool (guide §2.6; same-session 5-rep A/B: 2.88 -> 2.52 s median,
+    # overlap also immune to the ambient spike that hit the serial shape)
+    sh.count()
     if caches is not None:
         caches.append(sh)
-    truth = dedup_ngram_jaccard(spark, sf_dir, shingles=sh).select("doc_a", "doc_b")
-    found = dedup_minhash_lsh(spark, sf_dir, shingles=sh).select("doc_a", "doc_b")
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    @inheritable_thread_target
+    def _build(fn):
+        fr = materialize(fn(spark, sf_dir, shingles=sh).select("doc_a", "doc_b"))
+        fr.count()
+        return fr
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        truth, found = pool.map(_build, (dedup_ngram_jaccard, dedup_minhash_lsh))
+    if caches is not None:
+        caches.extend((truth, found))
     j = truth.withColumn("_t", F.lit(1)).join(
         found.withColumn("_f", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
     )
@@ -1196,6 +1213,10 @@ def stream_near_dup_gate(
     # the wall is dominated by the two foreachBatch trigger jobs
     # (write + read-back), not the ~4k-doc corpus aggregation.
     corpus_tables = _minhash_tables(corpus_sh)
+    # seat the shared corpus banding build with one action BEFORE the
+    # twin thread and trigger 1 can race its first touch (a concurrent
+    # first touch of a lazily-persisted frame builds it twice)
+    corpus_tables[0].count()
     if caches is not None:
         caches.append(corpus_tables[0])
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
@@ -1203,8 +1224,30 @@ def stream_near_dup_gate(
     gate = near_dup_gate_foreach_batch(
         None, out_dir, caches=caches, corpus_tables=corpus_tables
     )
-    gate(new.filter(F.col("doc_id") % 2 == 0), 0)
-    gate(new.filter(F.col("doc_id") % 2 == 1), 1)
+    # The batch twin never reads the gate's partials, so it computes on
+    # a background thread while the two triggers run (guide §2.6 — the
+    # stream_ks_summary A/B class); the trigger ordering itself stays
+    # strictly sequential per the audit contract.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    from mysql2psql_spark.operators.materialize import materialize
+
+    @inheritable_thread_target
+    def _twin():
+        fr = materialize(
+            minhash_lsh_cross_pairs(
+                shingle_hash_table(new),
+                None,
+                threshold=0.5,
+                caches=caches,
+                corpus_tables=corpus_tables,
+            )
+        )
+        fr.count()
+        return fr
+
     pair_schema = T.StructType(
         [
             T.StructField("doc_new", T.LongType()),
@@ -1212,15 +1255,13 @@ def stream_near_dup_gate(
             T.StructField("jaccard", T.DoubleType()),
         ]
     )
-    # explicit schema so an all-empty trigger's output dir still reads
-    streamed = spark.read.schema(pair_schema).parquet(f"{out_dir}/batch=*")
-    batch = minhash_lsh_cross_pairs(
-        shingle_hash_table(new),
-        None,
-        threshold=0.5,
-        caches=caches,
-        corpus_tables=corpus_tables,
-    )
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(_twin)
+        gate(new.filter(F.col("doc_id") % 2 == 0), 0)
+        gate(new.filter(F.col("doc_id") % 2 == 1), 1)
+        # explicit schema so an all-empty trigger's output dir still reads
+        streamed = spark.read.schema(pair_schema).parquet(f"{out_dir}/batch=*")
+        batch = fut.result()
     s = streamed.select("doc_new", "doc_corpus", F.col("jaccard").alias("j_s"))
     b = batch.select("doc_new", "doc_corpus", F.col("jaccard").alias("j_b"))
     j = s.join(b, ["doc_new", "doc_corpus"], "full_outer")
@@ -1403,18 +1444,41 @@ def dedup_method_agreement(
     # the dominant upstream cost); persisted because it has three
     # consumers, the multi-consumer discipline.
     sh = materialize(shingle_hash_table(load_table(spark, sf_dir, "documents")))
+    # seat the shared frame with one action BEFORE the method threads
+    # touch it, so concurrent first-touches don't race duplicate builds
+    sh.count()
     if caches is not None:
         caches.append(sh)
-    frames = {}
-    for name, fn in (
-        ("minhash_lsh", dedup_minhash_lsh),
-        ("ngram_jaccard", dedup_ngram_jaccard),
-        ("simhash", dedup_simhash),
-    ):
+    # The three method pipelines are INDEPENDENT consumers of the seated
+    # shingle frame; materialize them eagerly from a 3-thread pool
+    # (guide §2.6) so each pipeline's stage tail back-fills the others'
+    # idle slots instead of the union plan serializing the three chains
+    # (same-session 5-rep interleaved A/B: 3.61 -> 2.68 s median,
+    # results asserted identical).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    @inheritable_thread_target
+    def _build(item):
+        name, fn = item
         fr = materialize(fn(spark, sf_dir, shingles=sh).select("doc_a", "doc_b"))
-        if caches is not None:
-            caches.append(fr)
-        frames[name] = fr
+        fr.count()
+        return name, fr
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        frames = dict(
+            pool.map(
+                _build,
+                (
+                    ("minhash_lsh", dedup_minhash_lsh),
+                    ("ngram_jaccard", dedup_ngram_jaccard),
+                    ("simhash", dedup_simhash),
+                ),
+            )
+        )
+    if caches is not None:
+        caches.extend(frames.values())
     out = None
     for (na, a), (nb, b) in combinations(frames.items(), 2):
         both = a.join(b, ["doc_a", "doc_b"]).agg(

@@ -2992,18 +2992,38 @@ def stream_langid_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=_LANGID_K,
             caches=caches,
         )
-        gate(d.filter(F.col("doc_id") % 2 == 0), 0)
-        gate(d.filter(F.col("doc_id") % 2 == 1), 1)
-        batch = (
-            langid_classify(
-                char_ngram_table(d).select("doc_id", "gram"),
-                profiles,
-                k=_LANGID_K,
-                langs=langs,
+        # The batch twin (a full corpus classification) never reads the
+        # gate's partials, so it computes on a background thread while
+        # the two triggers run (guide §2.6 — the stream_ks_summary A/B
+        # class); profiles/langs are the seated write-once artifact, so
+        # no first-touch race. Triggers stay strictly sequential.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        from mysql2psql_spark.operators.materialize import materialize
+
+        @inheritable_thread_target
+        def _twin():
+            fr = materialize(
+                langid_classify(
+                    char_ngram_table(d).select("doc_id", "gram"),
+                    profiles,
+                    k=_LANGID_K,
+                    langs=langs,
+                )
+                .groupBy("lang_pred")
+                .agg(F.count("*").cast("bigint").alias("n_docs"))
             )
-            .groupBy("lang_pred")
-            .agg(F.count("*").cast("bigint").alias("n_docs"))
-        )
+            fr.count()
+            caches.append(fr)
+            return fr
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(_twin)
+            gate(d.filter(F.col("doc_id") % 2 == 0), 0)
+            gate(d.filter(F.col("doc_id") % 2 == 1), 1)
+            batch = fut.result()
         streamed = read_langid_summary(spark, out_dir)
         s = streamed.select("lang_pred", F.col("n_docs").alias("s_n_docs"))
         b = batch.select("lang_pred", F.col("n_docs").alias("b_n_docs"))
