@@ -32,23 +32,49 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+_COSINE_PAIRS_ENGINE = "explode"  # module default; kill switch for probe A/Bs
+
+
 def cosine_pairs_df(
-    pairs: DataFrame, round_to: int = 6, extra_cols: tuple[str, ...] = ()
+    pairs: DataFrame,
+    round_to: int = 6,
+    extra_cols: tuple[str, ...] = (),
+    engine: str | None = None,
 ) -> Column | DataFrame:
-    """(id_a, id_b, v_a, v_b) -> (id_a, id_b, cos_sim), codegen'd.
+    """(id_a, id_b, v_a, v_b) -> (id_a, id_b, cos_sim).
 
-    The row-level HOF form (aggregate over zip_with) evaluates interpreted
-    — fine for a handful of rows, ~10x slower over a large candidate set.
-    This shape explodes the zipped pair once and hash-aggregates plain
-    products; a pair's exploded rows never leave their input partition, so
-    map-side partial aggregation accumulates each sum sequentially in
-    position order (bit-compatible with DuckDB's LIST_COSINE_SIMILARITY).
+    Two row-identical execution shapes (the shingle_hash_table
+    discipline — flipping ``engine`` never changes a downstream hash):
 
-    ``extra_cols``: additional pair-level columns (functionally dependent
-    on the (id_a, id_b) key — e.g. a candidate's cluster or probe rank)
-    carried through the aggregation by widening its grouping key; the
-    output cardinality is unchanged and no extra exchange is added.
+    - ``engine="arrow"``: one ``mapInArrow`` pass computes the
+      three partial sums (dot, |a|^2, |b|^2) per pair with NumPy over
+      the list arrays' backing buffers (guide §4.2 — a fixed-dim
+      ``list<float>`` Arrow column is one contiguous values buffer, so
+      the batch reshapes to an (n, dim) matrix zero-copy) and the
+      division/sqrt/round stay Spark-side expressions. Accumulation
+      runs dimension-by-dimension over float64 columns — the SAME
+      position-order IEEE sequence (widen, multiply, add) as the
+      explode shape's map-side partial aggregation, so the result is
+      bit-identical (asserted exact, pre-round, in
+      test_cosine_pairs_engines_bit_identical). No per-pair row
+      fan-out, no hash aggregation, no exchange: the pass preserves the
+      input partitioning.
+    - ``engine="explode"`` (default): posexplode the zipped pair once and
+      hash-aggregate plain codegen products; a pair's exploded rows
+      never leave their input partition, so map-side partial
+      aggregation accumulates each sum sequentially in position order
+      (bit-compatible with DuckDB's LIST_COSINE_SIMILARITY). Kept as
+      the pure-JVM cross-check and the fallback for exotic inputs
+      (ragged dims / null elements), which the arrow path detects and
+      routes per batch to an order-identical scalar loop.
+
+    ``extra_cols``: additional pair-level columns (functionally
+    dependent on the (id_a, id_b) key — e.g. a candidate's cluster or
+    probe rank) carried through; output cardinality is unchanged.
     """
+    engine = engine or _COSINE_PAIRS_ENGINE
+    if engine == "arrow":
+        return _cosine_pairs_arrow(pairs, round_to, extra_cols)
     ex = pairs.select(
         "id_a",
         "id_b",
@@ -66,6 +92,136 @@ def cosine_pairs_df(
         F.sum(F.col("xa") * F.col("xa")).alias("na"),
         F.sum(F.col("xb") * F.col("xb")).alias("nb"),
     )
+    return agg.select(
+        "id_a",
+        "id_b",
+        *extra_cols,
+        F.round(F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), round_to).alias("cos_sim"),
+    )
+
+
+def _cosine_pairs_arrow(
+    pairs: DataFrame, round_to: int, extra_cols: tuple[str, ...]
+) -> DataFrame:
+    """The mapInArrow engine of :func:`cosine_pairs_df` — see there."""
+    from pyspark.sql import types as T
+
+    keep = ["id_a", "id_b", *extra_cols]
+    sel = pairs.select(*keep, "v_a", "v_b")
+    out_fields = [f for f in sel.schema.fields if f.name in keep]
+    out_schema = T.StructType(
+        out_fields
+        + [
+            T.StructField("dot", T.DoubleType()),
+            T.StructField("na", T.DoubleType()),
+            T.StructField("nb", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        # heavy imports once per task (guide §4.5)
+        import numpy as np
+        import pyarrow as pa
+
+        def sums_fast(col, n):
+            """(n, dim) float64 views of a uniform list column, or None."""
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            # top-level null arrays AND null elements inside the child
+            # values both change the explode shape's null semantics —
+            # route either to the order-identical scalar path
+            if arr.null_count or arr.values.null_count:
+                return None
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+                arr.offset : arr.offset + n + 1
+            ]
+            widths = np.diff(offs)
+            if n and (widths.min() != widths.max()):
+                return None
+            vals = arr.flatten().to_numpy(zero_copy_only=False)
+            if vals.dtype != np.float64:
+                vals = vals.astype(np.float64)
+            return vals.reshape(n, widths[0] if n else 0)
+
+        def scalar_sums(va_list, vb_list):
+            """Order-identical fallback for ragged/null rows with the
+            exact explode-shape semantics: zip_with pads the shorter
+            array with nulls, SUM skips null terms (an all-null sum is
+            NULL), and a zero-length zip produces no group at all (the
+            pair is dropped, signalled here by n_rows == 0)."""
+            rows = []
+            for a, b in zip(va_list, vb_list):
+                if a is None or b is None:
+                    # arrays_zip(null, x) is NULL; posexplode(NULL)
+                    # yields no rows, so the pair is dropped
+                    rows.append((None, None, None, 0))
+                    continue
+                n_rows = max(len(a), len(b))
+                dot = na = nb = None
+                for i in range(n_rows):
+                    x = float(a[i]) if i < len(a) and a[i] is not None else None
+                    y = float(b[i]) if i < len(b) and b[i] is not None else None
+                    if x is not None and y is not None:
+                        dot = (0.0 if dot is None else dot) + x * y
+                    if x is not None:
+                        na = (0.0 if na is None else na) + x * x
+                    if y is not None:
+                        nb = (0.0 if nb is None else nb) + y * y
+                rows.append((dot, na, nb, n_rows))
+            return rows
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            va = sums_fast(batch.column("v_a"), n)
+            vb = sums_fast(batch.column("v_b"), n)
+            keep_cols = [batch.column(k) for k in keep]
+            if va is not None and vb is not None and va.shape == vb.shape:
+                dim = va.shape[1]
+                if dim == 0:
+                    continue  # explode shape drops all-empty pairs
+                dot = va[:, 0] * vb[:, 0]
+                na = va[:, 0] * va[:, 0]
+                nb = vb[:, 0] * vb[:, 0]
+                for d in range(1, dim):
+                    dot = dot + va[:, d] * vb[:, d]
+                    na = na + va[:, d] * va[:, d]
+                    nb = nb + vb[:, d] * vb[:, d]
+                yield pa.RecordBatch.from_arrays(
+                    keep_cols
+                    + [pa.array(dot), pa.array(na), pa.array(nb)],
+                    schema=pa.schema(
+                        list(zip(keep, (c.type for c in keep_cols)))
+                        + [
+                            ("dot", pa.float64()),
+                            ("na", pa.float64()),
+                            ("nb", pa.float64()),
+                        ]
+                    ),
+                )
+            else:
+                rows = scalar_sums(
+                    batch.column("v_a").to_pylist(), batch.column("v_b").to_pylist()
+                )
+                mask = [r[3] > 0 for r in rows]
+                tbl = pa.table(
+                    dict(
+                        zip(
+                            keep + ["dot", "na", "nb"],
+                            keep_cols
+                            + [
+                                pa.array([r[0] for r in rows], pa.float64()),
+                                pa.array([r[1] for r in rows], pa.float64()),
+                                pa.array([r[2] for r in rows], pa.float64()),
+                            ],
+                        )
+                    )
+                ).filter(pa.array(mask))
+                for b in tbl.to_batches():
+                    if b.num_rows:
+                        yield b
+
+    agg = sel.mapInArrow(run, schema=out_schema)
     return agg.select(
         "id_a",
         "id_b",

@@ -4359,3 +4359,48 @@ def test_knn_graph_delta_equivalence_and_untouched_invariance(spark):
     assert strip(standing, b_members) == strip(full, b_members)
     # src_is_new marks exactly the arrivals
     assert {r.src for r in delta if r.src_is_new} == {100, 101}
+
+
+def test_cosine_pairs_engines_bit_identical(spark):
+    """cosine_pairs_df's arrow engine must equal the explode engine
+    EXACTLY (same rows, bit-equal doubles) on uniform-dim input, edge
+    dims, ragged rows, null arrays/elements, and empty arrays —
+    flipping engines must never change a downstream oracle hash."""
+    from mysql2psql_spark.operators.similarity import cosine_pairs_df
+
+    rows = [
+        # uniform fast path
+        (1, 2, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+        (3, 4, [0.1, -0.2, 0.37], [1e-8, 2e8, -3.5]),
+        # values exercising non-associative float accumulation
+        (5, 6, [1e16, 1.0, -1e16], [1.0, 1.0, 1.0]),
+    ]
+    schema = "id_a bigint, id_b bigint, v_a array<double>, v_b array<double>"
+    uniform = spark.createDataFrame(rows, schema)
+    exotic = spark.createDataFrame(
+        rows
+        + [
+            (7, 8, [1.0, 2.0], [1.0, 2.0, 3.0]),        # ragged
+            (9, 10, [], []),                             # empty: dropped
+            (11, 12, None, [1.0, 2.0]),                  # null array
+            (13, 14, [1.0, None, 3.0], [1.0, 2.0, 3.0]), # null element
+        ],
+        schema,
+    )
+    for df in (uniform, exotic):
+        got = sorted(
+            map(tuple, cosine_pairs_df(df, engine="arrow").collect())
+        )
+        want = sorted(
+            map(tuple, cosine_pairs_df(df, engine="explode").collect())
+        )
+        assert got == want
+    # float32 input (the engine's on-disk embedding type): cast-widen
+    # order must match the explode shape's per-element cast
+    f32 = spark.createDataFrame(
+        [(1, 2, [0.1, 0.7, -0.33], [0.9, -0.2, 0.5])],
+        "id_a bigint, id_b bigint, v_a array<float>, v_b array<float>",
+    )
+    assert sorted(map(tuple, cosine_pairs_df(f32, engine="arrow").collect())) == sorted(
+        map(tuple, cosine_pairs_df(f32, engine="explode").collect())
+    )
