@@ -488,9 +488,24 @@ def graph_negative_samples(
         .groupBy("anchor", F.col("v").alias("cand"))
         .agg(F.min("j").alias("draw_j"))
     )
+    # Anti-join shape: every edge that can reject a candidate is incident
+    # to one of the _NEG_ANCHORS anchors, so pre-filter the edge table to
+    # anchor-incident rows (one pass over the bucketed files under a
+    # 10-row broadcast) and anti-join against THAT. Joining cands
+    # directly to e would put the |E|-scale table on the join's build /
+    # shuffle side: at bench scale Spark broadcasts all of e (a 1.2M-row
+    # hashmap for a 400-row probe), and past the broadcast threshold it
+    # would SMJ-shuffle the full edge table. The prefilter keeps the
+    # e side exchange-free at any scale; bench-neutral at sf0.1.
+    hits = e.join(
+        F.broadcast(anchors),
+        (e.a == F.col("anchor")) | (e.b == F.col("anchor")),
+        "left_semi",
+    )
     negs = cands.join(
-        e,
-        (F.least("anchor", "cand") == e.a) & (F.greatest("anchor", "cand") == e.b),
+        F.broadcast(hits),
+        (F.least("anchor", "cand") == hits.a)
+        & (F.greatest("anchor", "cand") == hits.b),
         "left_anti",
     )
     rk = F.row_number().over(W.partitionBy("anchor").orderBy("draw_j"))

@@ -242,6 +242,23 @@ def test_negative_samples_no_unpartitioned_row_number(spark):
     ), plan[:3000]
 
 
+def test_negative_samples_edge_table_not_anti_join_build(spark):
+    """graph_negative_samples' reject-join must consume the |E|-scale
+    edge table through the anchor-incident semi prefilter, never put it
+    directly on the anti-join's build/shuffle side (broadcast of all of
+    e at bench scale; a full-edge SMJ shuffle past the threshold). The
+    anti-join's broadcast side must therefore contain the LeftSemi
+    prefilter in its subtree."""
+    plan = _plan(QUERIES["graph_negative_samples"](spark, SF_DIR_ORACLE))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert re.search(r"Join LeftSemi", body), body[:3000]
+    # the semi prefilter sits below the anti join (tree order: the anti
+    # join's build subtree is printed after its streamed subtree)
+    anti = body.find("Join LeftAnti")
+    semi = body.find("Join LeftSemi")
+    assert anti != -1 and semi > anti, body[:3000]
+
+
 def test_dense_index_matches_sql_contract(spark, duck):
     """dense_index's (bucket, *order_cols) total order must equal its
     advertised SQL restatement (dense_index_sql) exactly — the contract
