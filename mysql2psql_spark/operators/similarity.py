@@ -469,7 +469,7 @@ def bitext_margin_pairs(
     )
     if caches is not None:
         caches.append(scored)
-    return margin_mutual_best(scored, k, threshold, fanout)
+    return margin_mutual_best(scored, k, threshold, fanout, caches=caches)
 
 
 def margin_mutual_best(
@@ -477,6 +477,8 @@ def margin_mutual_best(
     k: int,
     threshold: float,
     fanout: int = 32,
+    caches: "list[DataFrame] | None" = None,
+    persist_m: bool = True,
 ) -> DataFrame:
     """The margin + mutual-best tail shared by :func:`bitext_margin_pairs`
     (exact cross-product scoring) and :func:`bitext_margin_ann` (LSH
@@ -488,7 +490,21 @@ def margin_mutual_best(
     count — this is the piece that stays IDENTICAL when the candidate
     generator swaps from the gated cross product to ANN at production
     scale. Callers must persist ``scored`` (three consumers: both
-    topk_sum passes and the margin join)."""
+    topk_sum passes and the margin join).
+
+    The margin frame ``m`` feeds BOTH mutual-best aggregations, and its
+    subtree is the query's deepest (scored -> two two-phase topk_sum
+    window pipelines -> two joins): left unmaterialized, the final
+    best_x |><| best_y join carries a full copy of that subtree per
+    branch (r17 plan: 2x the window/join stages, zero static exchange
+    reuse). ``persist_m`` (default) persists the candidate-bounded
+    (id_a, id_b, margin) frame — pair-table-sized at any corpus scale —
+    so the deep subtree executes once; registered on ``caches`` when a
+    handle is given (the CacheHandle release convention). Values are
+    unaffected either way: margins are int64-exact by construction.
+    ``persist_m=False`` is the measurement knob for the A/B."""
+    from mysql2psql_spark.operators.materialize import materialize as _materialize
+
     fwd = topk_sum(scored, "id_a", "id_b", "c6", k, fanout).withColumnRenamed(
         "ksum", "fsum"
     )
@@ -508,6 +524,10 @@ def margin_mutual_best(
             ).alias("margin"),
         )
     )
+    if persist_m:
+        m = _materialize(m)
+        if caches is not None:
+            caches.append(m)
     best_x = m.groupBy("id_a").agg(
         F.max(F.struct(F.col("margin"), (-F.col("id_b")).alias("nb"))).alias("s")
     ).select("id_a", (-F.col("s.nb")).alias("id_b"), F.col("s.margin").alias("margin"))
@@ -589,4 +609,4 @@ def bitext_margin_ann(
     )
     if caches is not None:
         caches.append(scored)
-    return margin_mutual_best(scored, k, threshold, fanout)
+    return margin_mutual_best(scored, k, threshold, fanout, caches=caches)

@@ -1628,6 +1628,17 @@ def test_margin_mutual_best_fanout_invariant_and_monotone(spark):
         )
         assert set(tighter) <= set(base)
         assert all(m >= 1.05 for _, _, m in tighter)
+        # (c) the persisted-m plan shape (r17: the margin frame feeds both
+        # mutual-best aggregations, so it persists by default to stop the
+        # final join carrying the deep topk/join subtree twice) returns
+        # the identical rows as the unpersisted shape.
+        unpersisted = sorted(
+            (r.id_x, r.id_y, r.margin)
+            for r in margin_mutual_best(
+                scored, k=4, threshold=0.9, fanout=32, persist_m=False
+            ).collect()
+        )
+        assert unpersisted == base, "persist_m changed the result"
     finally:
         unmaterialize(scored)
 
