@@ -791,12 +791,101 @@ def connected_components(
     return out
 
 
+def _incremental_driver_tail(
+    cluster_map: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+) -> DataFrame:
+    """Batch-bounded incremental tail computed in the driver — the
+    ``<= driver_threshold`` path of :func:`connected_components_incremental`
+    (equivalence + memory-class argument in its docstring). Null
+    endpoints vanish exactly as in the distributed tail (they never
+    match an equi-join there; they are dropped from ``ends`` here)."""
+    from pyspark.sql.types import StructField, StructType
+
+    spark = cluster_map.sparkSession
+    prs = [
+        (r[0], r[1]) for r in new_pairs.select(id_a, id_b).collect()
+    ]
+    ends: set = set()
+    for a, b in prs:
+        if a is not None:
+            ends.add(a)
+        if b is not None:
+            ends.add(b)
+    doc_dt = cluster_map.schema["doc_id"].dataType
+    lbl_dt = cluster_map.schema["cluster_id"].dataType
+    ends_df = spark.createDataFrame(
+        [(e,) for e in sorted(ends)], StructType([StructField("doc_id", doc_dt)])
+    )
+    # the ONE distributed lookup: restrict the corpus map to the batch's
+    # endpoints (map-side semi-join against the broadcast endpoint list)
+    touched = cluster_map.join(F.broadcast(ends_df), "doc_id", "left_semi").collect()
+    lblmap = {r["doc_id"]: r["cluster_id"] for r in touched}
+    lbl = {e: lblmap.get(e, e) for e in ends}
+
+    # contraction union-find over labels (union-by-min-root — identical
+    # labeling to _connected_components_driver / the distributed remap)
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in prs:
+        if a is None or b is None:
+            continue
+        la, lb = lbl[a], lbl[b]
+        if la == lb:
+            continue
+        if la not in parent:
+            parent[la] = la
+        if lb not in parent:
+            parent[lb] = lb
+        ra, rb = find(la), find(lb)
+        if ra == rb:
+            continue
+        if ra < rb:
+            parent[rb] = ra
+        else:
+            parent[ra] = rb
+
+    remap = {n: find(n) for n in parent}
+    remap_df = spark.createDataFrame(
+        sorted(remap.items()),
+        StructType(
+            [StructField("cluster_id", lbl_dt), StructField("root", lbl_dt)]
+        ),
+    )
+    # the OTHER distributed touch: apply the batch-bounded relabel to the
+    # corpus map (broadcast left join — the map still never shuffles)
+    updated_old = cluster_map.join(F.broadcast(remap_df), "cluster_id", "left").select(
+        "doc_id", F.coalesce(F.col("root"), F.col("cluster_id")).alias("cluster_id")
+    )
+    fresh_rows = [
+        (e, remap.get(lbl[e], lbl[e])) for e in sorted(ends) if e not in lblmap
+    ]
+    fresh_df = spark.createDataFrame(
+        fresh_rows,
+        StructType(
+            [StructField("doc_id", doc_dt), StructField("cluster_id", lbl_dt)]
+        ),
+    )
+    return updated_old.unionByName(fresh_df)
+
+
 def connected_components_incremental(
     cluster_map: DataFrame,
     new_pairs: DataFrame,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     caches: "list[DataFrame] | None" = None,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Maintain a standing near-dup clustering under a batch of NEW
     pairs WITHOUT re-clustering the corpus — the maintenance step after
@@ -826,8 +915,30 @@ def connected_components_incremental(
     (batch-bounded) relabel — it never shuffles and is never
     re-clustered; everything else is batch-edge-sized. Per-batch work is
     O(new edges), not O(corpus).
+
+    Two execution paths, picked by the COUNTED batch size (r17
+    optimization — the :func:`connected_components` gate discipline):
+
+    - ``<= driver_threshold`` new pairs: the whole batch-bounded tail
+      (endpoint labels, contraction, union-find, remap, fresh rows)
+      runs in the DRIVER. This adds NO driver-memory class the
+      distributed tail doesn't already have — that tail routes ``ends``,
+      ``touched``, ``lbl`` (x2) and ``remap`` through ``F.broadcast``,
+      and every broadcast is collected to the driver before shipping —
+      while replacing ~8 broadcast-exchange builds, 2 distinct shuffles,
+      3 persists and 2 actions with 2 bounded collects and 1 broadcast.
+      The corpus map still never moves: it is read by the same two
+      map-side operations (endpoint semi-join, relabel left join).
+      Measured at sf0.1 (phase probe, idle host): the tail's wall is
+      scheduling, not data — see OPTIMIZATION_r17.md.
+    - above the gate: the original all-DataFrame tail (no bounded
+      collect anywhere beyond the contraction CC's own gate).
     """
     from mysql2psql_spark.operators.materialize import materialize
+
+    n_new = new_pairs.count()
+    if n_new <= driver_threshold:
+        return _incremental_driver_tail(cluster_map, new_pairs, id_a, id_b)
 
     ends = new_pairs.select(F.col(id_a).alias("doc_id")).unionByName(
         new_pairs.select(F.col(id_b).alias("doc_id"))

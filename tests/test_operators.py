@@ -1991,6 +1991,43 @@ def test_clusters_incremental_merges_bridged_clusters(spark):
     assert got == want == {(1, 1), (2, 1), (5, 1), (10, 1), (11, 1)}
 
 
+def test_clusters_incremental_driver_and_distributed_tails_identical(spark):
+    """The r17 driver-side fast tail (batch under the counted gate) must
+    produce row-identical maps to the distributed DataFrame tail on the
+    same inputs — including merges, fresh singleton components, an
+    intra-cluster no-op edge, a null endpoint (which vanishes in both
+    tails), and an empty batch."""
+    from mysql2psql_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    old = spark.createDataFrame([(1, 2), (10, 11), (20, 21)], ["doc_a", "doc_b"])
+    cc_old = connected_components(old)
+    cases = [
+        [(2, 5), (5, 10), (1, 2), (30, 31), (7, None)],
+        [],
+        [(40, 41)],
+    ]
+    for new_rows in cases:
+        new = spark.createDataFrame(
+            new_rows or [(None, None)], "doc_a bigint, doc_b bigint"
+        )
+        if not new_rows:
+            new = new.filter(F.col("doc_a").isNotNull() & F.lit(False))
+        got_driver = {
+            (r.doc_id, r.cluster_id)
+            for r in connected_components_incremental(cc_old, new).collect()
+        }
+        got_dist = {
+            (r.doc_id, r.cluster_id)
+            for r in connected_components_incremental(
+                cc_old, new, driver_threshold=-1
+            ).collect()
+        }
+        assert got_driver == got_dist, new_rows
+
+
 # --- PSI drift profile (QUEUED r14/r15 registration: full DuckDB
 # differential runs HERE until the @query row lands) ---------------------
 
