@@ -1043,6 +1043,69 @@ def dedup_leakage_safe_split(
         caches.append(pairs)
         caches.append(cc)
     d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    # r17 optimization: the leak audit is PAIR-GRAPH-BOUNDED — the
+    # distributed tail below already routes the cluster map and both
+    # pair-member label frames through the driver via F.broadcast, so
+    # computing the leaky-pair counts in the driver is the same memory
+    # class while removing a distinct shuffle, four broadcast-exchange
+    # builds and their joins from the final action. Only the corpus
+    # stats (doc/split counts) genuinely need a distributed pass: ONE
+    # documents scan joined against the broadcast map. Gated on the
+    # counted pair-list size (the connected_components discipline —
+    # cc has at most 2x pairs rows, and the count reads the persist the
+    # CC gate already built); above the gate the original all-DataFrame
+    # tail runs unchanged.
+    n_pairs = pairs.count()
+    if n_pairs <= 1_000_000:
+        import hashlib
+
+        prs = pairs.collect()
+        cc_rows = cc.collect()
+        cmap = {r["doc_id"]: r["cluster_id"] for r in cc_rows}
+
+        def split_py(k) -> str:
+            h = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 100
+            return "train" if h < 80 else ("val" if h < 90 else "test")
+
+        naive = safe = 0
+        for r in prs:
+            a, b = r["doc_a"], r["doc_b"]
+            if split_py(cmap.get(a, a)) != split_py(cmap.get(b, b)):
+                safe += 1
+            if split_py(a) != split_py(b):
+                naive += 1
+        stats = (
+            d.join(F.broadcast(cc), "doc_id", "left")
+            .select(
+                F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
+            )
+            .select("cluster_id", split_of(F.col("cluster_id")).alias("split"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+                F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+                .cast("bigint")
+                .alias("train_docs"),
+                F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+                .cast("bigint")
+                .alias("val_docs"),
+                F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+                .cast("bigint")
+                .alias("test_docs"),
+            )
+        )
+        return stats.select(
+            "n_docs",
+            "n_clusters",
+            F.lit(len(cc_rows)).cast("bigint").alias("n_dup_docs"),
+            "train_docs",
+            "val_docs",
+            "test_docs",
+            F.lit(naive).cast("bigint").alias("naive_leaky_pairs"),
+            F.lit(safe).cast("bigint").alias("safe_leaky_pairs"),
+        )
+
     lab = materialize(
         d.join(F.broadcast(cc), "doc_id", "left")
         .select(
