@@ -351,22 +351,47 @@ def main() -> None:
     # later query. Build the tables here, timed as their own artifact
     # field, so every measured sample — including the first — sees the
     # steady state a long-lived cluster sees.
+    #
+    # SETUP-SEAT CONTRACT (VERDICT r17 #2/#7 — the adjudicated posture):
+    # a setup seat may build WRITE-ONCE LAYOUT OR MODEL ARTIFACTS ONLY —
+    # bucketed table layouts and frozen offline-training products (the
+    # langid profile) that production maintains outside the query path.
+    # Seats must stay SESSION-SCOPED (a cold run retrains/rebuilds —
+    # nothing persists across bench invocations; the scratch roots are
+    # mkdtemp + atexit-cleaned), must be itemized in setup_detail below,
+    # and must NEVER extend to per-query result frames or intermediates
+    # of a measured query — that would be result caching, which this
+    # harness forbids. The r17 verdict sanctioned the langid profile
+    # seat conditionally on exactly these terms.
+    setup_detail: dict[str, float] = {}
+
+    def _timed_setup(label: str, fn_) -> None:
+        t1 = time.perf_counter()
+        fn_()
+        setup_detail[label] = round(time.perf_counter() - t1, 3)
+
     t_setup = time.perf_counter()
     try:
         from mysql2psql_spark.queries.graph_q import coorder_edges, sc_pairs
 
-        coorder_edges(spark, sf_dir)  # shared part co-order edge table
-        sc_pairs(spark, sf_dir)  # shared supplier<->customer pair table
+        # shared part co-order edge table
+        _timed_setup("coorder_edges", lambda: coorder_edges(spark, sf_dir))
+        # shared supplier<->customer pair table
+        _timed_setup("sc_pairs", lambda: sc_pairs(spark, sf_dir))
         fn = QUERIES.get("o6_bucketed_join")
         if fn is not None:
-            fn(spark, sf_dir)  # builds its two bucketed fact layouts
+            # builds its two bucketed fact layouts
+            _timed_setup("o6_bucketed_layouts", lambda: fn(spark, sf_dir))
         # frozen langid profile artifact (r17): trained once per
         # session, consumed by the streaming langid gate — offline
         # training is setup, not per-query work
         from mysql2psql_spark.operators.text import langid_profile_artifact
         from mysql2psql_spark.queries.text_q import _LANGID_K
 
-        langid_profile_artifact(spark, sf_dir, k=_LANGID_K)
+        _timed_setup(
+            "langid_profile_artifact",
+            lambda: langid_profile_artifact(spark, sf_dir, k=_LANGID_K),
+        )
     except Exception as exc:  # setup must never fail the bench
         print(f"# session setup failed: {exc}", file=sys.stderr)
     setup_sec = round(time.perf_counter() - t_setup, 3)
@@ -473,6 +498,7 @@ def main() -> None:
         "pipeline_sec": pipeline_total,
         "anchor_sec": anchor_total,
         "setup_sec": setup_sec,
+        "setup_detail": setup_detail,
         "queries": times,
         "sf": float(sf),
         "repeat": repeat,
@@ -487,6 +513,17 @@ def main() -> None:
     except OSError as exc:
         print(f"# could not write {full_path}: {exc}", file=sys.stderr)
     print(json.dumps(full))  # earlier line: full detail (may be tail-truncated)
+    # "top": the 25 most expensive queries at centisecond precision
+    # (~1 KB) — per-query data that SURVIVES the driver's bounded tail
+    # capture, so round-over-round PERF can compute a real per-query
+    # comparison (VERDICT r17 #3: the full `queries` dict lives in an
+    # earlier, tail-truncated line and in BENCH_FULL.json, which the
+    # driver does not read; two rounds of PERF had n_common == 0).
+    # Additive only: the final line keeps every existing field.
+    top = {
+        k: round(v, 2)
+        for k, v in sorted(times.items(), key=lambda kv: -kv[1])[:25]
+    }
     print(
         json.dumps(
             {
@@ -502,6 +539,7 @@ def main() -> None:
                 "protocol": "noop" if noop else "count",
                 "noop_always": sorted(noop_always),
                 "queries_file": "BENCH_FULL.json",
+                "top": top,
             }
         )
     )

@@ -89,6 +89,7 @@ def _minhash_tables(
     hash_col: str = "sh",
     k: int = 32,
     bands: int = 8,
+    n_parts: "int | None" = None,
 ) -> "tuple[DataFrame, DataFrame]":
     """The shared MinHash build: (arrs, buckets) from an exploded
     (id, shingle-hash) table. ``arrs`` is the persisted per-doc frame
@@ -103,9 +104,19 @@ def _minhash_tables(
     xxhash64 seeds (0..k-1 on the element hash; variadic over each
     band's r signature columns) are the banding identity — every
     consumer (within-corpus pairs, the incremental cross probe) MUST
-    share them or band keys stop colliding across frames."""
+    share them or band keys stop colliding across frames.
+
+    ``n_parts`` (r18, guide §2.5 — the _bpe_vocab_parts class): the
+    persisted ``arrs`` frame is DOC-COUNT-sized, but its aggregation
+    exchange runs at the session shuffle width and a persisted plan's
+    exchange is never AQE-coalesced (canChangeCachedPlanOutputPartitioning
+    is off), so every downstream consumer stage inherits session-width
+    partitions of near-empty tasks. Callers that know the corpus scale
+    pass a derived width; the frame re-clusters by ``id_col`` (hash, no
+    round-robin sort) so doc-keyed consumers keep their clustering.
+    Default None preserves the session-width behavior."""
     r = k // bands
-    arrs = _materialize(shingle_df.groupBy(id_col).agg(
+    agg = shingle_df.groupBy(id_col).agg(
         F.sort_array(F.collect_set(hash_col)).alias("arr"),
         # per-band keys hash their r signature columns directly
         # (xxhash64 is variadic) — no intermediate array build + slice,
@@ -113,7 +124,10 @@ def _minhash_tables(
         # inflates the plan's one-time Janino compile (~3 s of the cold
         # run at sf0.1 before this shape).
         *[F.min(F.xxhash64(F.lit(i), F.col(hash_col))).alias(f"h{i}") for i in range(k)],
-    ).withColumn("n", F.size("arr")))
+    ).withColumn("n", F.size("arr"))
+    if n_parts is not None:
+        agg = agg.repartition(n_parts, id_col)
+    arrs = _materialize(agg)
     band_structs = F.array(
         *[
             F.struct(
@@ -230,6 +244,7 @@ def minhash_lsh_cross_pairs(
     threshold: float = 0.5,
     caches: "list[DataFrame] | None" = None,
     corpus_tables: "tuple[DataFrame, DataFrame] | None" = None,
+    n_parts: "int | None" = None,
 ) -> DataFrame:
     """Incremental NEAR-dup gate: (doc_new, doc_corpus, jaccard) for
     every new-batch document whose true Jaccard against some standing-
@@ -268,7 +283,7 @@ def minhash_lsh_cross_pairs(
     whose lifetime the caller owns — it is NOT registered on ``caches``)
     and ``sh_corpus=None``; only the batch side is then built — and
     released — per call."""
-    arrs_n, bk_n = _minhash_tables(sh_new, id_col, hash_col, k, bands)
+    arrs_n, bk_n = _minhash_tables(sh_new, id_col, hash_col, k, bands, n_parts)
     if caches is not None:
         caches.append(arrs_n)
     if corpus_tables is not None:
@@ -276,7 +291,7 @@ def minhash_lsh_cross_pairs(
     else:
         if sh_corpus is None:
             raise ValueError("need sh_corpus or corpus_tables")
-        arrs_c, bk_c = _minhash_tables(sh_corpus, id_col, hash_col, k, bands)
+        arrs_c, bk_c = _minhash_tables(sh_corpus, id_col, hash_col, k, bands, n_parts)
         if caches is not None:
             caches.append(arrs_c)
     n = bk_n.alias("n")

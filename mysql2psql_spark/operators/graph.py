@@ -84,6 +84,7 @@ def pagerank(
     damping: float = 0.85,
     caches: "list[DataFrame] | CacheHandle | None" = None,
     dedup_edges: bool = False,
+    n_parts: "int | None" = None,
 ) -> DataFrame:
     """Non-normalized PageRank: ``r'(v) = (1-d) + d * sum_{u->v} r(u)/deg(u)``
     with r0 = 1.0, run for ``iters`` synchronous iterations.
@@ -136,8 +137,20 @@ def pagerank(
     # edge frame once inside the single job, and keeps lineage (so a
     # lost executor recomputes instead of failing — strictly better
     # under dynamic allocation, see operators/materialize.py).
+    # ``n_parts`` (r18, guide §2.5 — the label_propagation/k_core width
+    # discipline, VERDICT r17 #3): the persisted edge frame's exchange
+    # is never AQE-coalesced (cached plans keep their static width), so
+    # with the session default every iteration's join/degree stage
+    # schedules session-width partitions over a GRAPH-sized frame.
+    # Callers that know the edge count pass a graph-derived width
+    # (~1M edges/partition, capped at 1024 like the siblings); None
+    # preserves the session-width behavior. Ranks are exact integer
+    # sums — partitioning never changes a value.
     w = Window.partitionBy("src")
-    edges = edges.repartition("src")
+    if n_parts is not None:
+        edges = edges.repartition(n_parts, "src")
+    else:
+        edges = edges.repartition("src")
     if dedup_edges:
         edges = edges.dropDuplicates(["src", "dst"])
     edges = edges.withColumn("deg", F.count(F.lit(1)).over(w)).persist(

@@ -32,6 +32,29 @@ _JACCARD = """CAST(LEN(LIST_INTERSECT(a.sg, b.sg)) AS DOUBLE)
                  / (LEN(a.sg) + LEN(b.sg) - LEN(LIST_INTERSECT(a.sg, b.sg)))"""
 
 
+def _doc_table_parts(spark: SparkSession, sf_dir: str) -> int:
+    """Partition width for DOC-COUNT-sized persisted frames (the minhash
+    per-doc array tables), derived from the documents table's on-disk
+    bytes — guide §2.5 / the _bpe_vocab_parts class: these frames hold
+    one row per document, but their aggregation exchanges run at the
+    session shuffle width and a persisted plan's exchange is never
+    AQE-coalesced, so every consumer stage schedules session-width
+    partitions of near-empty tasks. 256 KB of corpus per slot keeps the
+    fixture's frames a handful of partitions while any real corpus
+    saturates the cluster; width caps at defaultParallelism either way
+    (scale-adaptive, never a local constant)."""
+    import os
+
+    from mysql2psql_spark.sources.parquet import _path_stat
+
+    width = spark.sparkContext.defaultParallelism
+    try:
+        _, nbytes = _path_stat(os.path.realpath(f"{sf_dir}/documents.parquet"))
+    except OSError:
+        return width
+    return int(max(2, min(width, (nbytes + (256 << 10) - 1) // (256 << 10))))
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -274,7 +297,15 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mysql2psql_spark.operators.multimodal import encode_wav_pcm16, wav_features
 
-    d = load_table(spark, sf_dir, "documents", fanout=True).select("doc_id")
+    # fanout reverted (r18, VERDICT r17 #1): the r17 isolated A/B read
+    # 0.979 -> 0.869 (marginal) but every committed artifact since reads
+    # the fanned shape at ~2x the 0.373/0.453 pre-fanout floors (final2
+    # 0.696/0.624, r18 baseline 0.900/0.645 under 1.25x ambient) — the
+    # ~400-sample synth is too light per row to pay the exchange, the
+    # same class as the rejected BMP/frame flips. vad_spans (4x the
+    # samples per row) keeps its fanout: its artifacts support it
+    # (1.251 -> 1.055 driver ground truth, 0.956 r18 baseline).
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def synth(batches):
         for pdf in batches:
@@ -321,7 +352,9 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mysql2psql_spark.operators.multimodal import audio_frame_energies, encode_wav_pcm16
 
-    d = load_table(spark, sf_dir, "documents", fanout=True).select("doc_id")
+    # fanout reverted (r18) — see multimodal_wav_features: same synth
+    # weight, same artifact-regression evidence.
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def synth(batches):
         for pdf in batches:
@@ -820,25 +853,26 @@ def dedup_recall_gate(
     from mysql2psql_spark.operators.materialize import materialize
 
     sh = materialize(shingle_hash_table(load_table(spark, sf_dir, "documents")))
-    # seat the shared frame, then overlap the two independent consumers
-    # (exact-truth prefix-filter join vs minhash banding) from a 2-thread
-    # pool (guide §2.6; same-session 5-rep A/B: 2.88 -> 2.52 s median,
-    # overlap also immune to the ambient spike that hit the serial shape)
+    # seat the shared frame, then build the two consumers (exact-truth
+    # prefix-filter join vs minhash banding) SERIALLY — r18 revert of
+    # the r17 §2.6 thread overlap (VERDICT r17 #1): the overlap's own
+    # 5-rep A/B read 2.88 -> 2.52 but the row regressed in BOTH r17
+    # close artifacts (1.60 -> 2.24) and in the driver's ground truth
+    # (1.82 -> 2.91, 1.60x against a 1.24x ambient median) — the same
+    # concurrent-32-task-stage stall class the near-dup gate's
+    # instrumented probe attributed (see stream_near_dup_gate), which
+    # single-query isolation A/Bs cannot see. Serial is the shape whose
+    # committed artifacts were stable (1.46-1.60 across r16/r17).
     sh.count()
     if caches is not None:
         caches.append(sh)
-    from concurrent.futures import ThreadPoolExecutor
 
-    from pyspark import inheritable_thread_target
-
-    @inheritable_thread_target
     def _build(fn):
         fr = materialize(fn(spark, sf_dir, shingles=sh).select("doc_a", "doc_b"))
         fr.count()
         return fr
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        truth, found = pool.map(_build, (dedup_ngram_jaccard, dedup_minhash_lsh))
+    truth, found = _build(dedup_ngram_jaccard), _build(dedup_minhash_lsh)
     if caches is not None:
         caches.extend((truth, found))
     j = truth.withColumn("_t", F.lit(1)).join(
@@ -929,7 +963,13 @@ def dedup_minhash_incremental(
     sh = shingle_hash_table(d)
     batch = sh.filter(F.col("doc_id") % 10 >= 8)
     corpus = sh.filter(F.col("doc_id") % 10 < 8)
-    return minhash_lsh_cross_pairs(batch, corpus, threshold=0.5, caches=caches)
+    return minhash_lsh_cross_pairs(
+        batch,
+        corpus,
+        threshold=0.5,
+        caches=caches,
+        n_parts=_doc_table_parts(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1276,15 +1316,20 @@ def stream_near_dup_gate(
 
     _dbg = bool(os.environ.get("SPARK_GRAFT_GATE_DEBUG"))
     _t0 = _time.perf_counter()
+    _last = [_t0]
 
     def _mark(label: str) -> None:
+        # per-phase delta + cumulative (ADVICE r17: a single firing
+        # should attribute the stall without manual subtraction)
         if _dbg:
+            now = _time.perf_counter()
             print(
                 f"## near_dup_gate phase {label}: "
-                f"{_time.perf_counter() - _t0:.3f}s",
+                f"+{now - _last[0]:.3f}s (t={now - _t0:.3f}s)",
                 file=sys.stderr,
                 flush=True,
             )
+            _last[0] = now
 
     d = load_table(spark, sf_dir, "documents")
     new = d.filter(F.col("doc_id") % 10 >= 8)
@@ -1295,10 +1340,13 @@ def stream_near_dup_gate(
     # A/B r13: 3.71 s separate vs 3.65 s shared, control at floor):
     # the wall is dominated by the two foreachBatch trigger jobs
     # (write + read-back), not the ~4k-doc corpus aggregation.
-    corpus_tables = _minhash_tables(corpus_sh)
-    # seat the shared corpus banding build with one action BEFORE the
-    # twin thread and trigger 1 can race its first touch (a concurrent
-    # first touch of a lazily-persisted frame builds it twice)
+    # doc-scaled widths for the per-doc array tables (r18, guide §2.5 —
+    # see _doc_table_parts): corpus AND per-trigger batch builds
+    parts = _doc_table_parts(spark, sf_dir)
+    corpus_tables = _minhash_tables(corpus_sh, n_parts=parts)
+    # seat the shared corpus banding build with one action (it feeds
+    # both triggers and the batch twin; the seat also keeps the first
+    # trigger's measured cost honest)
     corpus_tables[0].count()
     _mark("corpus_seat")
     if caches is not None:
@@ -1306,31 +1354,22 @@ def stream_near_dup_gate(
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     out_dir = os.path.join(session_scratch(spark), f"stream_gate_{sf_tag}")
     gate = near_dup_gate_foreach_batch(
-        None, out_dir, caches=caches, corpus_tables=corpus_tables
+        None, out_dir, caches=caches, corpus_tables=corpus_tables, n_parts=parts
     )
-    # The batch twin never reads the gate's partials, so it computes on
-    # a background thread while the two triggers run (guide §2.6 — the
-    # stream_ks_summary A/B class); the trigger ordering itself stays
-    # strictly sequential per the audit contract.
-    from concurrent.futures import ThreadPoolExecutor
-
-    from pyspark import inheritable_thread_target
-
+    # The batch twin runs SERIALLY after the two triggers (r18 revert of
+    # the r17 §2.6 thread overlap, VERDICT r17 #1): with the twin on a
+    # background thread this query runs up to three concurrent 32-task
+    # stages, and on this host that concurrency level sporadically
+    # stalls every in-flight task ~8x — the row read 19.7/6.7 s in the
+    # r18 baseline bench, 13.7/22.8/4.8 s across three instrumented
+    # full-headline probe passes (phase marks: the stall lands inside
+    # trigger0/trigger1 while the twin overlaps them; serial reps read
+    # a 3.3-3.5 s floor), and 4.40/5.14 s in the two r17 close
+    # artifacts vs its 3.44 s pre-overlap baseline. The overlap's own
+    # isolated A/B claimed only 3.44 -> 3.31; the stall it induces in
+    # full-bench sessions costs multiples of that. Trigger ordering was
+    # always sequential (audit contract); now the twin is too.
     from mysql2psql_spark.operators.materialize import materialize
-
-    @inheritable_thread_target
-    def _twin():
-        fr = materialize(
-            minhash_lsh_cross_pairs(
-                shingle_hash_table(new),
-                None,
-                threshold=0.5,
-                caches=caches,
-                corpus_tables=corpus_tables,
-            )
-        )
-        fr.count()
-        return fr
 
     pair_schema = T.StructType(
         [
@@ -1339,18 +1378,25 @@ def stream_near_dup_gate(
             T.StructField("jaccard", T.DoubleType()),
         ]
     )
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        fut = pool.submit(_twin)
-        _mark("twin_submitted")
-        gate(new.filter(F.col("doc_id") % 2 == 0), 0)
-        _mark("trigger0")
-        gate(new.filter(F.col("doc_id") % 2 == 1), 1)
-        _mark("trigger1")
-        # explicit schema so an all-empty trigger's output dir still reads
-        streamed = spark.read.schema(pair_schema).parquet(f"{out_dir}/batch=*")
-        _mark("streamed_read_plan")
-        batch = fut.result()
-        _mark("twin_joined")
+    gate(new.filter(F.col("doc_id") % 2 == 0), 0)
+    _mark("trigger0")
+    gate(new.filter(F.col("doc_id") % 2 == 1), 1)
+    _mark("trigger1")
+    batch = materialize(
+        minhash_lsh_cross_pairs(
+            shingle_hash_table(new),
+            None,
+            threshold=0.5,
+            caches=caches,
+            corpus_tables=corpus_tables,
+            n_parts=parts,
+        )
+    )
+    batch.count()
+    _mark("twin_built")
+    # explicit schema so an all-empty trigger's output dir still reads
+    streamed = spark.read.schema(pair_schema).parquet(f"{out_dir}/batch=*")
+    _mark("streamed_read_plan")
     s = streamed.select("doc_new", "doc_corpus", F.col("jaccard").alias("j_s"))
     b = batch.select("doc_new", "doc_corpus", F.col("jaccard").alias("j_b"))
     j = s.join(b, ["doc_new", "doc_corpus"], "full_outer")
@@ -1436,18 +1482,46 @@ def dedup_clusters_incremental(
     )
     from mysql2psql_spark.operators.materialize import materialize
 
+    # Env-gated phase timing (SPARK_GRAFT_GATE_DEBUG=1, the
+    # stream_near_dup_gate instrumentation twin): this row sporadically
+    # reads 10-16 s in full-bench sessions vs its ~2.5 s floor (r17
+    # continuation session; r18 baseline passes 1/3) and never in
+    # isolation — the marks attribute the stall when it fires.
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _dbg = bool(_os.environ.get("SPARK_GRAFT_GATE_DEBUG"))
+    _t0 = _time.perf_counter()
+    _last = [_t0]
+
+    def _mark(label: str) -> None:
+        if _dbg:
+            now = _time.perf_counter()
+            print(
+                f"## clusters_incremental phase {label}: "
+                f"+{now - _last[0]:.3f}s (t={now - _t0:.3f}s)",
+                file=_sys.stderr,
+                flush=True,
+            )
+            _last[0] = now
+
     pairs = materialize(
         dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     )
     if caches is not None:
         caches.append(pairs)
+    _mark("pairs_plan")
     both_old = (F.col("doc_a") % 10 < 8) & (F.col("doc_b") % 10 < 8)
     cc_old = materialize(connected_components(pairs.filter(both_old)))
+    _mark("cc_old_built")
     if caches is not None:
         caches.append(cc_old)
-    return connected_components_incremental(
+    out = connected_components_incremental(
         cc_old, pairs.filter(~both_old), caches=caches
     )
+    _mark("incremental_tail")
+    return out
 
 
 # ---------------------------------------------------------------------------

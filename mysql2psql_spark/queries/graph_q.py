@@ -126,8 +126,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # path. Same-session interleaved A/B at sf0.1: 2.90 -> 2.19 s
     # median vs the r10 rebuild-per-query shape; ranks bit-identical
     # (the dedup is exact either way).
-    edges = undirected_edges(sc_pairs(spark, sf_dir), "s", "c", pairs_distinct=True)
-    ranks = pagerank(edges, iters=3, damping=0.85, dedup_edges=False)
+    pairs = sc_pairs(spark, sf_dir)
+    # graph-derived iteration width (r18, guide §2.5 / VERDICT r17 #3):
+    # the count is a parquet count-star over the session's bucketed
+    # pair files (metadata-cheap); x2 for the direction doubling. With
+    # the session-width default every one of the 3 iterations scheduled
+    # 32-partition stages over a |V|-row rank frame.
+    n_edges = 2 * pairs.count()
+    n_part = int(max(4, min(1024, n_edges // 1_000_000 + 4)))
+    edges = undirected_edges(pairs, "s", "c", pairs_distinct=True)
+    ranks = pagerank(
+        edges, iters=3, damping=0.85, dedup_edges=False, n_parts=n_part
+    )
     return ranks.select(
         F.when(F.col("node") % 2 == 0, "supplier")
         .otherwise("customer")
@@ -481,31 +491,42 @@ def graph_negative_samples(
         )
     )
     # broadcast the PROPS side (anchors x m rows, constant) — the vertex
-    # index is |V|-scale and must never ride a broadcast at graph scale
-    cands = (
+    # index is |V|-scale and must never ride a broadcast at graph scale.
+    # cands persists (<= anchors x m rows): both the edge hash-probe's
+    # key frame and the final anti join consume it, and without the
+    # persist the |V|-scale index join would execute twice.
+    cands = materialize(
         F.broadcast(props).join(verts, props.cand_idx == verts.idx)
         .filter(F.col("v") != F.col("anchor"))
         .groupBy("anchor", F.col("v").alias("cand"))
         .agg(F.min("j").alias("draw_j"))
     )
-    # Anti-join shape: every edge that can reject a candidate is incident
-    # to one of the _NEG_ANCHORS anchors, so pre-filter the edge table to
-    # anchor-incident rows (one pass over the bucketed files under a
-    # 10-row broadcast) and anti-join against THAT. Joining cands
-    # directly to e would put the |E|-scale table on the join's build /
-    # shuffle side: at bench scale Spark broadcasts all of e (a 1.2M-row
-    # hashmap for a 400-row probe), and past the broadcast threshold it
-    # would SMJ-shuffle the full edge table. The prefilter keeps the
-    # e side exchange-free at any scale; bench-neutral at sf0.1.
-    hits = e.join(
-        F.broadcast(anchors),
-        (e.a == F.col("anchor")) | (e.b == F.col("anchor")),
-        "left_semi",
+    if caches is not None:
+        caches.append(cands)
+    # Anti-join shape (r18, VERDICT r17 #4): every broadcast is bounded
+    # by the PROBE side (anchors x proposals rows — a constant), never
+    # by the graph. The r17 shape broadcast the ANCHOR-INCIDENT edge
+    # subset, which is degree-sized — a hub anchor in a skewed graph
+    # makes that broadcast the accidental-big-build class the change had
+    # fixed, one level down. Now the candidate PAIR KEYS broadcast into
+    # one hash-probe pass over the bucketed edge files (e streams
+    # through a BroadcastHashJoin build of <= |cands| keys: no |E|-scale
+    # build, no shuffle, and no O(|E| x anchors) nested-loop semi), and
+    # the matched keys (<= |cands| rows by e's distinctness) broadcast
+    # into the anti join. Result rows identical: a candidate survives
+    # iff no edge (least, greatest) exists — matched enumerates exactly
+    # the candidates that have one.
+    ckeys = cands.select(
+        F.least("anchor", "cand").alias("ka"),
+        F.greatest("anchor", "cand").alias("kb"),
     )
+    matched = e.join(
+        F.broadcast(ckeys), (e.a == F.col("ka")) & (e.b == F.col("kb"))
+    ).select("ka", "kb")
     negs = cands.join(
-        F.broadcast(hits),
-        (F.least("anchor", "cand") == hits.a)
-        & (F.greatest("anchor", "cand") == hits.b),
+        F.broadcast(matched),
+        (F.least("anchor", "cand") == F.col("ka"))
+        & (F.greatest("anchor", "cand") == F.col("kb")),
         "left_anti",
     )
     rk = F.row_number().over(W.partitionBy("anchor").orderBy("draw_j"))

@@ -81,6 +81,7 @@ def near_dup_gate_foreach_batch(
     threshold: float = 0.5,
     caches=None,
     corpus_tables=None,
+    n_parts: "int | None" = None,
 ):
     """foreachBatch gate: NEAR-dup flag each arriving micro-batch against
     the standing corpus — the streaming face of
@@ -123,7 +124,7 @@ def near_dup_gate_foreach_batch(
     if corpus_tables is None:
         if corpus_shingles is None:
             raise ValueError("need corpus_shingles or corpus_tables")
-        corpus_tables = _minhash_tables(corpus_shingles)
+        corpus_tables = _minhash_tables(corpus_shingles, n_parts=n_parts)
         if caches is not None:
             caches.append(corpus_tables[0])
 
@@ -135,6 +136,7 @@ def near_dup_gate_foreach_batch(
                 threshold=threshold,
                 caches=batch_caches,
                 corpus_tables=corpus_tables,
+                n_parts=n_parts,
             )
             pairs.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 

@@ -243,20 +243,27 @@ def test_negative_samples_no_unpartitioned_row_number(spark):
 
 
 def test_negative_samples_edge_table_not_anti_join_build(spark):
-    """graph_negative_samples' reject-join must consume the |E|-scale
-    edge table through the anchor-incident semi prefilter, never put it
-    directly on the anti-join's build/shuffle side (broadcast of all of
-    e at bench scale; a full-edge SMJ shuffle past the threshold). The
-    anti-join's broadcast side must therefore contain the LeftSemi
-    prefilter in its subtree."""
+    """graph_negative_samples' reject-join must keep every broadcast
+    bounded by the PROBE side (anchors x proposals rows — a constant),
+    never by the graph (r18 shape, VERDICT r17 #4: the r17
+    anchor-incident prefilter broadcast a DEGREE-sized edge subset,
+    which a hub anchor makes arbitrarily large). The anti join must be
+    a BroadcastHashJoin whose build is the matched-keys frame, and the
+    |E|-scale edge table must be consumed as the STREAMED side of a
+    BroadcastHashJoin Inner built from the candidate keys — no LeftSemi
+    nested-loop pass, no edge-side build anywhere."""
     plan = _plan(QUERIES["graph_negative_samples"](spark, SF_DIR_ORACLE))
     body = plan.split("== Physical Plan ==")[-1]
-    assert re.search(r"Join LeftSemi", body), body[:3000]
-    # the semi prefilter sits below the anti join (tree order: the anti
-    # join's build subtree is printed after its streamed subtree)
-    anti = body.find("Join LeftAnti")
-    semi = body.find("Join LeftSemi")
-    assert anti != -1 and semi > anti, body[:3000]
+    assert re.search(r"BroadcastHashJoin LeftAnti", body), body[:3000]
+    assert not re.search(r"Join LeftSemi", body), body[:3000]
+    # the bounded inner probe (ckeys broadcast, edges streamed) sits in
+    # the anti join's build subtree (printed after the anti node)
+    anti = body.find("BroadcastHashJoin LeftAnti")
+    inner = body.find("BroadcastHashJoin Inner", anti)
+    assert inner != -1, body[:3000]
+    # the edge table never appears as a SortMergeJoin side (would mean
+    # the |E| table got shuffled for the reject join)
+    assert "SortMergeJoin" not in body, body[:3000]
 
 
 def test_dense_index_matches_sql_contract(spark, duck):
