@@ -948,6 +948,22 @@ def connected_components_incremental(
       scheduling, not data — see OPTIMIZATION_r17.md.
     - above the gate: the original all-DataFrame tail (no bounded
       collect anywhere beyond the contraction CC's own gate).
+
+    Gate constant (r18, VERDICT r17 #5 — measured, not assumed):
+    `scripts/gate_crossover_probe.py` timed both tails on synthetic
+    merge batches at 10^3/10^4/10^5/10^6 pairs (3 reps, outputs
+    identity-checked). The driver tail won at EVERY size — 1.4 vs
+    3.2 s (1e3), 1.45 vs 3.0 (1e4), 3.5 vs 4.8 (1e5), 23-26 vs 39-40 s
+    (1e6) — so the measured crossover sits ABOVE 1e6 and the binding
+    constraint remains driver memory for the bounded collect (the
+    documented ~16 MB of raw pairs / few hundred MB as Rows at the
+    gate). At 1e6 the probe's adversarial input (a diameter-1M merge
+    CHAIN) also exposed that the distributed tail's contraction solve
+    (connected_components, max_iter=25) silently truncates on
+    high-diameter graphs where the driver union-find stays exact —
+    near-dup contraction graphs are small-diameter by construction
+    (the operator's documented domain), one more reason the gate stays
+    at 1e6 rather than lower.
     """
     from mysql2psql_spark.operators.materialize import materialize
 

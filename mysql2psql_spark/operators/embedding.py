@@ -245,6 +245,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     with_cos: bool = False,
+    carry_vec: bool = False,
 ) -> DataFrame:
     """(id, cluster[, cos]): IVF coarse quantization — each vector assigned
     to the seed centroid with the highest (rounded) cosine; ties break to
@@ -255,7 +256,15 @@ def ivf_assign(
     Seeds are a small driver-side list by definition (the centroid table);
     at scale they come from a sampled k-means — here they are the first C
     vectors, which keeps the operator fully deterministic and lets the SQL
-    oracle restate the same assignment."""
+    oracle restate the same assignment.
+
+    ``carry_vec=True`` additionally passes the input vector column
+    through (r18, guide §2.4): the Lloyd refinement loop consumed
+    (id, cluster) and immediately JOINED the corpus frame back to get
+    the vectors for the mean aggregation — one corpus-scale join per
+    iteration whose only purpose was re-attaching a column the
+    assignment pass already held. float64 values round-trip Arrow
+    bit-exactly, so the carried column is identical to the joined one."""
     import pandas as pd  # worker-side
 
     s = np.array([v for _, v in seeds], dtype=np.float64)  # (C, dim)
@@ -271,11 +280,15 @@ def ivf_assign(
             out = {id_col: pdf[id_col], "cluster": cos.argmax(axis=1)}
             if with_cos:
                 out["cos"] = cos.max(axis=1)
+            if carry_vec:
+                out[vec_col] = pdf[vec_col]
             yield pd.DataFrame(out)
 
     schema = f"{id_col} bigint, cluster int"
     if with_cos:
         schema += ", cos double"
+    if carry_vec:
+        schema += f", {vec_col} array<double>"
     return emb.select(id_col, vec_col).mapInPandas(run, schema=schema)
 
 
@@ -977,10 +990,14 @@ def _lloyd_centroids(
     dim = len(next(iter(cents.values())))
     for _ in range(n_iterations):
         seeds = [(c, cents[c]) for c in sorted(cents)]
-        asg = ivf_assign(base, seeds, id_col, vec_col)
+        # carry_vec: the assignment pass already holds each vector, so
+        # emitting it alongside the cluster removes the per-iteration
+        # corpus join that existed only to re-attach it (r18, guide
+        # §2.4; float64 is Arrow-bit-exact, sums below are int64 —
+        # identical aggregation input, identical means)
+        asg = ivf_assign(base, seeds, id_col, vec_col, carry_vec=True)
         rows = (
-            asg.join(base, id_col)
-            .select("cluster", F.posexplode(vec_col).alias("dim", "x"))
+            asg.select("cluster", F.posexplode(vec_col).alias("dim", "x"))
             .groupBy("cluster", "dim")
             .agg(
                 (

@@ -1096,6 +1096,11 @@ def dedup_leakage_safe_split(
     # cc has at most 2x pairs rows, and the count reads the persist the
     # CC gate already built); above the gate the original all-DataFrame
     # tail runs unchanged.
+    # gate constant justified by scripts/gate_crossover_probe.py (r18):
+    # the driver tail wins at every probed size up to 1e6 pairs (23-26
+    # vs 39-40 s there), so the crossover is above the gate and driver
+    # memory is the binding constraint — see
+    # connected_components_incremental's docstring for the full table.
     n_pairs = pairs.count()
     if n_pairs <= 1_000_000:
         import hashlib
